@@ -1,0 +1,434 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2.2/2.3/2.4/2.5 generalized
+  * over the testdata star schema). Every query is deterministic: explicit
+  * total-order ORDER BY, aggregated doubles rounded, column names aligned
+  * with the DuckDB oracle SQL.
+  *
+  * Scale notes (100 TB design stance):
+  *  - dimension joins (part/customer/nation/region) are broadcast — no
+  *    shuffle of the fact table for enrichment;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once,
+  *    and AQE handles skew;
+  *  - aggregations are partial (map-side combine) by construction —
+  *    plain groupBy/agg, no driver-side loops anywhere.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** TPC-H Q1-style pricing summary: scan → filter → hash agg → sort. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Predicate + projection; filters push to the parquet scan. */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"),
+        (col("l_extendedprice") * col("l_discount")).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Broadcast hash join: 200-row part dim against the lineitem fact. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
+  /** Fact-fact join forced to sort-merge (the strategy a 100 TB
+    * lineitem ⋈ orders needs — neither side broadcastable). */
+  def joinSortMerge(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").hint("merge")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("total_qty"))
+      .orderBy("o_orderpriority")
+
+  /** Left outer join + per-key rollup (customer spend incl. zero-order customers). */
+  def joinLeft(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+      .orderBy("c_custkey")
+
+  /** Left-semi join = EXISTS. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 200000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Left-anti join = NOT EXISTS (customers with no very-large order). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 430000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Cross join of the two tiny dims (5 × 25 rows). */
+  def joinCross(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP grouping sets; grouping nulls normalized to 'ALL' for a total order. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_price"), col("n"))
+      .orderBy("flag", "status")
+
+  /** CUBE grouping sets over orders. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("sum_price"), col("n"))
+      .orderBy("status", "priority")
+
+  /** Ranking window: top-5 line items by price within each return flag. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 5)
+      .orderBy("l_returnflag", "rn")
+  }
+
+  /** Cumulative-sum frame (the inventory-replay primitive, SURVEY §2.4 A3). */
+  def windowCumsum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity")).over(w).as("running_qty"))
+      .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** lead/lag analytics per user ordered by event time. */
+  def windowLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Global top-k: orderBy + limit (TakeOrderedAndProject — no full sort). */
+  def topK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** UNION ALL (bag union) of two filtered branches. */
+  def setUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val a = e.filter(col("event_type") === "click").select(col("event_id"), col("user_id"), col("event_type"))
+    val b = e.filter(col("event_type") === "purchase").select(col("event_id"), col("user_id"), col("event_type"))
+    a.unionByName(b).orderBy("event_id")
+  }
+
+  /** INTERSECT (set semantics). */
+  def setIntersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      .intersect(t(s, dir, "customer").select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** EXCEPT (set semantics): customers with no very-large order. */
+  def setExcept(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      .except(t(s, dir, "orders").filter(col("o_totalprice") > 430000.0)
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** Scalar date/string/math function surface (SURVEY §2.2 P5-P8). */
+  def scalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        substring(col("o_orderstatus"), 1, 1).as("status_c"),
+        length(col("o_orderpriority")).as("pri_len"),
+        round(abs(col("o_totalprice") - 100000.0), 2).as("abs_diff"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  /** explode(array) → word count over documents (SURVEY §2.2 P9). */
+  def explodeWordcount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(100)
+
+  /** Daily event summary (the candy daily_summary shape, SURVEY §2.4 A2). */
+  def dailySummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(
+        count(lit(1)).as("num_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(avg(col("value")), 2).as("avg_value"))
+      .orderBy("event_date")
+
+  /** Gap-based sessionization via lag window (30-min inactivity cutoff). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .select(col("user_id"),
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1).otherwise(0).as("is_new"))
+      .groupBy(col("user_id"))
+      .agg(count(when(col("is_new") === 1, 1)).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** 5-way star join: fact → orders → customer → nation → region.
+    * Dims broadcast; only the fact-fact edge shuffles. */
+  def multiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name")
+
+  /** Exact interpolated percentiles per group. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(stddev_samp(col("o_totalprice")), 2).as("sd"))
+      .orderBy("o_orderstatus")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_filter_project" -> (filterProject _),
+    "q03_join_broadcast" -> (joinBroadcast _),
+    "q04_join_sortmerge" -> (joinSortMerge _),
+    "q05_join_left" -> (joinLeft _),
+    "q06_join_semi" -> (joinSemi _),
+    "q07_join_anti" -> (joinAnti _),
+    "q08_join_cross" -> (joinCross _),
+    "q09_agg_distinct" -> (aggDistinct _),
+    "q10_rollup" -> (rollupAgg _),
+    "q11_cube" -> (cubeAgg _),
+    "q12_window_rank" -> (windowRank _),
+    "q13_window_cumsum" -> (windowCumsum _),
+    "q14_topk" -> (topK _),
+    "q15_set_union" -> (setUnion _),
+    "q16_set_intersect" -> (setIntersect _),
+    "q17_set_except" -> (setExcept _),
+    "q18_scalar_funcs" -> (scalarFuncs _),
+    "q19_explode_wordcount" -> (explodeWordcount _),
+    "q20_daily_summary" -> (dailySummary _),
+    "q21_sessionize" -> (sessionize _),
+    "q22_multi_join" -> (multiJoin _),
+    "q23_window_leadlag" -> (windowLeadLag _),
+    "q24_percentiles" -> (percentiles _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | round(avg(l_extendedprice),2) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        | l_extendedprice*l_discount AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_broadcast" ->
+      """SELECT p_brand, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q04_join_sortmerge" ->
+      """SELECT o_orderpriority, count(*) AS n_items, round(sum(l_quantity),2) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_join_left" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q06_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 430000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "q09_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q10_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
+        | round(sum(l_extendedprice),2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q11_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+        | round(sum(o_totalprice),2) AS sum_price, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q12_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |   row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin,
+    "q13_window_cumsum" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber,
+        | sum(l_quantity) OVER (PARTITION BY l_partkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin,
+    "q14_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q15_set_union" ->
+      """SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "q16_set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT SELECT c_custkey FROM customer ORDER BY custkey""".stripMargin,
+    "q17_set_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 430000 ORDER BY custkey""".stripMargin,
+    "q18_scalar_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo,
+        | CAST(day(o_orderdate) AS INTEGER) AS dom,
+        | CAST(o_orderdate AS DATE) + 30 AS due_date,
+        | upper(o_orderpriority) AS pri_upper,
+        | substr(o_orderstatus, 1, 1) AS status_c,
+        | CAST(length(o_orderpriority) AS INTEGER) AS pri_len,
+        | round(abs(o_totalprice - 100000.0), 2) AS abs_diff,
+        | concat(o_orderstatus, '-', o_orderpriority) AS tag,
+        | CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q19_explode_wordcount" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin,
+    "q20_daily_summary" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS num_events,
+        | count(DISTINCT user_id) AS n_users,
+        | round(sum(value),2) AS total_value, round(avg(value),2) AS avg_value
+        |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin,
+    "q21_sessionize" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE gap_us IS NULL OR gap_us > 1800000000) AS n_sessions,
+        | count(*) AS n_events
+        |FROM (SELECT user_id,
+        |   epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q22_multi_join" ->
+      """SELECT r_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q23_window_leadlag" ->
+      """SELECT user_id, event_id, value,
+        | lag(value) OVER w AS prev_value, lead(event_type) OVER w AS next_type
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q24_percentiles" ->
+      """SELECT o_orderstatus,
+        | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+        | round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
+        | round(min(o_totalprice),2) AS min_price,
+        | round(max(o_totalprice),2) AS max_price,
+        | round(stddev_samp(o_totalprice),2) AS sd
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}
