@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Core relational operator surface (SURVEY.md §2.2/2.3/2.4/2.5 generalized
@@ -22,21 +23,27 @@ object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** TPC-H Q1-style pricing summary: scan → filter → hash agg → sort. */
-  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+  /** TPC-H Q1-style pricing summary: scan → filter → hash agg → sort.
+    * Money sums run in exact integer cents (Exact.scala) — order-
+    * independent, so the result is bit-identical to the oracle's. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val c = Exact.cents(col("l_extendedprice"))
+    val d = Exact.cents(col("l_discount"))
+    val tx = Exact.cents(col("l_tax"))
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(c) / lit(100.0)).as("sum_base_price"),
+        (sum(c * (lit(100L) - d)) / lit(10000.0)).as("sum_disc_price"),
+        (sum(c * (lit(100L) - d) * (lit(100L) + tx)) / lit(1000000.0)).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(c) / lit(100.0) / count(lit(1))).as("avg_price"),
+        (sum(d) / lit(100.0) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** Predicate + projection; filters push to the parquet scan. */
   def filterProject(s: SparkSession, dir: String): DataFrame =
@@ -48,14 +55,16 @@ object RelationalQueries {
         (col("l_extendedprice") * col("l_discount")).as("revenue"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Revenue in exact cent·percent units: order-independent long sum. */
+  private def revenueExact: Column =
+    sum(Exact.cents(col("l_extendedprice")) * (lit(100L) - Exact.cents(col("l_discount")))) / lit(10000.0)
+
   /** Broadcast hash join: 200-row part dim against the lineitem fact. */
   def joinBroadcast(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(revenueExact.as("revenue"), count(lit(1)).as("n_items"))
       .orderBy("p_brand")
 
   /** Fact-fact join forced to sort-merge (the strategy a 100 TB
@@ -64,7 +73,7 @@ object RelationalQueries {
     t(s, dir, "lineitem").hint("merge")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("total_qty"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("total_qty"))
       .orderBy("o_orderpriority")
 
   /** Left outer join + per-key rollup (customer spend incl. zero-order customers). */
@@ -74,7 +83,7 @@ object RelationalQueries {
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(
         count(col("o_orderkey")).as("n_orders"),
-        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+        (coalesce(sum(Exact.cents(col("o_totalprice"))), lit(0L)) / lit(100.0)).as("total_spend"))
       .orderBy("c_custkey")
 
   /** Left-semi join = EXISTS. */
@@ -113,7 +122,7 @@ object RelationalQueries {
   def rollupAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+      .agg(Exact.sumMoney(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -124,7 +133,7 @@ object RelationalQueries {
   def cubeAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(round(sum(col("o_totalprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+      .agg(Exact.sumMoney(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -225,8 +234,8 @@ object RelationalQueries {
       .agg(
         count(lit(1)).as("num_events"),
         countDistinct(col("user_id")).as("n_users"),
-        round(sum(col("value")), 2).as("total_value"),
-        round(avg(col("value")), 2).as("avg_value"))
+        (sum(Exact.cents(col("value"))) / lit(100.0)).as("total_value"),
+        (sum(Exact.cents(col("value"))) / lit(100.0) / count(lit(1))).as("avg_value"))
       .orderBy("event_date")
 
   /** Gap-based sessionization via lag window (30-min inactivity cutoff). */
@@ -251,22 +260,27 @@ object RelationalQueries {
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        count(lit(1)).as("n"))
+      .agg(revenueExact.as("revenue"), count(lit(1)).as("n"))
       .orderBy("r_name")
 
-  /** Exact interpolated percentiles per group. */
-  def percentiles(s: SparkSession, dir: String): DataFrame =
+  /** Exact interpolated percentiles per group, plus a sample standard
+    * deviation computed from exact integer sums (Σx, Σx² in cents) so the
+    * value is order-independent — stddev_samp's streaming merge is not. */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    val c = Exact.cents(col("o_totalprice"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(c).cast("double")
+    val sxx = sum((c * c).cast(DecimalType(38, 0))).cast("double")
     t(s, dir, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(
         round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
         round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
-        round(min(col("o_totalprice")), 2).as("min_price"),
-        round(max(col("o_totalprice")), 2).as("max_price"),
-        round(stddev_samp(col("o_totalprice")), 2).as("sd"))
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        round(sqrt((sxx - sx * sx / n) / (n - lit(1.0))) / lit(100.0), 2).as("sd"))
       .orderBy("o_orderstatus")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (pricingSummary _),
@@ -298,13 +312,13 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        | round(avg(l_quantity),2) AS avg_qty,
-        | round(avg(l_extendedprice),2) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
+        | sum(l_quantity) AS sum_qty,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS sum_disc_price,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT))*(100 + CAST(round(l_tax*100) AS BIGINT)))/1000000.0 AS sum_charge,
+        | sum(l_quantity)/count(*) AS avg_qty,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0/count(*) AS avg_price,
+        | sum(CAST(round(l_discount*100) AS BIGINT))/100.0/count(*) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -316,17 +330,18 @@ object RelationalQueries {
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q03_join_broadcast" ->
-      """SELECT p_brand, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      """SELECT p_brand,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q04_join_sortmerge" ->
-      """SELECT o_orderpriority, count(*) AS n_items, round(sum(l_quantity),2) AS total_qty
+      """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS total_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q05_join_left" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-        | round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+        | coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0)/100.0 AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
     "q06_join_semi" ->
@@ -345,12 +360,12 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q10_rollup" ->
       """SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
-        | round(sum(l_extendedprice),2) AS sum_price, count(*) AS n
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_price, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "q11_cube" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
-        | round(sum(o_totalprice),2) AS sum_price, count(*) AS n
+        | sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS sum_price, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q12_window_rank" ->
@@ -399,7 +414,8 @@ object RelationalQueries {
     "q20_daily_summary" ->
       """SELECT CAST(ts AS DATE) AS event_date, count(*) AS num_events,
         | count(DISTINCT user_id) AS n_users,
-        | round(sum(value),2) AS total_value, round(avg(value),2) AS avg_value
+        | sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value,
+        | sum(CAST(round(value*100) AS BIGINT))/100.0/count(*) AS avg_value
         |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin,
     "q21_sessionize" ->
       """SELECT user_id,
@@ -410,7 +426,9 @@ object RelationalQueries {
         |  FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q22_multi_join" ->
-      """SELECT r_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+      """SELECT r_name,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue,
+        | count(*) AS n
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -426,9 +444,11 @@ object RelationalQueries {
       """SELECT o_orderstatus,
         | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
         | round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
-        | round(min(o_totalprice),2) AS min_price,
-        | round(max(o_totalprice),2) AS max_price,
-        | round(stddev_samp(o_totalprice),2) AS sd
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        | min(o_totalprice) AS min_price,
+        | max(o_totalprice) AS max_price,
+        | round(sqrt((CAST(sum(c*c) AS DOUBLE) - CAST(sum(c) AS DOUBLE)*CAST(sum(c) AS DOUBLE)/CAST(count(*) AS DOUBLE))
+        |   / (CAST(count(*) AS DOUBLE) - 1.0)) / 100.0, 2) AS sd
+        |FROM (SELECT o_orderstatus, o_totalprice, CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines over
+  * the `documents` table: exact dedup, fingerprinting, language ID,
+  * quality scoring, token counting, n-gram Jaccard near-dup. All built
+  * from codegen'd `functions._` — no UDFs — so they stay inside
+  * whole-stage codegen and scale linearly with the corpus.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Whitespace-normalized lowercase form used by fingerprint/ngram ops. */
+  private def norm(c: Column): Column = lower(regexp_replace(c, "\\s+", " "))
+
+  /** Exact dedup: keep the lowest doc_id per content hash (hash-groupBy;
+    * at 100 TB this is one shuffle on the 128-bit hash, no full-text
+    * comparisons). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("h"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document stats: char/token counts, alpha/digit/punct counts,
+    * and a simple quality score (stopword share + alpha share). */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val nTokens = size(split(trim(txt), "\\s+"))
+    val nStop = regexp_count(lower(txt), lit("\\b(the|a|and|of|to|in|is|it)\\b"))
+    val nAlpha = regexp_count(txt, lit("[A-Za-z]"))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(txt).as("n_chars"),
+        nTokens.as("n_tokens"),
+        nAlpha.as("n_alpha"),
+        regexp_count(txt, lit("[0-9]")).as("n_digit"),
+        regexp_count(txt, lit("[^A-Za-z0-9\\s]")).as("n_punct"),
+        round(nStop.cast("double") / nTokens, 6).as("stopword_ratio"),
+        round(length(txt).cast("double") / nTokens, 6).as("avg_token_span"),
+        round(nStop.cast("double") / nTokens * 0.5
+          + nAlpha.cast("double") / length(txt) * 0.5, 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID: marker-word / CJK-codepoint hit counts with a
+    * fixed-precedence argmax. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val lo = lower(col("text"))
+    val en = regexp_count(lo, lit("\\b(the|and|of|to|in|is)\\b"))
+    val de = regexp_count(lo, lit("\\b(der|die|das|und|ist|nicht)\\b"))
+    val fr = regexp_count(lo, lit("\\b(le|la|les|et|est|une)\\b"))
+    val es = regexp_count(lo, lit("\\b(el|los|las|y|es|una)\\b"))
+    val cjk = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"), cjk.as("cjk_hits"))
+      .withColumn("predicted",
+        when(col("cjk_hits") > 0, "zh")
+          .when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
+          .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
+          .when(col("fr_hits") >= col("es_hits"), "fr")
+          .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish lexer regex
+    * (letter runs | digit runs | single non-alnum symbols). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_tokens"),
+        round(length(col("text")).cast("double") / 4.0, 2).as("approx_llm_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: hash of the whitespace-normalized content —
+    * the join key for exact near-line dedup across shards. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), md5(norm(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  /** Character-3-gram Jaccard similarity of every document against a
+    * reference document (doc_id 0) — the verification kernel under
+    * MinHash near-dup (DedupOps.minhashPairs estimates exactly this). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    def grams(c: Column): Column =
+      array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+    val docs = t(s, dir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), grams(norm(col("text"))).as("g"))
+    val ref = docs.filter(col("doc_id") === 0).select(col("g").as("ref_g"))
+    docs.crossJoin(broadcast(ref))
+      .select(col("doc_id"),
+        round(size(array_intersect(col("g"), col("ref_g"))).cast("double")
+          / (size(col("g")) + size(col("ref_g")) - size(array_intersect(col("g"), col("ref_g")))),
+          6).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_dedup_exact" -> (dedupExact _),
+    "q51_text_stats" -> (textStats _),
+    "q52_lang_id" -> (langId _),
+    "q53_token_count" -> (tokenCount _),
+    "q54_fingerprint" -> (fingerprint _),
+    "q55_ngram_jaccard" -> (ngramJaccard _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_dedup_exact" ->
+      """SELECT doc_id, h FROM (
+        |  SELECT doc_id, md5(text) AS h,
+        |   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q51_text_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INTEGER) AS n_chars,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INTEGER) AS n_alpha,
+        | CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digit,
+        | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct,
+        | round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
+        |   / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
+        | round(CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_span,
+        | round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')) * 0.5
+        |  + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) * 0.5, 6) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q52_lang_id" ->
+      """SELECT doc_id, lang AS lang_label,
+        | en_hits, de_hits, fr_hits, es_hits, cjk_hits,
+        | CASE WHEN cjk_hits > 0 THEN 'zh'
+        |      WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+        |      WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+        |      WHEN fr_hits >= es_hits THEN 'fr'
+        |      ELSE 'es' END AS predicted
+        |FROM (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS INTEGER) AS en_hits,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS INTEGER) AS de_hits,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS INTEGER) AS fr_hits,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una)\b')) AS INTEGER) AS es_hits,
+        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS INTEGER) AS cjk_hits
+        | FROM documents) ORDER BY doc_id""".stripMargin,
+    "q53_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        | round(CAST(length(text) AS DOUBLE) / 4.0, 2) AS approx_llm_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q54_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, length(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3))) AS grams
+        |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |        FROM documents WHERE length(text) >= 3)),
+        |r AS (SELECT grams AS ref_grams FROM g WHERE doc_id = 0)
+        |SELECT doc_id,
+        | round(CAST(len(list_intersect(grams, ref_grams)) AS DOUBLE)
+        |   / (len(grams) + len(ref_grams) - len(list_intersect(grams, ref_grams))), 6) AS jaccard
+        |FROM g, r ORDER BY doc_id""".stripMargin,
+  )
+}
