@@ -1,0 +1,59 @@
+package graft.functions
+
+/** JVM kernels for embedding-vector expressions (static forwarders for
+  * codegen, like TextHashes). All accumulation is double, left-to-right
+  * in index order — bit-identical to the DuckDB oracle's
+  * list_transform/list_sum fold over CAST(x AS DOUBLE).
+  */
+object VectorKernels {
+
+  def dotFF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** cosine(a, b) with double accumulation. */
+  def cosineFF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim)
+    * in [-0.5, 0.5) — recomputable on any executor, no stored model. */
+  @inline private def planeComponent(plane: Int, dim: Int): Double =
+    (Math.floorMod(mix64(plane.toLong * 0x9E3779B97F4A7C15L + dim), 1000000L)
+      / 1000000.0) - 0.5
+
+  /** B-bit random-hyperplane LSH bucket for table `table`: bit p is the
+    * sign of the projection onto pseudo-random plane (table·bits + p). */
+  def lshBucketF(v: Array[Float], bits: Int, table: Int): Long = {
+    var out = 0L
+    var p = 0
+    while (p < bits) {
+      val plane = table * bits + p
+      var proj = 0.0
+      var i = 0
+      while (i < v.length) { proj += v(i).toDouble * planeComponent(plane, i); i += 1 }
+      if (proj > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,149 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One media blob with typed metadata. `data` is an opaque byte
+  * payload (image/audio/video container bytes); everything the engine
+  * plans with lives in typed columns, never inside the blob. */
+case class MediaRow(
+    media_id: Long,
+    kind: String, // "image" | "audio" | "video"
+    data: Array[Byte],
+    width: Int, // image/video pixels (0 for audio)
+    height: Int,
+    sample_rate: Int, // audio Hz (0 otherwise)
+    n_frames: Int) // video frames / audio samples (1 for image)
+
+/** Decoded per-item features (fixed-width vector + provenance). */
+case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    n_bytes: Int,
+    features: Array[Float])
+
+/** Multimodal-column operators for a training-data pipeline: media as
+  * opaque BINARY columns with typed metadata, processed batch-wise on
+  * executors via mapPartitions (the JVM analog of a vectorized pandas
+  * UDF: one JVM-side function invocation per partition, streaming over
+  * rows, never collecting to the driver).
+  *
+  * The codec step is STUBBED — this container ships no image/audio
+  * libraries — with a deterministic byte-level feature extractor
+  * (rolling polynomial hash per stripe), so the Spark-side contract is
+  * fully real and testable: schema, binary column handling, batch
+  * shape, skew-aware partitioning, frame-row explosion. Swapping
+  * `stubDecode` for a real codec (e.g. via JNI or an added library)
+  * changes no plan shape.
+  */
+object MultimodalOps {
+
+  /** Declared media schema (string/binary nullable — matching the
+    * case-class Encoder's view, where only primitives are non-null). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = true),
+    StructField("data", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  // ---- stubbed codec ---------------------------------------------------
+
+  /** Deterministic fake decode: splits the payload into `dim` stripes
+    * and reduces each with a rolling polynomial hash scaled to [0,1).
+    * Stand-in for "decode + embed" (a real system would decode pixels
+    * / PCM samples here). Deterministic in the bytes — the tests and
+    * any dedup built on it are reproducible. */
+  private[multimodal] def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (bytes.isEmpty) return out
+    val stripe = math.max(1, bytes.length / dim)
+    var d = 0
+    while (d < dim) {
+      var h = 1125899906842597L
+      var i = d * stripe
+      val end = math.min(bytes.length, if (d == dim - 1) bytes.length else (d + 1) * stripe)
+      while (i < end) { h = 31 * h + bytes(i); i += 1 }
+      out(d) = math.abs(h % 1000000L).toFloat / 1000000.0f
+      d += 1
+    }
+    out
+  }
+
+  // ---- operators -------------------------------------------------------
+
+  /** Decode + feature-extract each blob, batch-wise per partition. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.data.length, stubDecode(m.data, dim))
+      }
+    }
+  }
+
+  /** Balance decode work: byte-size is the cost driver, so range-
+    * repartition on (kind, payload size) — large videos spread across
+    * tasks instead of hashing wherever media_id lands. At cluster scale
+    * this is the difference between one straggler decoding all the 4K
+    * video and an even decode wave. */
+  def repartitionForDecode(media: DataFrame, partitions: Int): DataFrame =
+    media.withColumn("n_bytes", length(col("data")))
+      .repartitionByRange(partitions, col("kind"), col("n_bytes"))
+      .drop("n_bytes")
+
+  /** Sample every Nth frame of video rows into (media_id, frame_idx)
+    * rows — pure metadata explosion (the decode of each sampled frame
+    * happens downstream in extractFeatures-style batches). */
+  def sampleFrames(media: DataFrame, everyN: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
+
+  /** Resize stub: emits a new payload of exactly the target byte size
+    * (deterministic slice/pad) with updated metadata — the plumbing of
+    * a thumbnailing pass without a codec. */
+  def resizeStub(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val target = math.max(1, targetW * targetH / 8)
+        val out = java.util.Arrays.copyOf(m.data, target)
+        m.copy(data = out, width = targetW, height = targetH)
+      }
+    }
+  }
+
+  /** Near-dup media detection: stub features → cosine-style bucketed
+    * grouping on a quantized leading coefficient. Demonstrates dedup
+    * over multimodal payloads without byte-equality. */
+  def featureBuckets(features: Dataset[MediaFeatures], buckets: Int = 64): DataFrame = {
+    import features.sparkSession.implicits._
+    features.map(f => (f.media_id, f.kind, (f.features.headOption.getOrElse(0f) * buckets).toInt))
+      .toDF("media_id", "kind", "bucket")
+      .groupBy("kind", "bucket")
+      .agg(count(lit(1)).as("n"), collect_list("media_id").as("members"))
+  }
+
+  /** Deterministic synthetic media table (no external fixtures in the
+    * container): payload bytes derived from media_id. */
+  def synthesize(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id0 =>
+      val id = id0
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val len = 256 + ((id * 2654435761L + seed) % 768).toInt.abs
+      val bytes = Array.tabulate(len)(i => ((id * 31 + i * 7 + seed) % 256).toByte)
+      kind match {
+        case "image" => MediaRow(id, kind, bytes, 64, 48, 0, 1)
+        case "audio" => MediaRow(id, kind, bytes, 0, 0, 16000, len)
+        case _ => MediaRow(id, kind, bytes, 320, 240, 0, 1 + (id % 100).toInt)
+      }
+    }
+  }
+}

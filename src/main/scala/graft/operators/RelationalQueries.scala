@@ -140,13 +140,27 @@ object RelationalQueries {
         col("sum_price"), col("n"))
       .orderBy("status", "priority")
 
-  /** Ranking window: top-5 line items by price within each return flag. */
+  /** Ranking window: top-5 line items by price within each return flag.
+    *
+    * Two-phase salted top-k: the naive single window on l_returnflag
+    * has only |flags| (=3) partitions — 3 tasks each sorting n/3 rows,
+    * the classic low-cardinality window bottleneck. Phase 1 ranks
+    * within (flag, salt-64) — full parallelism, prunes to ≤ flags·64·5
+    * rows — and phase 2 ranks the survivors exactly. Any global top-5
+    * row is necessarily a top-5 row of its salt bucket, so the result
+    * is identical. */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val ord = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val w1 = Window.partitionBy(col("l_returnflag"), col("salt")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
     t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"), row_number().over(w).cast("long").as("rn"))
+        col("l_extendedprice"),
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(64)).as("salt"))
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= 5)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), row_number().over(w2).cast("long").as("rn"))
       .filter(col("rn") <= 5)
       .orderBy("l_returnflag", "rn")
   }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.{functions => gfn}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -21,25 +22,19 @@ object SimilarityOps {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** embedding column cast to array<double> for stable accumulation. */
-  private def vec(c: Column): Column = c.cast("array<double>")
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  private def norm2(a: Column): Column = dot(a, a)
-
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+  /** Cosine via the native CosineSimF expression: one codegen'd pass
+    * over the float arrays with double accumulation, fold order
+    * identical to the DuckDB oracle's list_transform/list_sum. */
+  def cosine(a: Column, b: Column): Column = gfn.cosine_sim(a, b)
 
   /** Brute-force cosine top-k vs the vec_id=0 query vector. */
   def cosineTopK(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") === 0).select(vec(col("embedding")).as("qv"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(cosine(vec(col("embedding")), col("qv")), 6).as("cos_sim"))
+        round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -47,7 +42,9 @@ object SimilarityOps {
   /** Per-label embedding stats: count, mean L2 norm, mean self-dot. */
   def embeddingStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
-      .select(col("label"), sqrt(norm2(vec(col("embedding")))).as("l2"))
+      .select(col("label"),
+        sqrt(aggregate(transform(col("embedding").cast("array<double>"), v => v * v),
+          lit(0.0), (acc, v) => acc + v)).as("l2"))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n"),
@@ -56,41 +53,64 @@ object SimilarityOps {
         round(max(col("l2")), 4).as("max_norm"))
       .orderBy("label")
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a hash-derived value in [-0.5, 0.5). No RNG, no stored model — any
-    * executor can recompute it, which is what makes the bucketing usable
-    * as a shuffle key at scale. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(lit(p), i), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+  /** B-bit LSH bucket signature from hyperplane sign bits; `table`
+    * seeds an independent hyperplane set. Native expression — the
+    * hyperplane components are hash-derived from (plane, dim), so any
+    * executor recomputes them with no stored model, which is what makes
+    * the bucketing usable as a shuffle key at scale. */
+  def lshBucket(embCol: Column, bits: Int, table: Int): Column =
+    gfn.lsh_bucket(embCol, bits, table)
 
-  /** B-bit LSH bucket signature from hyperplane sign bits. */
-  def lshBucket(embCol: Column, bits: Int): Column = {
-    val v = vec(embCol)
-    val bitCols = (0 until bits).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
-  }
-
-  /** ANN via LSH buckets: top-k among vectors sharing the query's bucket.
-    * Recall vs the brute-force baseline is pinned in ScalaTest. */
-  def annLsh(s: SparkSession, dir: String, k: Int = 50, bits: Int = 8): DataFrame = {
-    val emb = t(s, dir, "embeddings").withColumn("bucket", lshBucket(col("embedding"), bits))
-    val q = emb.filter(col("vec_id") === 0)
-      .select(vec(col("embedding")).as("qv"), col("bucket").as("qbucket"))
-    emb.filter(col("vec_id") =!= 0)
+  /** ANN via multi-table LSH (the standard L-tables construction): a
+    * vector is a candidate if it shares ANY table's bucket with the
+    * query; candidates are then scored with the true cosine. More
+    * tables ⇒ higher recall, each table's bits ⇒ lower per-table
+    * candidate count. At cluster scale the melted (table, bucket) pair
+    * is the shuffle key and each bucket's candidates co-locate; the
+    * probe side is one broadcast. Recall vs the brute-force baseline
+    * is pinned in ScalaTest. */
+  def annLsh(s: SparkSession, dir: String, k: Int = 50, bits: Int = 6,
+             tables: Int = 8): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("buckets", array((0 until tables).map(tb =>
+        lshBucket(col("embedding"), bits, tb)): _*))
+      .cache()
+    val melted = emb
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val qMelted = melted.filter(col("vec_id") === 0)
+      .select(col("tbl"), col("bucket"))
+    val candidates = melted.filter(col("vec_id") =!= 0)
+      .join(broadcast(qMelted), Seq("tbl", "bucket"), "left_semi")
+      .select("vec_id").distinct()
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.join(candidates, "vec_id")
       .crossJoin(broadcast(q))
-      .filter(col("bucket") === col("qbucket"))
       .select(col("vec_id"), col("label"),
-        round(cosine(vec(col("embedding")), col("qv")), 6).as("cos_sim"))
+        round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs, blocked by label: the
+    * standard blocked-dedup shape — a cheap blocking key (here the
+    * label; in production an LSH bucket or coarse quantizer cell)
+    * turns the O(N²) all-pairs cosine into per-block self-joins. On a
+    * cluster the block id is the shuffle key, so each block's pairs
+    * are generated without cross-node traffic. */
+  def embeddingNeardup(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("a") < col("b"))
+      .select(col("label"), col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNeardup(s, d)),
     "q60_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "q61_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q62_embedding_stats" -> (embeddingStats _),
@@ -101,6 +121,18 @@ object SimilarityOps {
     * (DuckDB's builtin list_cosine_similarity accumulates in float32 and
     * does NOT match). */
   val oracle: Map[String, String] = Map(
+    "q59_embedding_neardup" ->
+      """SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+        | round(
+        |   list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE)*v)))
+        |      * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE)*v)))), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(
+        |   list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE)*v)))
+        |      * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE)*v)))), 6) >= 0.35
+        |ORDER BY a, b""".stripMargin,
     "q60_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** A transaction item event on the stream (the streaming analog of
+  * candy.ItemEvent — already exploded/null-filtered/product-joined). */
+case class StreamItem(
+    product_id: Int,
+    order_id: Long,
+    seq: Long,
+    qty: Int,
+    unit_price: Double,
+    stock: Int)
+
+/** Replay outcome emitted by the streaming inventory operator. */
+case class StreamLine(
+    product_id: Int,
+    order_id: Long,
+    seq: Long,
+    quantity: Int,
+    line_total: Double,
+    fulfilled: Boolean)
+
+/** Per-product inventory state carried across micro-batches. */
+case class InvState(remaining: Int)
+
+/** Structured Streaming operators (SURVEY.md §1.1: the reference
+  * simulates streaming with a Python for-loop over daily batches,
+  * data_processor.py:340-355 — these are the real thing).
+  *
+  * All operators take an unbounded DataFrame (from readStream) and
+  * return a transformed unbounded DataFrame for writeStream; they also
+  * work unchanged on bounded frames, which is how the batch/streaming
+  * parity tests pin their semantics.
+  */
+object StreamingOps {
+
+  /** Event-time daily rollup with a watermark bounding state: the
+    * streaming form of the candy daily_summary (A2). Late events beyond
+    * the watermark are dropped; everything else lands in its event-time
+    * day regardless of arrival order. */
+  def dailySummary(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        count(lit(1)).as("num_events"),
+        approx_count_distinct("user_id").as("approx_users"),
+        round(sum("value"), 2).as("total_value"))
+      .select(to_date(col("w.start")).as("date"),
+        col("num_events"), col("approx_users"), col("total_value"))
+
+  /** Gap-based sessionization with the native session_window — state
+    * is bounded by the watermark, sessions close after `gap`
+    * inactivity. Streaming analog of RelationalQueries.sessionize. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Streaming inventory depletion: the candy replay (A3) as a
+    * flatMapGroupsWithState keyed by product — per-product remaining
+    * stock is the only state, exactly as in the batch InventoryReplay,
+    * but carried across micro-batches indefinitely. Items inside one
+    * micro-batch are replayed in `seq` order (the iterator order within
+    * a batch is not guaranteed, so the handler sorts its group buffer —
+    * per product per batch, which is small by construction). */
+  def inventoryDepletion(items: Dataset[StreamItem]): Dataset[StreamLine] = {
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(_.product_id)
+      .flatMapGroupsWithState[InvState, StreamLine](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (productId: Int, batch: Iterator[StreamItem], state: GroupState[InvState]) =>
+          val events = batch.toSeq.sortBy(e => (e.seq, e.order_id))
+          if (events.isEmpty) Iterator.empty
+          else {
+            var remaining = state.getOption.map(_.remaining)
+              .getOrElse(events.head.stock)
+            val out = events.map { e =>
+              if (remaining >= e.qty) {
+                remaining -= e.qty
+                StreamLine(productId, e.order_id, e.seq, e.qty,
+                  e.unit_price * e.qty, fulfilled = true)
+              } else
+                StreamLine(productId, e.order_id, e.seq, 0, 0.0, fulfilled = false)
+            }
+            state.update(InvState(remaining))
+            out.iterator
+          }
+      }
+  }
+
+  /** Running per-user spend with mapGroupsWithState (update-mode
+    * analytics state machine: emits the latest cumulative value per
+    * user per batch). */
+  def runningUserTotals(events: DataFrame): Dataset[(Long, Double, Long)] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Double, Long), (Long, Double, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[(Long, Double)], state: GroupState[(Double, Long)]) =>
+          val (prevSum, prevN) = state.getOption.getOrElse((0.0, 0L))
+          var s = prevSum; var n = prevN
+          batch.foreach { case (_, v) => s += v; n += 1 }
+          state.update((s, n))
+          (user, math.round(s * 100.0) / 100.0, n)
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing contract: binary-column schema, deterministic
+  * stub decode, partitioning, frame sampling, resize metadata.
+  */
+class MultimodalOpsSpec extends SparkSpec {
+
+  private lazy val media = MultimodalOps.synthesize(spark, 90).cache()
+
+  test("synthesized media matches the declared schema") {
+    val df = media.toDF()
+    assert(df.schema === MultimodalOps.mediaSchema)
+    assert(df.count() === 90)
+    assert(df.select("kind").distinct().count() === 3)
+  }
+
+  test("extractFeatures: fixed-dim deterministic features in [0,1)") {
+    val f1 = MultimodalOps.extractFeatures(media, dim = 16).collect()
+    val f2 = MultimodalOps.extractFeatures(media, dim = 16).collect()
+    assert(f1.length === 90)
+    assert(f1.forall(_.features.length === 16))
+    assert(f1.forall(_.features.forall(v => v >= 0f && v < 1f)))
+    // deterministic across runs
+    val m1 = f1.map(f => f.media_id -> f.features.toSeq).toMap
+    val m2 = f2.map(f => f.media_id -> f.features.toSeq).toMap
+    assert(m1 === m2)
+    // payload-sensitive: not all-equal feature vectors
+    assert(m1.values.toSet.size > 1)
+  }
+
+  test("repartitionForDecode: preserves rows, sets partition count") {
+    val rp = MultimodalOps.repartitionForDecode(media.toDF(), 6)
+    assert(rp.rdd.getNumPartitions === 6)
+    assert(rp.count() === 90)
+    assert(rp.columns.toSeq === media.toDF().columns.toSeq)
+  }
+
+  test("sampleFrames: every-Nth frame indices for videos only") {
+    val frames = MultimodalOps.sampleFrames(media.toDF(), everyN = 10)
+    val perVideo = frames.groupBy("media_id").count()
+    val videos = media.filter(col("kind") === "video").collect()
+    assert(perVideo.count() === videos.count(_.n_frames > 0))
+    // spot-check one video's expected indices
+    val v = videos.maxBy(_.n_frames)
+    val got = frames.filter(col("media_id") === v.media_id)
+      .orderBy("frame_idx").collect().map(_.getInt(1)).toSeq
+    assert(got === (0 until v.n_frames by 10))
+  }
+
+  test("resizeStub: exact target payload size + updated dims") {
+    val out = MultimodalOps.resizeStub(media, 32, 24).collect()
+    assert(out.forall(_.data.length === 32 * 24 / 8))
+    assert(out.forall(m => m.width === 32 && m.height === 24))
+  }
+
+  test("featureBuckets: covers all media exactly once") {
+    val f = MultimodalOps.extractFeatures(media)
+    val b = MultimodalOps.featureBuckets(f)
+    assert(b.agg(sum("n")).collect().head.getLong(0) === 90)
+  }
+}

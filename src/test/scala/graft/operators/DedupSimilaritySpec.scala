@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Quality pins for the non-oracle (rows-only) dedup/similarity
+  * operators, against exact brute-force computations at sf0.001.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def norm(c: org.apache.spark.sql.Column) =
+    lower(regexp_replace(c, "\\s+", " "))
+
+  /** Exact char-3-gram Jaccard for every doc pair (brute force). */
+  private lazy val truePairs = {
+    def grams(c: org.apache.spark.sql.Column) =
+      array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+    val docs = graft.Tables(spark, sf, "documents")
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), grams(norm(col("text"))).as("g"))
+    val l = docs.select(col("doc_id").as("a"), col("g").as("ga"))
+    val r = docs.select(col("doc_id").as("b"), col("g").as("gb"))
+    l.crossJoin(r).filter(col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jac", col("inter").cast("double")
+        / (size(col("ga")) + size(col("gb")) - col("inter")))
+      .select("a", "b", "jac")
+      .cache()
+  }
+
+  test("minhash LSH recall: finds >=90% of true near-dup pairs (jaccard >= 0.8)") {
+    val strong = truePairs.filter(col("jac") >= 0.8)
+    val nStrong = strong.count()
+    assert(nStrong > 0, "fixture should contain near-duplicates")
+    val candidates = DedupOps.minhashPairs(spark, sf)
+    val found = strong.join(candidates, Seq("a", "b"), "left_semi").count()
+    assert(found.toDouble / nStrong >= 0.9,
+      s"LSH recall ${found.toDouble / nStrong} over $nStrong strong pairs")
+  }
+
+  test("neardupVerified jaccard equals an exact driver-side byte-gram computation") {
+    val verified = DedupOps.neardupVerified(spark, sf, 0.8).collect()
+    assert(verified.nonEmpty, "fixture should contain verified near-dups")
+    // exact truth, computed independently on the driver over the same
+    // normalization (lowercase, collapsed whitespace) and byte 3-grams
+    val texts = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def gramsOf(t: String): Set[Seq[Byte]] =
+      t.getBytes("UTF-8").sliding(3).map(_.toSeq).toSet
+    verified.foreach { r =>
+      val (a, b, jac) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (ga, gb) = (gramsOf(texts(a)), gramsOf(texts(b)))
+      val expected = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      assert(math.abs(jac - expected) < 1e-6, s"pair ($a,$b): $jac vs $expected")
+      assert(jac >= 0.8)
+    }
+  }
+
+  test("simhash: near-dup pairs have small hamming distance") {
+    val sh = DedupOps.simhash(spark, sf)
+    val pairs = truePairs.filter(col("jac") >= 0.9)
+      .join(sh.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
+      .select(bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .collect().map(_.getInt(0))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_ <= 16),
+      s"jaccard>=0.9 pairs should be within 16/64 bits, got ${pairs.mkString(",")}")
+  }
+
+  test("ANN LSH recall vs brute-force top-50") {
+    val exact = SimilarityOps.cosineTopK(spark, sf, k = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = SimilarityOps.annLsh(spark, sf, k = 50, bits = 4, tables = 8)
+      .select("vec_id", "cos_sim").collect()
+    assert(ann.nonEmpty, "ANN should return candidates")
+    val recall = ann.count(r => exact.contains(r.getLong(0))).toDouble / 50.0
+    // weakly-clustered synthetic embeddings: multi-table LSH should
+    // still recover a solid fraction of the true top-50 while scanning
+    // a fraction of the corpus
+    assert(recall >= 0.3, s"ANN recall $recall")
+  }
+
+  test("embedding near-dup pairs are consistent with pairwise cosine") {
+    val nd = SimilarityOps.embeddingNeardup(spark, sf, 0.3)
+    assert(nd.filter(col("cos_sim") < 0.3).count() === 0)
+    assert(nd.filter(col("a") >= col("b")).count() === 0)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class TestEvent(ts: Timestamp, user_id: Long, value: Double)
+
+/** Streaming operator semantics via MemoryStream micro-batches:
+  * event-time windows + watermark, session windows, and stateful
+  * inventory replay carrying stock across batches.
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dailySummary: event-time days, arrival order irrelevant within watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[TestEvent]
+    val q = StreamingOps.dailySummary(in.toDF(), watermark = "10 days")
+      .writeStream.format("memory").queryName("ds_out")
+      .outputMode("complete").start()
+    try {
+      // batch 1: two days interleaved out of order
+      in.addData(
+        TestEvent(ts("2024-01-02 08:00:00"), 1, 10.0),
+        TestEvent(ts("2024-01-01 09:00:00"), 1, 1.0),
+        TestEvent(ts("2024-01-02 10:00:00"), 2, 20.0))
+      q.processAllAvailable()
+      // batch 2: more day-1 data arriving late (within watermark)
+      in.addData(TestEvent(ts("2024-01-01 23:00:00"), 3, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("ds_out")
+        .select("date", "num_events", "total_value")
+        .orderBy("date").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(
+        ("2024-01-01", 2L, 3.0),
+        ("2024-01-02", 2L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-min gap splits sessions per user") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[TestEvent]
+    val q = StreamingOps.sessionize(in.toDF(), gap = "30 minutes", watermark = "1 day")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        TestEvent(ts("2024-01-01 08:00:00"), 1, 1.0),
+        TestEvent(ts("2024-01-01 08:10:00"), 1, 2.0), // same session
+        TestEvent(ts("2024-01-01 09:30:00"), 1, 3.0), // new session (80-min gap)
+        TestEvent(ts("2024-01-01 08:05:00"), 2, 4.0)) // other user
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "n_events", "session_value")
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("inventoryDepletion: stock depletes across micro-batches; later smaller order fulfills") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[StreamItem]
+    val q = StreamingOps.inventoryDepletion(in.toDS())
+      .writeStream.format("memory").queryName("inv_out")
+      .outputMode("append").start()
+    try {
+      // product 1 stock 10: batch1 takes 6, batch2 wants 5 (cancel), then 3 (ok)
+      in.addData(StreamItem(1, 101, 1, 6, 2.5, 10))
+      q.processAllAvailable()
+      in.addData(
+        StreamItem(1, 102, 2, 5, 2.5, 10),
+        StreamItem(1, 103, 3, 3, 2.5, 10))
+      q.processAllAvailable()
+      val rows = spark.table("inv_out")
+        .orderBy("seq").collect()
+        .map(r => (r.getLong(1), r.getInt(3), r.getBoolean(5)))
+      assert(rows.toSeq === Seq(
+        (101L, 6, true),   // 10 → 4
+        (102L, 0, false),  // 5 > 4 → cancelled, stock unchanged
+        (103L, 3, true)))  // 3 ≤ 4 → fulfilled
+    } finally q.stop()
+  }
+
+  test("runningUserTotals: cumulative state across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[TestEvent]
+    val q = StreamingOps.runningUserTotals(in.toDF())
+      .toDF("user_id", "total", "n")
+      .writeStream.format("memory").queryName("rut_out")
+      .outputMode("update").start()
+    try {
+      in.addData(TestEvent(ts("2024-01-01 08:00:00"), 1, 10.5))
+      q.processAllAvailable()
+      in.addData(TestEvent(ts("2024-01-01 09:00:00"), 1, 4.5),
+        TestEvent(ts("2024-01-01 09:01:00"), 2, 7.0))
+      q.processAllAvailable()
+      // last update per user wins
+      val rows = spark.table("rut_out")
+        .groupBy("user_id").agg(max("total").as("total"), max("n").as("n"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((1L, 15.0, 2L), (2L, 7.0, 1L)))
+    } finally q.stop()
+  }
+}
