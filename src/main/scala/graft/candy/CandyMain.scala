@@ -1,0 +1,53 @@
+package graft.candy
+
+import org.apache.spark.sql.SparkSession
+import graft.forecast.Forecaster
+
+/** CLI entry point covering the reference's orchestration surface
+  * (src/main.py:141-219 + candy_dag.py): each stage is an idempotent
+  * command, so any scheduler (cron/Airflow/dagster) can run
+  * `process` → `forecast` as separate tasks without shared state —
+  * unlike the reference DAG, whose every task re-runs the whole
+  * pipeline (candy_dag.py:80-126).
+  *
+  * Usage:
+  *   CandyMain process  <productsCsv> <transactionsGlob> <outputDir>
+  *   CandyMain forecast <dailySummaryCsv> <outputDir> [horizonDays]
+  *   CandyMain all      <productsCsv> <transactionsGlob> <outputDir>
+  */
+object CandyMain {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("candy-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "process" :: products :: txns :: out :: Nil =>
+      process(spark, products, txns, out)
+    case "forecast" :: summaryCsv :: out :: rest =>
+      forecast(spark, summaryCsv, out, rest.headOption.map(_.toInt).getOrElse(1))
+    case "all" :: products :: txns :: out :: Nil =>
+      process(spark, products, txns, out)
+      forecast(spark, s"$out/daily_summary.csv", out, 1)
+    case other =>
+      throw new IllegalArgumentException(s"unknown command: $other")
+  }
+
+  private def process(spark: SparkSession, products: String, txns: String,
+      out: String): Unit =
+    CandyPipeline.save(CandyPipeline.run(spark, products, txns), out)
+
+  private def forecast(spark: SparkSession, summaryCsv: String, out: String,
+      horizon: Int): Unit = {
+    val summary = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(summaryCsv)
+    SingleFileCsv.write(Forecaster.forecast(summary, horizon),
+      out, "sales_profit_forecast.csv")
+  }
+}
