@@ -296,7 +296,87 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
+    * and grand-total rows in one aggregation pass. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(Exact.sumMoney(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_price"), col("n"))
+      .orderBy("flag", "status")
+
+  /** Deterministic argmin/argmax via lexicographic struct extremes
+    * (plain max_by ties are engine-dependent; max(struct) is total). */
+  def argMinMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))).as("mx"),
+        min(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))).as("mn"))
+      .select(col("o_orderstatus"),
+        col("mx.k").as("max_order"), col("mx.p").as("max_price"),
+        col("mn.k").as("min_order"), col("mn.p").as("min_price"))
+      .orderBy("o_orderstatus")
+
+  /** Ordered string aggregation (listagg) per group. */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("r_name")
+
+  /** Conditional aggregation: FILTER-style counts and sums. */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("value") > 50.0, 1)).as("n_big"),
+        (coalesce(sum(when(col("value") > 50.0, Exact.cents(col("value")))), lit(0L))
+          / lit(100.0)).as("big_value"),
+        countDistinct(when(col("value") > 50.0, col("user_id"))).as("big_users"))
+      .orderBy("event_type")
+
+  /** PIVOT: per-day quantity totals fanned out by return flag. */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_date"), col("l_returnflag"), col("l_quantity"))
+      .groupBy(col("ship_date"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity")))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+      // a flag absent on a day yields a null cell (the coalesce must sit
+      // outside the pivot: inside it never sees empty groups)
+      .na.fill(0.0, Seq("qty_a", "qty_n", "qty_r"))
+      .orderBy("ship_date")
+      .limit(200)
+
+  /** Tumbling 1-hour event-time windows (batch form of the streaming
+    * windowed aggregation; integer epoch buckets for oracle parity). */
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy((unix_micros(col("ts")).cast("long") / lit(3600000000L))
+        .cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(Exact.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .select(timestamp_micros(col("bucket") * lit(3600000000L)).as("hour_start"),
+        col("n"), col("total_value"))
+      .orderBy("hour_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_grouping_sets" -> (groupingSets _),
+    "q26_argminmax" -> (argMinMax _),
+    "q27_string_agg" -> (stringAgg _),
+    "q28_conditional_agg" -> (conditionalAgg _),
+    "q29_pivot" -> (pivotAgg _),
+    "q30_tumbling_window" -> (tumblingWindow _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_filter_project" -> (filterProject _),
     "q03_join_broadcast" -> (joinBroadcast _),
@@ -324,6 +404,41 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q25_grouping_sets" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin,
+    "q26_argminmax" ->
+      """SELECT o_orderstatus,
+        | (max({'p': o_totalprice, 'k': o_orderkey})).k AS max_order,
+        | (max({'p': o_totalprice, 'k': o_orderkey})).p AS max_price,
+        | (min({'p': o_totalprice, 'k': o_orderkey})).k AS min_order,
+        | (min({'p': o_totalprice, 'k': o_orderkey})).p AS min_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q27_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q28_conditional_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | count(*) FILTER (WHERE value > 50.0) AS n_big,
+        | coalesce(sum(CAST(round(value*100) AS BIGINT)) FILTER (WHERE value > 50.0), 0)/100.0 AS big_value,
+        | count(DISTINCT user_id) FILTER (WHERE value > 50.0) AS big_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q29_pivot" ->
+      """SELECT CAST(l_shipdate AS DATE) AS ship_date,
+        | coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 0) AS qty_a,
+        | coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 0) AS qty_n,
+        | coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 0) AS qty_r
+        |FROM lineitem GROUP BY ship_date ORDER BY ship_date LIMIT 200""".stripMargin,
+    "q30_tumbling_window" ->
+      """SELECT make_timestamp(bucket * 3600000000) AS hour_start, n, total_value
+        |FROM (
+        |  SELECT epoch_us(ts) // 3600000000 AS bucket, count(*) AS n,
+        |   sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
+        |  FROM events GROUP BY bucket)
+        |ORDER BY hour_start""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

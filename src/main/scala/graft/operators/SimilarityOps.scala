@@ -109,7 +109,42 @@ object SimilarityOps {
       .orderBy("a", "b")
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization: every vector is
+    * assigned to its nearest of `nlist` centroids (one broadcast pass +
+    * a lexicographic struct-argmax — no window), and a query probes
+    * only its `nprobe` nearest cells. The coarse quantizer here is
+    * data-sampled centroids (k-means|| seeding style); a production
+    * build would run a few Lloyd iterations with the same DataFrame
+    * shapes. At cluster scale the cell id becomes the partition key of
+    * a cell-clustered copy of the corpus, so a probe reads nprobe/nlist
+    * of the data. */
+  def annIvf(s: SparkSession, dir: String, k: Int = 50, nlist: Int = 16,
+             nprobe: Int = 4): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id").between(1, nlist))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosine(col("embedding"), col("cv")).as("sim"))
+    val assigned = scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), col("cid"))).getField("cid").as("cell"))
+    val qCells = scored.filter(col("vec_id") === 0)
+      .orderBy(col("sim").desc, col("cid")).limit(nprobe)
+      .select(col("cid").as("cell"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.join(assigned, "vec_id")
+      .join(broadcast(qCells), "cell")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "q59_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNeardup(s, d)),
     "q60_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "q61_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),

@@ -84,6 +84,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"ANN recall $recall")
   }
 
+  test("IVF ANN recall vs brute-force top-50") {
+    val exact = SimilarityOps.cosineTopK(spark, sf, k = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = SimilarityOps.annIvf(spark, sf, k = 50, nlist = 16, nprobe = 4)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(ivf.nonEmpty)
+    val recall = ivf.count(exact.contains).toDouble / 50.0
+    assert(recall >= 0.3, s"IVF recall $recall")
+  }
+
   test("embedding near-dup pairs are consistent with pairwise cosine") {
     val nd = SimilarityOps.embeddingNeardup(spark, sf, 0.3)
     assert(nd.filter(col("cos_sim") < 0.3).count() === 0)
