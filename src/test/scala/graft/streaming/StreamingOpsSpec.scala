@@ -89,6 +89,43 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over testdata events == batch daily summary") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    // nanos-ts parquet must be read as long and truncated (see Tables)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source requires a DIRECTORY: stage the single
+    // parquet file into one
+    val staged = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val schema = spark.read.parquet(staged.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = StreamingOps.dailySummary(stream, watermark = "365 days")
+      .writeStream.format("memory").queryName("fs_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "stream did not drain in time")
+      val streamed = spark.table("fs_out")
+        .select("date", "num_events", "total_value").orderBy("date").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+      val batch = graft.Tables(spark, dir, "events")
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("tv"))
+        .orderBy("date").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+      assert(streamed.length === batch.length)
+      streamed.zip(batch).foreach { case ((d1, n1, v1), (d2, n2, v2)) =>
+        assert(d1 === d2); assert(n1 === n2)
+        assert(math.abs(v1 - v2) < 0.02, s"$d1: $v1 vs $v2")
+      }
+    } finally q.stop()
+  }
+
   test("runningUserTotals: cumulative state across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
