@@ -149,21 +149,17 @@ object RelationalQueries {
     * rows — and phase 2 ranks the survivors exactly. Any global top-5
     * row is necessarily a top-5 row of its salt bucket, so the result
     * is identical. */
-  def windowRank(s: SparkSession, dir: String): DataFrame = {
-    val ord = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    val w1 = Window.partitionBy(col("l_returnflag"), col("salt")).orderBy(ord: _*)
-    val w2 = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
-    t(s, dir, "lineitem")
+  def windowRank(s: SparkSession, dir: String): DataFrame =
+    Ops.topKPerGroup(
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+      Seq(col("l_returnflag")),
+      Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+      k = 5)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"),
-        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(64)).as("salt"))
-      .withColumn("rn1", row_number().over(w1))
-      .filter(col("rn1") <= 5)
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"), row_number().over(w2).cast("long").as("rn"))
-      .filter(col("rn") <= 5)
+        col("l_extendedprice"), col("rank").cast("long").as("rn"))
       .orderBy("l_returnflag", "rn")
-  }
 
   /** Cumulative-sum frame (the inventory-replay primitive, SURVEY §2.4 A3). */
   def windowCumsum(s: SparkSession, dir: String): DataFrame = {

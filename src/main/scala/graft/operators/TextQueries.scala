@@ -21,15 +21,12 @@ object TextQueries {
   /** Exact dedup: keep the lowest doc_id per content hash (hash-groupBy;
     * at 100 TB this is one shuffle on the 128-bit hash, no full-text
     * comparisons). */
-  def dedupExact(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-    t(s, dir, "documents")
-      .withColumn("h", md5(col("text")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Ops.dedupKeepFirst(
+      t(s, dir, "documents").withColumn("h", md5(col("text"))),
+      Seq(col("h")), Seq(col("doc_id")))
       .select(col("doc_id"), col("h"))
       .orderBy("doc_id")
-  }
 
   /** Per-document stats: char/token counts, alpha/digit/punct counts,
     * and a simple quality score (stopword share + alpha share). */

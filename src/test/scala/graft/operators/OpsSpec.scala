@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("topKPerGroup equals the single-window formulation") {
+    val li = graft.Tables(spark, sf, "lineitem")
+    val ord = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val got = Ops.topKPerGroup(li, Seq(col("l_returnflag")), ord, k = 7)
+      .select("l_returnflag", "rank", "l_orderkey", "l_linenumber")
+      .orderBy("l_returnflag", "rank").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(ord: _*)
+    val exp = li.withColumn("rank", row_number().over(w)).filter(col("rank") <= 7)
+      .select("l_returnflag", "rank", "l_orderkey", "l_linenumber")
+      .orderBy("l_returnflag", "rank").collect().toSeq
+    assert(got === exp)
+  }
+
+  test("dedupKeepFirst keeps exactly the lowest-ordered row per key") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .withColumn("h", md5(col("text")))
+    val got = Ops.dedupKeepFirst(docs, Seq(col("h")), Seq(col("doc_id")))
+    // one row per hash, and it is the min doc_id
+    val perKey = got.groupBy("h").count().filter(col("count") > 1).count()
+    assert(perKey === 0)
+    val expFirst = docs.groupBy("h").agg(min("doc_id").as("doc_id"))
+    assert(got.select("h", "doc_id").except(expFirst).count() === 0)
+    assert(got.count() === expFirst.count())
+  }
+}
