@@ -128,6 +128,21 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n"), collect_list("media_id").as("members"))
   }
 
+  /** Ingest raw media files as opaque binary rows via Spark's binaryFile
+    * source (path/length/modificationTime/content) — the on-ramp from a
+    * filesystem/object-store media dump into the typed media table.
+    * `pathGlobFilter` prunes at listing time (no content reads for
+    * filtered-out files). */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("path"),
+        col("length").as("n_bytes"),
+        col("content").as("data"))
+
   /** Deterministic synthetic media table (no external fixtures in the
     * container): payload bytes derived from media_id. */
   def synthesize(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {

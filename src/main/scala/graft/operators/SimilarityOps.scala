@@ -119,10 +119,20 @@ object SimilarityOps {
     * a cell-clustered copy of the corpus, so a probe reads nprobe/nlist
     * of the data. */
   def annIvf(s: SparkSession, dir: String, k: Int = 50, nlist: Int = 16,
-             nprobe: Int = 4): DataFrame = {
+             nprobe: Int = 4, trainIters: Int = 0): DataFrame = {
+    import s.implicits._
     val emb = t(s, dir, "embeddings")
-    val cents = emb.filter(col("vec_id").between(1, nlist))
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val cents =
+      if (trainIters > 0) {
+        // trained coarse quantizer: a few Lloyd iterations (KMeansLite)
+        val m = graft.ml.KMeansLite.fit(
+          emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          nlist, trainIters)
+        m.centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+          .toDF("cid", "cv")
+      } else
+        emb.filter(col("vec_id").between(1, nlist))
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val scored = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         cosine(col("embedding"), col("cv")).as("sim"))

@@ -98,6 +98,16 @@ object StreamingOps {
       }
   }
 
+  /** Streaming ingestion dedup: drop events whose `idCols` were already
+    * seen, with state bounded by the event-time watermark — the
+    * streaming form of exact dedup for an always-on ingestion pipeline
+    * (state holds only ids newer than the watermark, so it doesn't grow
+    * without bound). */
+  def dedupStream(events: DataFrame, watermark: String, idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Running per-user spend with mapGroupsWithState (update-mode
     * analytics state machine: emits the latest cumulative value per
     * user per batch). */

@@ -56,6 +56,18 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.forall(m => m.width === 32 && m.height === 24))
   }
 
+  test("readBinaryDir ingests raw files with content and glob filtering") {
+    val dir = java.nio.file.Files.createTempDirectory("media_in")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(dir.resolve("b.jpg"), Array[Byte](5, 6))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), Array[Byte](9))
+    val df = MultimodalOps.readBinaryDir(spark, dir.toString, "*.jpg")
+    val rows = df.orderBy("path").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("n_bytes")).toSeq === Seq(4L, 2L))
+    assert(rows.head.getAs[Array[Byte]]("data").toSeq === Seq[Byte](1, 2, 3, 4))
+  }
+
   test("featureBuckets: covers all media exactly once") {
     val f = MultimodalOps.extractFeatures(media)
     val b = MultimodalOps.featureBuckets(f)

@@ -92,6 +92,11 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty)
     val recall = ivf.count(exact.contains).toDouble / 50.0
     assert(recall >= 0.3, s"IVF recall $recall")
+    // trained coarse quantizer should also clear the floor
+    val trained = SimilarityOps.annIvf(spark, sf, k = 50, nlist = 16,
+      nprobe = 4, trainIters = 2).select("vec_id").collect().map(_.getLong(0))
+    val recallT = trained.count(exact.contains).toDouble / 50.0
+    assert(recallT >= 0.3, s"trained IVF recall $recallT (sampled was $recall)")
   }
 
   test("embedding near-dup pairs are consistent with pairwise cosine") {

@@ -126,6 +126,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicate ids dropped across batches within watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[TestEvent]
+    val q = StreamingOps.dedupStream(in.toDF(), "1 hour", Seq("user_id"))
+      .writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        TestEvent(ts("2024-01-01 08:00:00"), 1, 1.0),
+        TestEvent(ts("2024-01-01 08:01:00"), 1, 2.0), // dup user in batch
+        TestEvent(ts("2024-01-01 08:02:00"), 2, 3.0))
+      q.processAllAvailable()
+      in.addData(TestEvent(ts("2024-01-01 08:03:00"), 1, 4.0)) // dup across batches
+      q.processAllAvailable()
+      assert(spark.table("dd_out").select("user_id").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("runningUserTotals: cumulative state across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
