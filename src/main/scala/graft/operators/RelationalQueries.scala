@@ -366,7 +366,23 @@ object RelationalQueries {
         col("n"), col("total_value"))
       .orderBy("hour_start")
 
+  /** approx_count_distinct (HLL++): sketch values are engine-specific,
+    * so the oracle-checkable output is the EXACT distinct count plus a
+    * boolean asserting the sketch landed within 10% of it — the
+    * accuracy contract itself goes through the hash-match. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("approx"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx") - col("exact_orders"))
+          <= col("exact_orders") * 0.1).as("within_10pct"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_approx_distinct" -> (approxDistinct _),
     "q25_grouping_sets" -> (groupingSets _),
     "q26_argminmax" -> (argMinMax _),
     "q27_string_agg" -> (stringAgg _),
@@ -400,6 +416,10 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q31_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        | true AS within_10pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q25_grouping_sets" ->
       """SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
         | sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_price, count(*) AS n
