@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Cross-query conservation laws at sf0.001 — engine-internal
+  * consistency checks that complement the external DuckDB oracle.
+  */
+class InvariantSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("semi + anti with one threshold partition the customer set") {
+    val customers = Tables(spark, sf, "customer")
+    val big = Tables(spark, sf, "orders").filter(col("o_totalprice") > 300000.0)
+    val semi = customers.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+    val anti = customers.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+    assert(semi.count() + anti.count() === customers.count())
+    assert(semi.join(anti, Seq("c_custkey"), "inner").count() === 0)
+  }
+
+  test("rollup grand total equals direct aggregation") {
+    val rollup = q("q10_rollup").filter(col("flag") === "ALL").collect().head
+    val direct = Tables(spark, sf, "lineitem")
+      .agg((sum(Exact.cents(col("l_extendedprice"))) / lit(100.0)).as("s"),
+        count(lit(1)).as("n")).collect().head
+    assert(rollup.getDouble(2) === direct.getDouble(0))
+    assert(rollup.getLong(3) === direct.getLong(1))
+  }
+
+  test("cube detail cells sum to the grand total") {
+    val cube = q("q11_cube").collect()
+    val grand = cube.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    val detail = cube.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    assert(detail.map(_.getLong(3)).sum === grand.getLong(3))
+    assert(math.abs(detail.map(_.getDouble(2)).sum - grand.getDouble(2)) < 0.01)
+  }
+
+  test("final cumsum value per part equals the part's total quantity") {
+    val last = q("q13_window_cumsum")
+      .groupBy(col("l_partkey")).agg(max(col("running_qty")).as("final_qty"))
+    val direct = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("total_qty"))
+    val bad = last.join(direct, "l_partkey")
+      .filter(abs(col("final_qty") - col("total_qty")) > 1e-9)
+    assert(bad.count() === 0)
+  }
+
+  test("union branches partition the filtered event set") {
+    val union = q("q15_set_union").count()
+    val e = Tables(spark, sf, "events")
+    assert(union === e.filter(col("event_type").isin("click", "purchase")).count())
+  }
+
+  test("daily summary event counts sum to the table size") {
+    val total = q("q20_daily_summary").agg(sum("num_events")).collect().head.getLong(0)
+    assert(total === Tables(spark, sf, "events").count())
+  }
+
+  test("order rollup conserves line counts and quantities") {
+    val rollup = q("q40_order_rollup")
+      .agg(sum("num_items").as("n"), sum("total_qty").as("q")).collect().head
+    val li = Tables(spark, sf, "lineitem")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q")).collect().head
+    assert(rollup.getLong(0) === li.getLong(0))
+    assert(math.abs(rollup.getDouble(1) - li.getDouble(1)) < 1e-6)
+  }
+
+  test("inventory depletion conserves item counts per part") {
+    val dep = q("q41_inventory_depletion")
+      .select(col("l_partkey"), (col("n_fulfilled") + col("n_cancelled")).as("n"))
+    val direct = Tables(spark, sf, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("n2"))
+    assert(dep.join(direct, "l_partkey").filter(col("n") =!= col("n2")).count() === 0)
+  }
+}

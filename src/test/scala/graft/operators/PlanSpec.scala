@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Structural guards on the physical plans of key queries — the plan
+  * properties the 100 TB design depends on (pushdown, pruning,
+  * broadcast strategy, bounded shuffle counts). A regression here can
+  * be invisible in small-scale correctness runs while catastrophic at
+  * scale.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q02: filters and projection push to the parquet scan") {
+    val p = plan("q02_filter_project")
+    // (FileScan metadata strings truncate at ~100 chars — assert on the
+    // stable prefix)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    // pruned read schema — no l_tax/l_returnflag in the scan
+    assert(!p.contains("l_tax"))
+  }
+
+  test("q03: dimension join is a broadcast hash join, fact side not shuffled pre-join") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q04: fact-fact join honors the merge hint") {
+    assert(plan("q04_join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("q22: star join broadcasts all dimensions") {
+    assert(countOf(plan("q22_multi_join"), "BroadcastHashJoin") >= 3)
+  }
+
+  test("q13: window cumsum needs exactly its partition shuffle + final sort") {
+    // one Exchange for Window partitioning, one for the global orderBy
+    assert(countOf(plan("q13_window_cumsum"), "Exchange") <= 3)
+  }
+
+  test("q56: minhash signature generation adds no shuffle before the band join") {
+    val p = plan("q56_minhash_pairs")
+    assert(p.contains("minhash_sig"))
+    // band self-join + distinct + sort: bounded exchanges
+    assert(countOf(p, "Exchange") <= 6)
+  }
+
+  test("q01: aggregation is two-phase (partial before shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert(countOf(p, "HashAggregate") >= 2) // partial + final
+  }
+}
