@@ -17,7 +17,11 @@ case class CandyOutputs(
     orders: DataFrame,
     orderLineItems: DataFrame,
     dailySummary: DataFrame,
-    productsUpdated: DataFrame)
+    productsUpdated: DataFrame,
+    /** Reference total_cancelled_items counter (data_processor.py:439,
+      * reported at main.py:63-67) — a count over the replay output
+      * rather than a mutable driver global. */
+    totalCancelledItems: () => Long)
 
 /** End-to-end candy-store ETL (reference src/main.py:141-219 +
   * data_processor.py), re-expressed as declarative Spark over the
@@ -146,7 +150,8 @@ object CandyPipeline {
         format_number(col("line_total"), 2).as("line_total"))
       .orderBy("order_id", "product_id")
 
-    CandyOutputs(ordersOut, lineItemsOut, dailySummary, productsUpdated)
+    CandyOutputs(ordersOut, lineItemsOut, dailySummary, productsUpdated,
+      () => lineItems.filter(!col("fulfilled")).count())
   }
 
   /** Write the four output tables as single-file CSVs (reference

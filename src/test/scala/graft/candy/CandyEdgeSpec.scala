@@ -101,6 +101,9 @@ class CandyEdgeSpec extends SparkSpec {
     // products_updated: p1 10-6=4, p2 3-3=0, p3 5000-2=4998
     assert(csvRows(out.productsUpdated) === Seq(
       Seq("1", "Alpha", "4"), Seq("2", "Beta", "0"), Seq("3", "Gamma", "4998")))
+
+    // cancelled counter: t104 first item + t201 (carryover exhaustion)
+    assert(out.totalCancelledItems() === 2L)
   }
 
   // --- golden-variant mode -------------------------------------------
