@@ -154,6 +154,21 @@ object CandyPipeline {
       () => lineItems.filter(!col("fulfilled")).count())
   }
 
+  /** Orders enriched with customer attributes — the join the reference
+    * loads customers for but never executes (the comment at
+    * data_processor.py:519 admits the intent; SURVEY.md §2.3 J2). Left
+    * join: an order with an unknown customer id survives with null
+    * attributes. The customer dim broadcasts. */
+  def ordersEnriched(orders: DataFrame, customers: DataFrame): DataFrame =
+    orders.join(
+      broadcast(customers.select(col("customer_id"), col("first_name"),
+        col("last_name"), col("email"))),
+      Seq("customer_id"), "left")
+      .select(col("order_id"), col("order_datetime"), col("customer_id"),
+        col("first_name"), col("last_name"), col("email"),
+        col("total_amount"), col("num_items"))
+      .orderBy("order_id")
+
   /** Write the four output tables as single-file CSVs (reference
     * save_to_csv, data_processor.py:572-614). */
   def save(out: CandyOutputs, outputDir: String): Unit = {

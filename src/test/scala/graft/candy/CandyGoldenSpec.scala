@@ -80,6 +80,19 @@ class CandyGoldenSpec extends SparkSpec {
     assert(gotVals === expected)
   }
 
+  test("ordersEnriched left-joins customer attributes onto every order (J2)") {
+    assume(available)
+    val orders = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$outDir/orders.csv")
+    val customers = CandySources.readCustomers(spark, s"$refData/customers.csv")
+    val enriched = CandyPipeline.ordersEnriched(orders, customers)
+    assert(enriched.count() === orders.count())
+    assert(enriched.columns.toSeq === Seq("order_id", "order_datetime",
+      "customer_id", "first_name", "last_name", "email", "total_amount", "num_items"))
+    // every order's customer id (1..30) resolves
+    assert(enriched.filter(org.apache.spark.sql.functions.col("email").isNull).count() === 0)
+  }
+
   test("products_updated.csv has all products with sane stock") {
     assume(available)
     val got = lines(s"$outDir/products_updated.csv")
