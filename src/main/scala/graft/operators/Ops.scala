@@ -37,4 +37,38 @@ object Ops {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** As-of join (an operator Spark lacks natively): for every left row,
+    * attach the LATEST right row with rightTime <= leftTime within the
+    * same key. Union-then-window formulation — tag both sides, sort
+    * each key's merged timeline once, carry the last right payload
+    * forward with last(ignoreNulls) — one shuffle on the key, no
+    * per-key loops, no range cross-product. Right rows at exactly
+    * leftTime match (ties sort right-before-left). `rightCols` must be
+    * unique per (key, time) for determinism — pre-dedup with
+    * dedupKeepFirst if not.
+    *
+    * Returns the left frame + `rightCols` (null when nothing precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      (leftCols.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      (Seq(col(key)) ++
+        leftCols.filterNot(_ == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col(rightTime).as("__t") :+ lit(0).as("__side")) ++
+        rightCols.map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select((leftCols.map(col) :+ col("__side")) ++
+        rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
 }

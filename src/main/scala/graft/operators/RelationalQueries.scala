@@ -381,7 +381,93 @@ object RelationalQueries {
           <= col("exact_orders") * 0.1).as("within_10pct"))
       .orderBy("l_returnflag")
 
+  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — multiplicity-
+    * preserving, unlike q16/q17's set semantics. */
+  def bagOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id").as("id"))
+    val ord = t(s, dir, "orders").select(col("o_custkey").as("id"))
+    ev.intersectAll(ord).withColumn("op", lit("intersect_all"))
+      .unionByName(ev.exceptAll(ord).withColumn("op", lit("except_all")))
+      .groupBy(col("op"), col("id")).agg(count(lit(1)).as("n"))
+      .orderBy("op", "id")
+  }
+
+  /** first_value / last_value / nth_value over a full-partition frame. */
+  def windowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** ntile / percent_rank / cume_dist ranking analytics (ordering made
+    * total with the orderkey tie-break — ntile on ties is otherwise
+    * nondeterministic). */
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  /** As-of join (Ops.asofJoin): each event picks up the user's latest
+    * order at-or-before the event time. Right side pre-deduped to one
+    * row per (key, time) for determinism. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val orders = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    Ops.asofJoin(events, orders, "user_id", "ts", "o_orderdate", Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_order"))
+      .orderBy("event_id")
+  }
+
+  /** Interval range join, bucketed: events falling in each order's
+    * 7-day window for the same customer. The naive form is an
+    * inequality join (cross-product per key); bucketing by day turns
+    * it into an equi-join on (key, day-bucket) — the right side
+    * explodes to its ≤8 covered buckets, each event lives in exactly
+    * one bucket, so no pair is matched twice and the shuffle key is
+    * (customer, day). This is the plan shape that survives 100 TB;
+    * Spark's optimizer cannot derive it from the inequality predicate.
+    */
+  def rangeJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (unix_micros(col("ts").cast("timestamp")) / dayUs).cast("long").as("day"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"))
+      .withColumn("day", explode(sequence(
+        (col("start_us") / dayUs).cast("long"),
+        ((col("start_us") + lit(7L) * dayUs) / dayUs).cast("long"))))
+    val matches = ord.join(ev, Seq("user_id", "day"))
+      .filter(unix_micros(col("ts").cast("timestamp")) >= col("start_us")
+        && unix_micros(col("ts").cast("timestamp")) < col("start_us") + lit(7L) * dayUs)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_events_7d"))
+    t(s, dir, "orders").select(col("o_orderkey"))
+      .join(matches, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), coalesce(col("n_events_7d"), lit(0L)).as("n_events_7d"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_bag_ops" -> (bagOps _),
+    "q33_window_firstlast" -> (windowFirstLast _),
+    "q34_window_ranks" -> (windowRanks _),
+    "q36_asof_join" -> (asofJoin _),
+    "q37_range_join" -> (rangeJoinBucketed _),
     "q31_approx_distinct" -> (approxDistinct _),
     "q25_grouping_sets" -> (groupingSets _),
     "q26_argminmax" -> (argMinMax _),
@@ -416,6 +502,47 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q32_bag_ops" ->
+      """SELECT op, id, count(*) AS n FROM (
+        |  SELECT 'intersect_all' AS op, id FROM (
+        |    SELECT user_id AS id FROM events INTERSECT ALL SELECT o_custkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'except_all' AS op, id FROM (
+        |    SELECT user_id AS id FROM events EXCEPT ALL SELECT o_custkey FROM orders))
+        |GROUP BY op, id ORDER BY op, id""".stripMargin,
+    "q33_window_firstlast" ->
+      """SELECT user_id, event_id,
+        | first_value(event_type) OVER w AS first_type,
+        | last_value(event_type) OVER w AS last_type,
+        | nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q34_window_ranks" ->
+      """SELECT o_orderstatus, o_orderkey,
+        | ntile(4) OVER w AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "q36_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, r.o_orderkey AS last_order
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q37_range_join" ->
+      """SELECT o.o_orderkey,
+        | count(e.event_id) AS n_events_7d
+        |FROM orders o LEFT JOIN events e
+        |  ON e.user_id = o.o_custkey
+        | AND e.ts >= o.o_orderdate
+        | AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
     "q31_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
         | true AS within_10pct
