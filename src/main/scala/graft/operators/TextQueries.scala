@@ -106,7 +106,25 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Repetition ratio — the share of repeated character 3-grams
+    * (1 − distinct/total), a standard low-quality-text signal
+    * (boilerplate and spam repeat heavily). */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val t3 = norm(col("text"))
+    val total = length(t3) - 2
+    val distinctG = size(array_distinct(transform(
+      sequence(lit(1), length(t3) - 2), i => t3.substr(i, lit(3)))))
+    t(s, dir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        total.cast("int").as("total_grams"),
+        distinctG.as("distinct_grams"),
+        round(lit(1.0) - distinctG.cast("double") / total, 6).as("repetition_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_repetition" -> (repetition _),
     "q50_dedup_exact" -> (dedupExact _),
     "q51_text_stats" -> (textStats _),
     "q52_lang_id" -> (langId _),
@@ -116,6 +134,16 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q38_repetition" ->
+      """SELECT doc_id,
+        | CAST(length(t) - 2 AS INTEGER) AS total_grams,
+        | CAST(len(list_distinct(list_transform(range(1, length(t) - 1),
+        |   i -> substr(t, CAST(i AS INTEGER), 3)))) AS INTEGER) AS distinct_grams,
+        | round(1.0 - CAST(len(list_distinct(list_transform(range(1, length(t) - 1),
+        |   i -> substr(t, CAST(i AS INTEGER), 3)))) AS DOUBLE) / (length(t) - 2), 6) AS repetition_ratio
+        |FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |      FROM documents WHERE length(text) >= 3)
+        |ORDER BY doc_id""".stripMargin,
     "q50_dedup_exact" ->
       """SELECT doc_id, h FROM (
         |  SELECT doc_id, md5(text) AS h,

@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Plan-level guarantees of the physical layouts: partition pruning on
+  * partitioned writes, shuffle-free joins on bucketed tables.
+  */
+class ParquetLayoutSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("date-partitioned write → partition pruning in the read plan") {
+    val out = Files.createTempDirectory("events_part").toString
+    val events = graft.Tables(spark, sf, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    ParquetLayout.writePartitioned(events, out, Seq("event_date"))
+
+    val read = spark.read.parquet(out)
+      .filter(col("event_date") === "2024-03-05")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"),
+      s"expected partition filters in:\n$plan")
+    // pruning really reduces files read: one partition dir only
+    val allDates = events.select("event_date").distinct().count()
+    assert(allDates > 1)
+    assert(read.count() ===
+      events.filter(col("event_date") === "2024-03-05").count())
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // drop metadata AND any orphaned location from a prior aborted run
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    graft.Tables(spark, sf, "orders").createOrReplaceTempView("tmp_orders_src")
+    ParquetLayout.writeBucketed(spark.table("tmp_orders_src"),
+      "b_orders", "o_orderkey", 8, Seq("o_orderkey"))
+    ParquetLayout.writeBucketed(graft.Tables(spark, sf, "lineitem"),
+      "b_lineitem", "l_orderkey", 8, Seq("l_orderkey"))
+
+    // force sort-merge (the strategy big fact-fact joins get; at this
+    // fixture size Catalyst would otherwise broadcast and never
+    // exercise the bucket layout)
+    val joined = spark.table("b_lineitem").hint("merge")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // join + partial agg run shuffle-free on the bucket layout; only
+    // the final aggregation over o_orderpriority may exchange
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 1, s"expected bucketed join without join-side shuffles:\n$plan")
+    // and the result matches the unbucketed computation
+    val expected = graft.Tables(spark, sf, "lineitem")
+      .join(graft.Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(joined.orderBy("o_orderpriority").collect().toSeq === expected)
+  }
+}
