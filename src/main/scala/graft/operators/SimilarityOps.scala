@@ -166,6 +166,33 @@ object SimilarityOps {
     * (DuckDB's builtin list_cosine_similarity accumulates in float32 and
     * does NOT match). */
   val oracle: Map[String, String] = Map(
+    // q63's sampled-centroid mode is fully deterministic and its cosine
+    // fold is oracle-exact (proven by q59/q60), so even the ANN variant
+    // gets a DuckDB oracle: same centroids, same struct-argmax cell
+    // assignment, same nprobe cell probe.
+    "q63_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |   list_sum(list_transform(list_zip(e.embedding, c.cv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE)*v)))
+        |      * sqrt(list_sum(list_transform(c.cv, v -> CAST(v AS DOUBLE)*v)))) AS sim
+        |  FROM embeddings e CROSS JOIN c),
+        |assigned AS (
+        |  SELECT vec_id, (max({'s': sim, 'c': cid})).c AS cell FROM scored GROUP BY vec_id),
+        |qcells AS (
+        |  SELECT cid AS cell FROM scored WHERE vec_id = 0 ORDER BY sim DESC, cid LIMIT 4),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS vec_id, e.label,
+        | round(
+        |   list_sum(list_transform(list_zip(e.embedding, qv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE)*v)))
+        |      * sqrt(list_sum(list_transform(qv, v -> CAST(v AS DOUBLE)*v)))), 6) AS cos_sim
+        |FROM embeddings e
+        | JOIN assigned a ON e.vec_id = a.vec_id
+        | JOIN qcells ON a.cell = qcells.cell, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 50""".stripMargin,
     "q59_embedding_neardup" ->
       """SELECT a.label, a.vec_id AS a, b.vec_id AS b,
         | round(
