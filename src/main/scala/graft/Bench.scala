@@ -10,9 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one untimed warmup (JIT + codegen + parquet footers) so the first
-    // timed query doesn't absorb JVM start-up costs
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // one untimed warmup on the benchmarked dataset (JIT + codegen +
+    // parquet footers) so the first timed query doesn't absorb JVM
+    // start-up costs
+    try SparkEntry.queries("q22_multi_join")(spark, sfDir).count()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -7,7 +7,7 @@ package graft.functions
 object TextHashes {
 
   /** 64-bit avalanche finalizer (splitmix64/murmur3-style fmix). */
-  @inline private def mix64(z0: Long): Long = {
+  @inline private[functions] def mix64(z0: Long): Long = {
     var z = z0
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

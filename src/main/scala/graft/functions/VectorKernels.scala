@@ -28,17 +28,11 @@ object VectorKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  @inline private def mix64(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   /** Deterministic pseudo-random hyperplane component for (plane, dim)
     * in [-0.5, 0.5) — recomputable on any executor, no stored model. */
   @inline private def planeComponent(plane: Int, dim: Int): Double =
-    (Math.floorMod(mix64(plane.toLong * 0x9E3779B97F4A7C15L + dim), 1000000L)
+    (Math.floorMod(
+      TextHashes.mix64(plane.toLong * 0x9E3779B97F4A7C15L + dim), 1000000L)
       / 1000000.0) - 0.5
 
   /** B-bit random-hyperplane LSH bucket for table `table`: bit p is the
