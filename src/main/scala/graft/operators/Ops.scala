@@ -38,6 +38,24 @@ object Ops {
       .drop("__rn")
   }
 
+  /** Reproducible train/val/test split assignment by content hash: the
+    * first 16 bits of md5(key ++ seed) pick a bucket in [0, 65536),
+    * cumulative weight boundaries pick the split. Deterministic across
+    * engines, runs, and partitionings (md5 is standardized — unlike
+    * rand()-based sample(), rows never migrate between splits when the
+    * data is re-partitioned or appended to), which is what a training
+    * pipeline needs from its holdout split. */
+  def hashSplit(keyCol: Column, splits: Seq[(String, Double)],
+      seed: String = "graft"): Column = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val v = conv(substring(md5(concat(keyCol.cast("string"), lit(":" + seed))), 1, 4),
+      16, 10).cast("int")
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(w => (w * 65536).round)
+    splits.zip(bounds).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), bound), acc) => when(v < bound, name).otherwise(acc)
+    }
+  }
+
   /** As-of join (an operator Spark lacks natively): for every left row,
     * attach the LATEST right row with rightTime <= leftTime within the
     * same key. Union-then-window formulation — tag both sides, sort

@@ -123,7 +123,20 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Reproducible 80/10/10 train/val/test split of the corpus by
+    * content-hash bucketing (Ops.hashSplit) + per-split stats. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Ops.hashSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_hash_split" -> (hashSplit _),
     "q38_repetition" -> (repetition _),
     "q50_dedup_exact" -> (dedupExact _),
     "q51_text_stats" -> (textStats _),
@@ -134,6 +147,17 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q39_hash_split" ->
+      """SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN v < round(0.8*65536) THEN 'train'
+        |        WHEN v < round(0.9*65536) THEN 'val'
+        |        ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4)) AS INTEGER) AS v
+        |   FROM documents))
+        |GROUP BY split ORDER BY split""".stripMargin,
     "q38_repetition" ->
       """SELECT doc_id,
         | CAST(length(t) - 2 AS INTEGER) AS total_grams,

@@ -21,6 +21,20 @@ class OpsSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("hashSplit: weights honored approximately, assignment repartition-stable") {
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id")
+    val split = Ops.hashSplit(col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = docs.select(split.as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.08, counts.toString)
+    assert(counts.values.sum === n.toLong)
+    // identical assignment regardless of physical layout
+    val a = docs.select(col("doc_id"), split.as("s")).collect().toSet
+    val b = docs.repartition(13).select(col("doc_id"), split.as("s")).collect().toSet
+    assert(a === b)
+  }
+
   test("dedupKeepFirst keeps exactly the lowest-ordered row per key") {
     val docs = graft.Tables(spark, sf, "documents")
       .withColumn("h", md5(col("text")))
