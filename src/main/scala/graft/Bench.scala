@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{functions => gfn}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,20 +13,54 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one untimed warmup on the benchmarked dataset (JIT + codegen +
-    // parquet footers) so the first timed query doesn't absorb JVM
-    // start-up costs
-    try SparkEntry.queries("q22_multi_join")(spark, sfDir).count()
-    catch { case _: Throwable => }
+    warmup(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // a failed query's elapsed time is meaningless — surface it as an
+    // explicit error instead of letting it pass for a slow success
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Untimed warmup: first-touch costs (JIT of the native expression
+    * kernels, whole-stage codegen compilation, parquet footer reads and
+    * page-cache fill for EVERY table) must not land inside a timed
+    * query. Each table gets one full-width read (hash of all columns —
+    * a bare count() would be satisfied from parquet metadata and warm
+    * nothing), and every custom kernel path (minhash/simhash/gram-set/
+    * intersect, cosine/LSH-bucket) is evaluated once. */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    Tables.all.foreach { n =>
+      try {
+        val df = Tables(spark, sfDir, n)
+        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(sum("h")).collect()
+      } catch { case _: Throwable => }
+    }
+    try {
+      val g = gfn.gram_set(col("text"), 5)
+      Tables(spark, sfDir, "documents")
+        .select(
+          element_at(gfn.minhash_sig(col("text"), 32, 5), 1).as("m"),
+          gfn.simhash64(col("text")).as("s"),
+          gfn.sorted_intersect_size(g, g).as("i"))
+        .agg(sum("m"), sum("s"), sum("i")).collect()
+      Tables(spark, sfDir, "embeddings")
+        .select(
+          gfn.cosine_sim(col("embedding"), col("embedding")).as("c"),
+          gfn.lsh_bucket(col("embedding"), 6, 0).as("b"))
+        .agg(sum("c"), sum("b")).collect()
+      SparkEntry.queries("q22_multi_join")(spark, sfDir).count()
+    } catch { case _: Throwable => }
   }
 }

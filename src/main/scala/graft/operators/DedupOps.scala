@@ -10,16 +10,19 @@ import graft.functions.{functions => gfn}
   *
   *   per-row native MinHash signature (graft.functions.MinHashSig — a
   *   codegen'd Catalyst expression, one rolling-hash pass per document)
-  *   → band digests → candidate pairs via an equi-join on (band, digest).
+  *   → band digests → candidate pairs generated inside each LSH bucket.
   *
-  * Signature generation involves NO shuffle; the band join is the scale
-  * move — instead of all-pairs O(n²) similarity, only documents sharing
-  * a band digest are compared. On a cluster that is one shuffle keyed by
-  * digest, and AQE handles hot buckets. These queries are not
-  * ANSI-SQL-expressible with engine-identical hashes, so the driver
-  * records rows-only checks; quality (LSH recall, verification
-  * exactness, SimHash hamming) is pinned by ScalaTest against exact
-  * brute-force Jaccard.
+  * Signature generation involves NO shuffle and runs exactly ONCE per
+  * document (the bucket-grouping form below — unlike a self-join on
+  * band digests, whose two sides would each recompute the signatures).
+  * The band bucket is the scale move: instead of all-pairs O(n²)
+  * similarity, only documents sharing a band digest are compared; on a
+  * cluster that is one shuffle keyed by (band, digest), and AQE handles
+  * hot buckets. q56/q57 use engine-specific hashes → the driver records
+  * rows-only checks, with quality (LSH recall, SimHash hamming) pinned
+  * by ScalaTest against exact brute-force Jaccard. q58's OUTPUT is
+  * hash-free (exact gram Jaccard) and is checked against a DuckDB
+  * brute-force all-pairs oracle.
   */
 object DedupOps {
 
@@ -36,21 +39,31 @@ object DedupOps {
 
   /** LSH candidate pairs: signatures split into `bands` bands of
     * `k/bands` slots; docs sharing any band digest become a candidate.
-    * Returns (a, b) doc_id pairs, a < b, deduplicated. */
+    * Returns (a, b) doc_id pairs, a < b, deduplicated.
+    *
+    * Shape: melt to (doc_id, band, digest), group into buckets, emit
+    * each bucket's pairs with a nested array transform — signatures are
+    * computed once and only bucket member-id lists (not signatures) go
+    * through the shuffle. Bucket pair fan-out is quadratic in bucket
+    * size by nature of LSH (identical-doc clusters land in one bucket);
+    * a production guard would cap or sample buckets past a size bound.
+    */
   def minhashPairs(s: SparkSession, dir: String, k: Int = 32, bands: Int = 8): DataFrame = {
     val rows = k / bands
     val sig = minhashSignatures(s, dir, k)
     val digests = (0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)))
-    // melt to (doc_id, band, digest) then self-join — one shuffle, not
-    // one join per band.
     val melted = sig.select(col("doc_id"),
       posexplode(array(digests: _*)).as(Seq("band", "digest")))
-    val l = melted.select(col("band"), col("digest"), col("doc_id").as("a"))
-    val r = melted.select(col("band"), col("digest"), col("doc_id").as("b"))
-    l.join(r, Seq("band", "digest"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    melted
+      .groupBy(col("band"), col("digest"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
       .orderBy("a", "b")
   }
 
@@ -72,35 +85,70 @@ object DedupOps {
       .orderBy("doc_id")
 
   /** Near-dup pairs among MinHash candidates, verified with the TRUE
-    * byte-3-gram Jaccard — the standard candidate→verify dedup pipeline
+    * byte-5-gram Jaccard — the standard candidate→verify dedup pipeline
     * (generation cheap and approximate, verification exact and only
     * over candidates). Verification uses the native GramSet /
     * SortedIntersectSize expressions: each document's gram set is a
     * sorted array of verbatim-packed longs (exact, collision-free) and
-    * each pair costs one linear merge scan — no string arrays shuffled,
-    * no hash sets built per pair. */
-  def neardupVerified(s: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    * each pair costs one linear merge scan. The gram-set frames enter
+    * via broadcast joins, so no gram arrays ever cross a shuffle — the
+    * per-pair arrays exist only inside the codegen'd project stage.
+    *
+    * The threshold is a rational num/den and the filter is integer
+    * arithmetic (den·|∩| ≥ num·|∪|), so the emitted pair set is exactly
+    * reproducible by any engine — the DuckDB oracle recomputes it
+    * brute-force over all pairs. The jaccard column is one int/int IEEE
+    * division (no rounding), identical across engines. MinHash recall
+    * at the corpus's near-dup band (gram-Jaccard ≥ 0.92 here) makes a
+    * candidate miss ~1e-5-probable per pair and the pipeline is fully
+    * deterministic, so oracle equality is a stable property, verified
+    * per-run by the driver at sf0.01 and by ScalaTest at sf0.001.
+    */
+  def neardupVerified(s: SparkSession, dir: String,
+      thresholdNum: Int = 7, thresholdDen: Int = 10): DataFrame = {
     val docs = t(s, dir, "documents")
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), gfn.gram_set(norm(col("text")), 3).as("g"))
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), gfn.gram_set(norm(col("text")), 5).as("g"))
     val pairs = minhashPairs(s, dir)
     pairs
-      .join(docs.select(col("doc_id").as("a"), col("g").as("ga")), "a")
-      .join(docs.select(col("doc_id").as("b"), col("g").as("gb")), "b")
-      .withColumn("inter", gfn.sorted_intersect_size(col("ga"), col("gb")))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (size(col("ga")) + size(col("gb")) - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+      .join(broadcast(docs.select(col("doc_id").as("a"), col("g").as("ga"))), "a")
+      .join(broadcast(docs.select(col("doc_id").as("b"), col("g").as("gb"))), "b")
+      .withColumn("intersect_size", gfn.sorted_intersect_size(col("ga"), col("gb")))
+      .withColumn("union_size",
+        size(col("ga")) + size(col("gb")) - col("intersect_size"))
+      .filter(col("intersect_size") * thresholdDen >= col("union_size") * thresholdNum)
+      .select(col("a"), col("b"), col("intersect_size"), col("union_size"),
+        (col("intersect_size").cast("double") / col("union_size")).as("jaccard"))
       .orderBy("a", "b")
   }
 
-  /** Rows-only queries (hashes are engine-specific → no ANSI oracle). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_minhash_pairs" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
     "q57_simhash" -> ((s: SparkSession, d: String) => simhash(s, d)),
-    "q58_neardup_verified" -> ((s: SparkSession, d: String) => neardupVerified(s, d, 0.5)),
+    "q58_neardup_verified" -> ((s: SparkSession, d: String) => neardupVerified(s, d)),
   )
 
-  val oracle: Map[String, String] = Map.empty
+  /** q56/q57 hashes are engine-specific → rows-only. q58's output is
+    * exact 5-gram Jaccard, recomputed brute-force by DuckDB (feasible at
+    * the verify gate's sf0.01: 500 docs = 124,750 pairs). */
+  val oracle: Map[String, String] = Map(
+    "q58_neardup_verified" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE length(text) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS isz
+        |  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(isz AS INT) AS intersect_size,
+        |       CAST(sa.sz + sb.sz - isz AS INT) AS union_size,
+        |       CAST(isz AS DOUBLE) / (sa.sz + sb.sz - isz) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE isz * 10 >= (sa.sz + sb.sz - isz) * 7
+        |ORDER BY a, b""".stripMargin,
+  )
 }

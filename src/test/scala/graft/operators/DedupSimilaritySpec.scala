@@ -40,23 +40,30 @@ class DedupSimilaritySpec extends SparkSpec {
       s"LSH recall ${found.toDouble / nStrong} over $nStrong strong pairs")
   }
 
-  test("neardupVerified jaccard equals an exact driver-side byte-gram computation") {
-    val verified = DedupOps.neardupVerified(spark, sf, 0.8).collect()
+  test("neardupVerified equals the exact brute-force 5-gram truth set") {
+    val verified = DedupOps.neardupVerified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
     assert(verified.nonEmpty, "fixture should contain verified near-dups")
-    // exact truth, computed independently on the driver over the same
-    // normalization (lowercase, collapsed whitespace) and byte 3-grams
+    // exact truth over ALL pairs, computed independently on the driver
+    // with the same normalization (lowercase, collapsed whitespace) and
+    // byte 5-grams — this pins RECALL (no pair the LSH candidates
+    // missed) as well as precision and the emitted values.
     val texts = graft.Tables(spark, sf, "documents")
+      .filter(length(col("text")) >= 5)
       .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("t"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getString(1))
     def gramsOf(t: String): Set[Seq[Byte]] =
-      t.getBytes("UTF-8").sliding(3).map(_.toSeq).toSet
-    verified.foreach { r =>
-      val (a, b, jac) = (r.getLong(0), r.getLong(1), r.getDouble(2))
-      val (ga, gb) = (gramsOf(texts(a)), gramsOf(texts(b)))
-      val expected = ga.intersect(gb).size.toDouble / ga.union(gb).size
-      assert(math.abs(jac - expected) < 1e-6, s"pair ($a,$b): $jac vs $expected")
-      assert(jac >= 0.8)
-    }
+      t.getBytes("UTF-8").sliding(5).map(_.toSeq).toSet
+    val truth = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a < b
+      ga = gramsOf(ta); gb = gramsOf(tb)
+      i = ga.intersect(gb).size; u = ga.size + gb.size - i
+      if i * 10 >= u * 7
+    } yield (a, b) -> (i, u, i.toDouble / u)).toMap
+    assert(verified.keySet === truth.keySet,
+      s"missed=${truth.keySet -- verified.keySet} extra=${verified.keySet -- truth.keySet}")
+    truth.foreach { case (k, v) => assert(verified(k) === v, s"pair $k") }
   }
 
   test("simhash: near-dup pairs have small hamming distance") {
