@@ -16,12 +16,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CandyQueries.queries ++ TextQueries.queries ++
-      DedupOps.queries ++ SimilarityOps.queries
+      DedupOps.queries ++ SimilarityOps.queries ++
+      graft.multimodal.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ CandyQueries.oracle ++ TextQueries.oracle ++
-      DedupOps.oracle ++ SimilarityOps.oracle
+      DedupOps.oracle ++ SimilarityOps.oracle ++
+      graft.multimodal.MultimodalOps.oracle
 }

@@ -3,6 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Tables
 
 /** One media blob with typed metadata. `data` is an opaque byte
   * payload (image/audio/video container bytes); everything the engine
@@ -142,6 +143,67 @@ object MultimodalOps {
         col("path"),
         col("length").as("n_bytes"),
         col("content").as("data"))
+
+  /** Media view over the driver's `documents` table: each document's
+    * UTF-8 bytes become the opaque payload, with kind/metadata derived
+    * deterministically from doc_id. This is how the declared query
+    * (q64) exercises the multimodal path on REAL sfDir input — the
+    * payload bytes are still fully opaque to every operator. */
+  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    val k = pmod(col("doc_id"), lit(3))
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        when(k === 0, "image").when(k === 1, "audio").otherwise("video").as("kind"),
+        col("text").cast("binary").as("data"),
+        when(k === 0, 64).when(k === 1, 0).otherwise(320).as("width"),
+        when(k === 0, 48).when(k === 1, 0).otherwise(240).as("height"),
+        when(k === 1, 16000).otherwise(0).as("sample_rate"),
+        when(k === 0, lit(1))
+          .when(k === 1, length(col("text").cast("binary")))
+          .otherwise((lit(1) + pmod(col("doc_id"), lit(100))).cast("int")).as("n_frames"))
+      .as[MediaRow]
+  }
+
+  /** q64: per-kind stats of the decoded feature rows — the whole
+    * multimodal pipeline (size-aware repartition → batch decode via
+    * mapPartitions → typed aggregation) with an output DuckDB can
+    * recompute from byte lengths alone, so the declared query gets a
+    * full oracle even though the decode itself is engine-side. */
+  def mediaStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = repartitionForDecode(
+      mediaFromDocuments(s, dir).toDF(),
+      s.sparkContext.defaultParallelism).as[MediaRow]
+    extractFeatures(media).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        (sum(col("n_bytes")).cast("double") / count(lit(1))).as("avg_bytes"))
+      .orderBy("kind")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_media_stats" -> ((s: SparkSession, d: String) => mediaStats(s, d)),
+  )
+
+  /** The payload is the document text's UTF-8 bytes, so DuckDB's byte
+    * length (strlen) reproduces n_bytes exactly; kind = doc_id mod 3. */
+  val oracle: Map[String, String] = Map(
+    "q64_media_stats" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        | count(*) AS n_media,
+        | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        | CAST(min(strlen(text)) AS INT) AS min_bytes,
+        | CAST(max(strlen(text)) AS INT) AS max_bytes,
+        | CAST(sum(strlen(text)) AS DOUBLE) / count(*) AS avg_bytes
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+  )
 
   /** Deterministic synthetic media table (no external fixtures in the
     * container): payload bytes derived from media_id. */

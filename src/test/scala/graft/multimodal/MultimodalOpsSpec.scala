@@ -73,4 +73,24 @@ class MultimodalOpsSpec extends SparkSpec {
     val b = MultimodalOps.featureBuckets(f)
     assert(b.agg(sum("n")).collect().head.getLong(0) === 90)
   }
+
+  test("q64 mediaStats: byte stats agree with the documents table") {
+    val sf = "/root/testdata/sf0.001"
+    val stats = MultimodalOps.mediaStats(spark, sf).collect()
+    assert(stats.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
+    val expected = graft.Tables(spark, sf, "documents")
+      .groupBy(pmod(col("doc_id"), lit(3)).as("k"))
+      .agg(count(lit(1)).as("n"), sum(length(col("text").cast("binary"))).as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val kindOf = Map("image" -> 0L, "audio" -> 1L, "video" -> 2L)
+    stats.foreach { r =>
+      val (n, b) = expected(kindOf(r.getString(0)))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === b)
+      assert(r.getDouble(5) === b.toDouble / n)
+    }
+    // the decode path really ran: features are non-trivial for every row
+    val f = MultimodalOps.extractFeatures(MultimodalOps.mediaFromDocuments(spark, sf))
+    assert(f.filter(size(col("features")) =!= 16).count() === 0)
+  }
 }
