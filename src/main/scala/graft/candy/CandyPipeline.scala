@@ -11,7 +11,15 @@ import org.apache.spark.sql.functions._
 case class CandyConfig(
     reloadInventoryDaily: Boolean = true,
     skipEmptyOrders: Boolean = true,
-    numOrdersIsLineItems: Boolean = true)
+    numOrdersIsLineItems: Boolean = true,
+    /** Reproduce the reference's float accumulation ORDER in the daily
+      * money sums (collect_list + in-order fold — per-group state grows
+      * with the day's order count; only for byte-parity experiments).
+      * Default false: order-independent exact integer-cents sums
+      * (operators/Exact) — O(1) aggregation state per group, the only
+      * shape that survives 10⁶+ orders/day. The two differ by at most
+      * one trailing cent on rounding-boundary days. */
+    strictFloatParity: Boolean = false)
 
 case class CandyOutputs(
     orders: DataFrame,
@@ -34,12 +42,14 @@ case class CandyOutputs(
   * replay order (order totals at data_processor.py:433-436, daily sums
   * at 467-468). Plain sum() re-associates and can differ in the last
   * ulp, which format_number/round can then turn into a visible cent.
-  * Where parity matters (order totals, daily sums) we fold
-  * collect_list'ed values in explicit replay order — per-order lists
-  * are tiny (≤5 items) and per-day order counts are bounded by the
-  * day's transactions, so the lists stay small; the scalable
-  * order-independent alternative (integer-cents sums, operators/Exact)
-  * is what the declared query surface uses.
+  * Order totals always fold collect_list'ed values in replay order —
+  * per-order lists are tiny (≤5 items, bounded by the transaction
+  * schema), so that state is O(1). Daily sums are gated by
+  * CandyConfig.strictFloatParity: the default is order-independent
+  * exact integer-cents sums (operators/Exact — O(1) per-group state,
+  * the shape that survives 10⁶+ orders/day); strict mode reproduces
+  * the reference's per-day accumulation order for byte-parity
+  * experiments and is the one knowingly non-scalable path.
   */
 object CandyPipeline {
 
@@ -103,15 +113,19 @@ object CandyPipeline {
     // num_orders variant counts the line items emitted that day
     // (SURVEY.md §5.3) — from the lineItems frame, since line items of
     // skipped orders still exist (appended before the skip check).
+    def dailyMoney(field: String): Column =
+      if (config.strictFloatParity)
+        bround(foldInOrder(sort_array(collect_list(struct(col("seq"), col(field)))),
+          field), 2)
+      else
+        (sum(graft.operators.Exact.cents(col(field))) / lit(100.0)).cast("double")
     val dailyAgg = orders
       .groupBy(col("day"))
       .agg(
         to_date(substring(min_by(col("order_datetime"), col("seq")), 1, 10)).as("date"),
         count(lit(1)).cast("int").as("n_txn_orders"),
-        bround(foldInOrder(sort_array(collect_list(struct(col("seq"), col("total_amount")))),
-          "total_amount"), 2).as("total_sales"),
-        bround(foldInOrder(sort_array(collect_list(struct(col("seq"), col("order_profit")))),
-          "order_profit"), 2).as("total_profit"))
+        dailyMoney("total_amount").as("total_sales"),
+        dailyMoney("order_profit").as("total_profit"))
     val dailySummary = (if (config.numOrdersIsLineItems) {
       val lineCounts = lineItems.groupBy(col("day"))
         .agg(count(lit(1)).cast("int").as("n_line_items"))

@@ -133,6 +133,33 @@ class CandyEdgeSpec extends SparkSpec {
       Seq("1", "Alpha", "4"), Seq("2", "Beta", "3"), Seq("3", "Gamma", "5000")))
   }
 
+  test("default config: daily aggregation state is O(1) per group (no collect_list)") {
+    import org.apache.spark.sql.functions._
+    val dflt = run(CandyConfig())
+    val strict = run(CandyConfig(strictFloatParity = true))
+    // the default daily plan must not buffer per-day arrays — the
+    // collect_list fold is gated behind strictFloatParity. (The bounded
+    // ≤5-item per-ORDER fold remains upstream, so only the day-keyed
+    // aggregate nodes are inspected.)
+    def dayAggLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("key=[day") || l.contains("keys=[day")).toSeq
+    val dfltDay = dayAggLines(dflt.dailySummary)
+    assert(dfltDay.nonEmpty)
+    assert(dfltDay.forall(!_.contains("collect_list")),
+      "default daily summary must not collect per-day arrays")
+    assert(dayAggLines(strict.dailySummary).exists(_.contains("collect_list")))
+    // and the exact-cents sums agree with the strict in-order fold to
+    // the cent (they can differ only on a rounding boundary)
+    val d = csvRows(dflt.dailySummary)
+    val s = csvRows(strict.dailySummary)
+    assert(d.map(_.take(2)) === s.map(_.take(2)))
+    d.zip(s).foreach { case (dr, sr) =>
+      assert(math.abs(dr(2).toDouble - sr(2).toDouble) <= 0.01)
+      assert(math.abs(dr(3).toDouble - sr(3).toDouble) <= 0.01)
+    }
+  }
+
   test("conservation: order total equals sum of its line totals") {
     val out = run(CandyConfig(reloadInventoryDaily = false,
       skipEmptyOrders = false, numOrdersIsLineItems = false))

@@ -24,8 +24,12 @@ class CandyGoldenSpec extends SparkSpec {
 
   private lazy val outDir = {
     val d = Files.createTempDirectory("candy_golden").toString
+    // strictFloatParity reproduces the reference's per-day float
+    // accumulation order — the daily money totals below were derived
+    // with exactly that order (Python left-to-right fold + round)
     val out = CandyPipeline.run(spark,
-      s"$refData/products.csv", s"$refData/transactions_*.json")
+      s"$refData/products.csv", s"$refData/transactions_*.json",
+      CandyConfig(strictFloatParity = true))
     CandyPipeline.save(out, d)
     d
   }
