@@ -20,6 +20,12 @@ object Tables {
       // reader rejects. Read nanos as long and truncate to micros — the
       // same conversion DuckDB applies when it maps the column to its
       // microsecond TIMESTAMP, so oracle comparisons stay exact.
+      // NOTE: nanosAsLong has no per-read DataFrameReader option — it is
+      // consulted during schema conversion at both planning AND execution,
+      // so a set/restore dance around this call would break later task
+      // runs. Setting it session-wide is deliberate; it only changes how
+      // TIMESTAMP(NANOS) columns surface (as long), and no other testdata
+      // table has one, so other reads are unaffected.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -47,7 +47,18 @@ object CandyMain {
       horizon: Int): Unit = {
     val summary = spark.read.option("header", "true")
       .option("inferSchema", "true").csv(summaryCsv)
-    SingleFileCsv.write(Forecaster.forecast(summary, horizon),
-      out, "sales_profit_forecast.csv")
+    val r = Forecaster.forecastWithMetrics(summary, horizon)
+    SingleFileCsv.write(r.forecast, out, "sales_profit_forecast.csv")
+    // in-sample fit metrics, reported per model like the reference's
+    // training log (data_processor.py:118-142) and persisted next to
+    // the forecast so a scheduler can track model quality over reruns
+    import spark.implicits._
+    val m = Seq(
+      ("total_sales", r.salesMetrics.mae, r.salesMetrics.mse),
+      ("total_profit", r.profitMetrics.mae, r.profitMetrics.mse))
+    m.foreach { case (series, mae, mse) =>
+      println(f"forecast[$series] in-sample MAE=$mae%.4f MSE=$mse%.4f")
+    }
+    SingleFileCsv.write(m.toDF("series", "mae", "mse"), out, "forecast_metrics.csv")
   }
 }

@@ -120,7 +120,16 @@ object Forecaster {
     * reference forecast_sales_and_profits, data_processor.py:73-95;
     * output dates = last date + 1..horizon, data_processor.py:205-207).
     */
-  def forecast(dailySummary: DataFrame, horizon: Int = 1): DataFrame = {
+  def forecast(dailySummary: DataFrame, horizon: Int = 1): DataFrame =
+    forecastWithMetrics(dailySummary, horizon).forecast
+
+  final case class Result(forecast: DataFrame,
+      salesMetrics: Metrics, profitMetrics: Metrics)
+
+  /** Forecast plus the in-sample MAE/MSE of both fitted models — the
+    * reporting surface the reference prints per model after training
+    * (data_processor.py:118-142 via time_series.py get_metrics). */
+  def forecastWithMetrics(dailySummary: DataFrame, horizon: Int = 1): Result = {
     val spark = dailySummary.sparkSession
     val rows = dailySummary.select("date", "total_sales", "total_profit")
       .orderBy("date").collect()
@@ -136,11 +145,12 @@ object Forecaster {
       val d = last.plusDays(h)
       Row(Date.valueOf(d), mSales.predict(n - 1 + h, d), mProfit.predict(n - 1 + h, d))
     }
-    spark.createDataFrame(
+    val fc = spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1),
       StructType(Seq(
         StructField("date", DateType),
         StructField("forecasted_sales", DoubleType),
         StructField("forecasted_profit", DoubleType))))
+    Result(fc, metrics(mSales, dates, sales), metrics(mProfit, dates, profit))
   }
 }

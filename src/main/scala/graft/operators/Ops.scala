@@ -66,27 +66,37 @@ object Ops {
     * unique per (key, time) for determinism — pre-dedup with
     * dedupKeepFirst if not.
     *
-    * Returns the left frame + `rightCols` (null when nothing precedes).
+    * The payload is carried as ONE struct(rightCols), so the matched
+    * right row is taken or skipped atomically: a right row with a NULL
+    * in one payload column can never leak an older row's value into
+    * just that column (per-column last(ignoreNulls) would).
+    *
+    * Returns the left frame + `rightCols` (all null when nothing
+    * precedes).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payload = struct(rightCols.map(col): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     val l = left.select(
-      (leftCols.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side")) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      leftCols.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
+        lit(null).cast(payloadType).as("__payload"): _*)
     val r = right.select(
       (Seq(col(key)) ++
         leftCols.filterNot(_ == key)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        col(rightTime).as("__t") :+ lit(0).as("__side")) ++
-        rightCols.map(col): _*)
+        col(rightTime).as("__t") :+ lit(0).as("__side")) :+
+        payload.as("__payload"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select((leftCols.map(col) :+ col("__side")) :+
+        last(col("__payload"), ignoreNulls = true).over(w).as("__carried"): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col("__carried").getField(c).as(c)): _*)
   }
 }

@@ -18,6 +18,13 @@ object Skew {
     * big or too dynamic to broadcast. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    // Only join types that never emit an unmatched SMALL-side row are
+    // correct here: with right/full outer, an unmatched small row would
+    // surface once per salt replica.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin replicates the small side; joinType '$joinType' would " +
+        "duplicate unmatched small-side rows (use inner/left/semi/anti)")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
     val replicated = small.withColumn("__salt",

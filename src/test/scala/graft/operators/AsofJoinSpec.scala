@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+
+  test("asofJoin attaches latest preceding right row per key") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"))
+      .toDF("k", "lt", "lv")
+    val right = Seq((1L, 10L, "r10", 100), (1L, 20L, "r20", 200),
+        (2L, 9L, "r9", 900))
+      .toDF("k", "rt", "rname", "rval")
+    val out = Ops.asofJoin(left, right, "k", "lt", "rt", Seq("rname", "rval"))
+      .orderBy("k", "lt")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.toString).orNull,
+        Option(r.get(4)).map(_.toString).orNull))
+      .toSeq
+    // exact-time match included; k=2 left at t=5 precedes all right rows
+    assert(out === Seq(
+      (1L, 10L, "a", "r10", "100"),
+      (1L, 25L, "b", "r20", "200"),
+      (2L, 5L, "c", null, null)))
+  }
+
+  test("asofJoin carries the matched right row atomically (null payload column cannot leak an older value)") {
+    import spark.implicits._
+    val left = Seq((1L, 30L, "x")).toDF("k", "lt", "lv")
+    // the latest preceding right row (t=20) has a NULL rname; the older
+    // row's "old" must NOT bleed into rname while rval comes from t=20
+    val right = Seq((1L, 10L, Option("old"), Option(1)),
+        (1L, 20L, None: Option[String], Option(2)))
+      .toDF("k", "rt", "rname", "rval")
+    val row = Ops.asofJoin(left, right, "k", "lt", "rt", Seq("rname", "rval"))
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("rname")))
+    assert(row.getInt(row.fieldIndex("rval")) === 2)
+  }
+
+  test("saltedJoin rejects join types that would duplicate small-side rows") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, "k", joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, "k", joinType = "right")
+    }
+  }
+}

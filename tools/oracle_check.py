@@ -59,8 +59,7 @@ def main(out_dir, sf_dir):
             gv = [norm(v) for v in got[c].tolist()]
             ev = [norm(v) for v in exp[c].tolist()]
             for i, (a, b) in enumerate(zip(gv, ev)):
-                # pandas None/NaT/nan unification
-                an = a is None or (isinstance(a, float) and a == a) is False and a != a
+                # None/NaN equivalence is handled by norm() + str() fallback
                 if str(a) == str(b):
                     continue
                 if a != b:
