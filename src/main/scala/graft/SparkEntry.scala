@@ -17,7 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CandyQueries.queries ++ TextQueries.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++
-      graft.multimodal.MultimodalOps.queries
+      graft.multimodal.MultimodalOps.queries ++ graft.sources.LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -25,5 +25,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ CandyQueries.oracle ++ TextQueries.oracle ++
       DedupOps.oracle ++ SimilarityOps.oracle ++
-      graft.multimodal.MultimodalOps.oracle
+      graft.multimodal.MultimodalOps.oracle ++ graft.sources.LayoutQueries.oracle
 }

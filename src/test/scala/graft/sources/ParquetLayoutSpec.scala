@@ -29,6 +29,25 @@ class ParquetLayoutSpec extends SparkSpec {
       events.filter(col("event_date") === "2024-03-05").count())
   }
 
+  test("q65: declared query reads the month-partitioned layout with pruning") {
+    val df = LayoutQueries.partitionPrunedScan(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_month"),
+      s"expected o_month partition filters in:\n$plan")
+    // the partition column must not appear as a pushed DATA filter —
+    // pruning happens at directory listing, before any row is read
+    assert(!plan.contains("PushedFilters: [IsNotNull(o_month"))
+    // and the partitioned copy answers exactly like the original table
+    val expected = graft.Tables(spark, sf, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month").between("1995-01", "1995-03"))
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.operators.Exact.sumMoney(col("o_totalprice")).as("sum_total"))
+      .orderBy("o_month").collect().toSeq
+    assert(df.collect().toSeq === expected)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // drop metadata AND any orphaned location from a prior aborted run
     Seq("b_orders", "b_lineitem").foreach { t =>
