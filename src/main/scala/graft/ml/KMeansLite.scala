@@ -50,10 +50,17 @@ object KMeansLite {
         .agg(
           max(struct(col("sim"), col("cid"))).getField("cid").as("cell"),
           first(col(vecCol)).as("v"))
+      // exact order-independent mean: components quantized to 1e-6 and
+      // summed as integers, so the update is bit-identical across
+      // partitionings, runs, AND engines (a plain double avg's fold
+      // order varies with shuffle arrival) — which is what lets the
+      // trained quantizer be DuckDB-oracle-checked. The 1e-6 grid is
+      // far below float32 input precision, so quality is unaffected.
       val dimMeans = cells
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg((sum(round(col("x") * 1e6).cast("long")).cast("double")
+          / count(lit(1)) / 1e6).as("m"))
         .collect()
       val byCell = dimMeans.groupBy(_.getInt(0))
       centroids = centroids.indices.map { cid =>

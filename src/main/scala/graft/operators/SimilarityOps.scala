@@ -205,6 +205,7 @@ object SimilarityOps {
     "q61_ann_lsh" -> ((s: SparkSession, d: String) => annLsh(s, d)),
     "q62_embedding_stats" -> (embeddingStats _),
     "q66_neardup_ivf_blocked" -> ((s: SparkSession, d: String) => neardupIvfBlocked(s, d)),
+    "q67_ann_ivf_trained" -> ((s: SparkSession, d: String) => annIvf(s, d, trainIters = 2)),
   )
 
   /** q61 uses engine-specific hashing → rows-only. q60/q62 accumulate in
@@ -260,6 +261,47 @@ object SimilarityOps {
         |      * sqrt(list_sum(list_transform(qv, v -> CAST(v AS DOUBLE)*v)))), 6) AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 50""".stripMargin,
+    // q67: the TRAINED coarse quantizer, oracle-checked end-to-end —
+    // 2 Lloyd iterations unrolled as SQL. Possible because KMeansLite's
+    // centroid update is an exact quantized-integer mean (bit-identical
+    // across engines regardless of fold order); every other step (seed =
+    // 16 lowest ids, argmax assignment, float32 centroid storage, probe)
+    // is the same deterministic algebra both engines already agree on.
+    "q67_ann_ivf_trained" -> {
+      def cosSql(x: String, y: String): String =
+        s"""list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform($x, v -> CAST(v AS DOUBLE)*v)))
+           |    * sqrt(list_sum(list_transform($y, v -> CAST(v AS DOUBLE)*v))))""".stripMargin
+      def iteration(i: Int): String = {
+        val p = i - 1
+        s"""scored$i AS (SELECT e.vec_id, cl.cid, ${cosSql("e.embedding", "cl.cv")} AS sim
+           |  FROM embeddings e CROSS JOIN cents${p}_list cl),
+           |assigned$i AS (SELECT vec_id, (max({'s': sim, 'c': cid})).c AS cell FROM scored$i GROUP BY vec_id),
+           |sums$i AS (
+           |  SELECT a.cell AS cid, u.d, CAST(sum(CAST(round(u.x*1000000.0) AS BIGINT)) AS DOUBLE)/count(*)/1000000.0 AS v
+           |  FROM assigned$i a JOIN embeddings e ON e.vec_id = a.vec_id,
+           |   LATERAL (SELECT unnest(e.embedding) AS x, generate_subscripts(e.embedding, 1) AS d) u
+           |  GROUP BY a.cell, u.d),
+           |c$i AS (SELECT p.cid, p.d, coalesce(s.v, p.v) AS v
+           |  FROM c$p p LEFT JOIN sums$i s ON s.cid = p.cid AND s.d = p.d),
+           |cents${i}_list AS (SELECT cid, list(CAST(v AS FLOAT) ORDER BY d) AS cv FROM c$i GROUP BY cid)""".stripMargin
+      }
+      s"""WITH seed AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+         |c0 AS (SELECT s.vec_id AS cid, u.d, CAST(u.x AS DOUBLE) AS v
+         |  FROM seed s, LATERAL (SELECT unnest(s.embedding) AS x, generate_subscripts(s.embedding, 1) AS d) u),
+         |cents0_list AS (SELECT cid, list(CAST(v AS FLOAT) ORDER BY d) AS cv FROM c0 GROUP BY cid),
+         |${iteration(1)},
+         |${iteration(2)},
+         |fscored AS (SELECT e.vec_id, cl.cid, ${cosSql("e.embedding", "cl.cv")} AS sim
+         |  FROM embeddings e CROSS JOIN cents2_list cl),
+         |fassigned AS (SELECT vec_id, (max({'s': sim, 'c': cid})).c AS cell FROM fscored GROUP BY vec_id),
+         |qcells AS (SELECT cid AS cell FROM fscored WHERE vec_id = 0 ORDER BY sim DESC, cid LIMIT 4),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id AS vec_id, e.label, round(${cosSql("e.embedding", "qv")}, 6) AS cos_sim
+         |FROM embeddings e JOIN fassigned a ON e.vec_id = a.vec_id JOIN qcells ON a.cell = qcells.cell, q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 50""".stripMargin
+    },
     "q66_neardup_ivf_blocked" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
         |scored AS (

@@ -99,11 +99,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty)
     val recall = ivf.count(exact.contains).toDouble / 50.0
     assert(recall >= 0.3, s"IVF recall $recall")
-    // trained coarse quantizer should also clear the floor
+    // the trained coarse quantizer (declared q67) must not be worse
+    // than arbitrary sampled centroids — Lloyd iterations move cells
+    // toward the data
     val trained = SimilarityOps.annIvf(spark, sf, k = 50, nlist = 16,
       nprobe = 4, trainIters = 2).select("vec_id").collect().map(_.getLong(0))
     val recallT = trained.count(exact.contains).toDouble / 50.0
-    assert(recallT >= 0.3, s"trained IVF recall $recallT (sampled was $recall)")
+    info(s"IVF recall: sampled $recall, trained $recallT")
+    assert(recallT >= recall,
+      s"trained IVF recall $recallT below sampled-centroid recall $recall")
   }
 
   test("IVF-cell blocked near-dup: perfect precision, pinned recall vs all-pairs truth") {
