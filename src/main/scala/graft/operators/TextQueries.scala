@@ -135,7 +135,49 @@ object TextQueries {
         max(col("doc_id")).as("max_id"))
       .orderBy("split")
 
+  /** The end-to-end training-corpus cleaning pipeline — the composition
+    * a real 100 TB preprocess run executes, as ONE declared dataflow:
+    *
+    *   1. language gate (keep predicted English),
+    *   2. quality gate (≥20 whitespace tokens),
+    *   3. exact dedup (lowest doc_id per normalized-content fingerprint),
+    *   4. near-dup removal over the MinHash→verify pair set (q58):
+    *      greedy by id, non-iterative — drop d when some surviving a<d
+    *      is its verified near-dup (a's own later removal does not
+    *      resurrect d; the rule stays single-pass and engine-agnostic),
+    *   5. annotate survivors with BPE-ish token counts and the
+    *      reproducible hash split.
+    *
+    * Every stage is a shuffle-bounded dataflow (gates are per-row,
+    * dedup is one hash shuffle, near-dup is the LSH pipeline, the
+    * removal joins are semi/anti on doc_id), so the composition scales
+    * exactly as its parts. Oracle: the same five stages in SQL with
+    * brute-force near-dup pairs.
+    */
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val langOk = langId(s, dir).filter(col("predicted") === "en").select("doc_id")
+    val qualityOk = textStats(s, dir).filter(col("n_tokens") >= 20).select("doc_id")
+    val deduped = Ops.dedupKeepFirst(
+        docs.join(langOk, "doc_id").join(qualityOk, "doc_id")
+          .withColumn("fp", md5(norm(col("text")))),
+        Seq(col("fp")), Seq(col("doc_id")))
+      .select("doc_id")
+    val removed = DedupOps.neardupVerified(s, dir)
+      .join(deduped.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+      .select(col("b").as("doc_id")).distinct()
+    deduped.join(removed, Seq("doc_id"), "left_anti")
+      .join(docs, "doc_id")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .as("bpe_tokens"),
+        Ops.hashSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_clean_corpus" -> (cleanCorpus _),
     "q39_hash_split" -> (hashSplit _),
     "q38_repetition" -> (repetition _),
     "q50_dedup_exact" -> (dedupExact _),
@@ -147,6 +189,52 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q68_clean_corpus" ->
+      """WITH lang AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) = 0
+        |   AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) >=
+        |       greatest(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')),
+        |                len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')),
+        |                len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una)\b')))),
+        |qual AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 20),
+        |deduped AS (
+        |  SELECT doc_id FROM (
+        |    SELECT f.doc_id,
+        |     row_number() OVER (
+        |       PARTITION BY md5(lower(regexp_replace(f.text, '\s+', ' ', 'g')))
+        |       ORDER BY f.doc_id) AS rn
+        |    FROM documents f JOIN lang USING (doc_id) JOIN qual USING (doc_id))
+        |  WHERE rn = 1),
+        |d AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE length(text) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS isz
+        |  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+        |  GROUP BY 1, 2),
+        |neardup AS (
+        |  SELECT a, b FROM pairs
+        |   JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |  WHERE isz * 10 >= (sa.sz + sb.sz - isz) * 7),
+        |removed AS (SELECT DISTINCT n.b AS doc_id FROM neardup n JOIN deduped s ON s.doc_id = n.a)
+        |SELECT doc.doc_id,
+        | CAST(len(regexp_extract_all(doc.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        | CASE WHEN v < round(0.8*65536) THEN 'train'
+        |      WHEN v < round(0.9*65536) THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4)) AS INTEGER) AS v
+        |  FROM deduped
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM removed)) keep
+        | JOIN documents doc ON doc.doc_id = keep.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
     "q39_hash_split" ->
       """SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM (
