@@ -49,26 +49,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Language-marker hit counts (shared by q52 and the q68 gate). */
+  private def langHits(txt: Column): Seq[(String, Column)] = {
+    val lo = lower(txt)
+    Seq(
+      "en_hits" -> regexp_count(lo, lit("\\b(the|and|of|to|in|is)\\b")),
+      "de_hits" -> regexp_count(lo, lit("\\b(der|die|das|und|ist|nicht)\\b")),
+      "fr_hits" -> regexp_count(lo, lit("\\b(le|la|les|et|est|une)\\b")),
+      "es_hits" -> regexp_count(lo, lit("\\b(el|los|las|y|es|una)\\b")),
+      "cjk_hits" -> regexp_count(txt, lit("[\\x{4e00}-\\x{9fff}]")))
+  }
+
+  private def predictedLang(en: Column, de: Column, fr: Column, es: Column,
+      cjk: Column): Column =
+    when(cjk > 0, "zh")
+      .when(en >= greatest(de, fr, es), "en")
+      .when(de >= greatest(fr, es), "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+
   /** Heuristic language ID: marker-word / CJK-codepoint hit counts with a
     * fixed-precedence argmax. */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val lo = lower(col("text"))
-    val en = regexp_count(lo, lit("\\b(the|and|of|to|in|is)\\b"))
-    val de = regexp_count(lo, lit("\\b(der|die|das|und|ist|nicht)\\b"))
-    val fr = regexp_count(lo, lit("\\b(le|la|les|et|est|une)\\b"))
-    val es = regexp_count(lo, lit("\\b(el|los|las|y|es|una)\\b"))
-    val cjk = regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]"))
+  def langId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), col("lang").as("lang_label"),
-        en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"), cjk.as("cjk_hits"))
+      .select(Seq(col("doc_id"), col("lang").as("lang_label")) ++
+        langHits(col("text")).map { case (n, c) => c.as(n) }: _*)
       .withColumn("predicted",
-        when(col("cjk_hits") > 0, "zh")
-          .when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
-          .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
-          .when(col("fr_hits") >= col("es_hits"), "fr")
-          .otherwise("es"))
+        predictedLang(col("en_hits"), col("de_hits"), col("fr_hits"),
+          col("es_hits"), col("cjk_hits")))
       .orderBy("doc_id")
-  }
 
   /** Token counting: whitespace tokens and a BPE-ish lexer regex
     * (letter runs | digit runs | single non-alnum symbols). */
@@ -156,11 +165,16 @@ object TextQueries {
     */
   def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val langOk = langId(s, dir).filter(col("predicted") === "en").select("doc_id")
-    val qualityOk = textStats(s, dir).filter(col("n_tokens") >= 20).select("doc_id")
+    // gates 1+2 are inline predicates on ONE scan (joining the q52/q51
+    // frames back on doc_id would read the corpus three times and add
+    // two shuffles for what is per-row arithmetic)
+    val hits = langHits(col("text")).toMap
+    val gated = docs.filter(
+      predictedLang(hits("en_hits"), hits("de_hits"), hits("fr_hits"),
+        hits("es_hits"), hits("cjk_hits")) === "en" &&
+        size(split(trim(col("text")), "\\s+")) >= 20)
     val deduped = Ops.dedupKeepFirst(
-        docs.join(langOk, "doc_id").join(qualityOk, "doc_id")
-          .withColumn("fp", md5(norm(col("text")))),
+        gated.withColumn("fp", md5(norm(col("text")))),
         Seq(col("fp")), Seq(col("doc_id")))
       .select("doc_id")
     val removed = DedupOps.neardupVerified(s, dir)

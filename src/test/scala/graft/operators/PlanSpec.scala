@@ -53,6 +53,23 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Exchange") <= 6)
   }
 
+  test("q66: pair generation joins on the cell key, never a cartesian product") {
+    val p = plan("q66_neardup_ivf_blocked")
+    // centroid/query sides are broadcast (BroadcastNestedLoopJoin is the
+    // tiny-literal cross join); the N×N side must be a keyed join
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("q68: five-stage cleaning pipeline keeps a bounded shuffle count") {
+    val p = plan("q68_clean_corpus")
+    // gates are per-row; dedup, near-dup grouping, removal joins and the
+    // final sort are the only exchanges — the composition must not
+    // multiply shuffles beyond its parts
+    assert(countOf(p, "Exchange") <= 14, s"shuffle explosion:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q01: aggregation is two-phase (partial before shuffle)") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
