@@ -292,6 +292,51 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Sketch-based percentiles with an oracle-checked accuracy bound
+    * (same contract as q31's approx_count_distinct): the exact
+    * percentiles are the graded values, and the approx_percentile
+    * sketch — the only version that scales to 100 TB, since exact
+    * percentile materializes every group's values — must land within
+    * 1% of them, surfaced as a boolean the oracle expects to be true.
+    * Rank error of the sketch at accuracy=10000 is ≤0.01%, so the 1%
+    * value bound has huge margin on any non-pathological distribution. */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    // interpolate on exact integer cents, not on 2dp doubles: when the
+    // interpolated value lands on a half-cent, engines disagreeing in
+    // the last double bit would round to different cents — on integers
+    // the interpolation inputs are exact, so both engines produce the
+    // same double bit-for-bit and no rounding step exists at all
+    def p(q: Double) = expr(
+      s"percentile(CAST(round(l_extendedprice*100) AS BIGINT), $q)") / 100.0
+    def ap(q: Double) = expr(
+      s"approx_percentile(CAST(round(l_extendedprice*100) AS BIGINT), $q, 10000)") / 100.0
+    def within(q: Double) = abs(ap(q) - p(q)) / p(q) <= 0.01
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        p(0.5).as("p50"),
+        p(0.9).as("p90"),
+        (within(0.5) && within(0.9)).as("approx_within_1pct"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The declared face of Skew.saltedJoin: lineitem ⋈ supplier through
+    * the salted (key, salt) shuffle — each hot key spreads over 8
+    * reducers — then the revenue rollup. Result must equal the plain
+    * join byte-for-byte (the oracle IS the plain join), which is the
+    * whole point: salting changes the shuffle layout, never the answer. */
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val large = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+    val small = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Skew.saltedJoin(large, small, "suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   /** Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
     * and grand-total rows in one aggregation pass. */
   def groupingSets(s: SparkSession, dir: String): DataFrame =
@@ -499,6 +544,8 @@ object RelationalQueries {
     "q22_multi_join" -> (multiJoin _),
     "q23_window_leadlag" -> (windowLeadLag _),
     "q24_percentiles" -> (percentiles _),
+    "q69_approx_percentiles" -> (approxPercentiles _),
+    "q70_skew_salted_join" -> (skewSaltedJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -712,6 +759,18 @@ object RelationalQueries {
         | lag(value) OVER w AS prev_value, lead(event_type) OVER w AS next_type
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q69_approx_percentiles" ->
+      """SELECT l_returnflag,
+        | percentile_cont(0.5) WITHIN GROUP (ORDER BY c)/100.0 AS p50,
+        | percentile_cont(0.9) WITHIN GROUP (ORDER BY c)/100.0 AS p90,
+        | true AS approx_within_1pct
+        |FROM (SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q70_skew_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q24_percentiles" ->
       """SELECT o_orderstatus,
         | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
