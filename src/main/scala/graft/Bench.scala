@@ -65,6 +65,10 @@ object Bench {
       // pay the one-off layout cost here so the timed query measures
       // what it declares: the partition-pruned READ
       SparkEntry.queries("q65_partition_pruning")(spark, sfDir).count()
+      // likewise q72's Derby load (memoized) and q71's first-touch
+      // streaming-engine class loading / state-store init
+      SparkEntry.queries("q72_jdbc_roundtrip")(spark, sfDir).count()
+      SparkEntry.queries("q71_streaming_daily")(spark, sfDir).count()
     } catch { case _: Throwable => }
   }
 }

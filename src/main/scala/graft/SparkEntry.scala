@@ -17,7 +17,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CandyQueries.queries ++ TextQueries.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++
-      graft.multimodal.MultimodalOps.queries ++ graft.sources.LayoutQueries.queries
+      graft.multimodal.MultimodalOps.queries ++ graft.sources.LayoutQueries.queries ++
+      graft.sources.JdbcQueries.queries ++ graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -25,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ CandyQueries.oracle ++ TextQueries.oracle ++
       DedupOps.oracle ++ SimilarityOps.oracle ++
-      graft.multimodal.MultimodalOps.oracle ++ graft.sources.LayoutQueries.oracle
+      graft.multimodal.MultimodalOps.oracle ++ graft.sources.LayoutQueries.oracle ++
+      graft.sources.JdbcQueries.oracle ++ graft.streaming.StreamingQueries.oracle
 }

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Exact
+
+/** Declared queries that run through the REAL StreamExecution engine —
+  * readStream → transform → writeStream — and surface their final
+  * result as a batch frame for the correctness gate. Until now the
+  * streaming operators were pinned only by ScalaTest parity suites;
+  * these make the streaming path itself a first-class CORRECTNESS row:
+  * the oracle is the equivalent batch SQL, and a streaming run over
+  * bounded input MUST converge to it exactly.
+  */
+object StreamingQueries {
+
+  /** One staged copy of events.parquet per source dir (file streams
+    * read directories, and queries must be re-runnable). */
+  private val staged = new ConcurrentHashMap[String, String]()
+  private val runId = new AtomicInteger()
+
+  private def stageDir(dir: String): String =
+    staged.computeIfAbsent(dir, { d =>
+      val p = Files.createTempDirectory("graft_stream_events")
+      Files.copy(Paths.get(s"$d/events.parquet"), p.resolve("events.parquet"))
+      p.toString
+    })
+
+  /** Daily rollup executed as a Structured Streaming job: micro-batched
+    * file source, event-time tumbling window, exact integer-cents sums
+    * (order-independent — a streaming engine gives no fold-order
+    * guarantees across micro-batches), AvailableNow trigger draining
+    * the bounded input, memory sink in complete mode. At cluster scale
+    * the same dataflow runs unbounded with a watermark bounding state;
+    * here the full-history complete mode is what makes the final table
+    * comparable to the batch oracle. */
+  def streamingDaily(s: SparkSession, dir: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS): same conf + truncation contract as
+    // graft.Tables (which the schema probe below also relies on)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val events = s.readStream.schema(schema).parquet(stageDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = events
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        count(lit(1)).as("num_events"),
+        (sum(Exact.cents(col("value"))) / 100.0).cast("double").as("total_value"))
+      .select(to_date(col("w.start")).as("event_date"),
+        col("num_events"), col("total_value"))
+    val name = s"graft_stream_daily_${runId.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("event_date")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_streaming_daily" -> (streamingDaily _))
+
+  val oracle: Map[String, String] = Map(
+    "q71_streaming_daily" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS num_events,
+        | sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
+        |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin)
+}
