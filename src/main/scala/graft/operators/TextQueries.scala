@@ -190,7 +190,32 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Heavy-hitter tokens via the Misra–Gries sketch (candidate pass:
+    * bounded k-counter summaries per task, merged associatively) +
+    * exact re-count of candidates (verify pass: one semi-join groupBy).
+    * The sketch's survival guarantee — every token with frequency >
+    * n/(k+1) is in the candidate set under any merge order — makes the
+    * verified output EXACTLY the tokens above the n/k threshold, so a
+    * one-pass bounded-memory sketch yields a fully oracle-checkable
+    * answer. At 100 TB this replaces a full-vocabulary groupBy (memory
+    * ∝ distinct tokens) with memory ∝ k per task. */
+  def heavyHitterTokens(s: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val cands = words.agg(mg(col("w")).as("cands"))
+      .select(explode(col("cands")).as("w"))
+    val total = words.count()
+    words.join(broadcast(cands), Seq("w"), "left_semi")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(total) / k.toDouble)
+      .orderBy(col("cnt").desc, col("w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitterTokens(s, d)),
     "q68_clean_corpus" -> (cleanCorpus _),
     "q39_hash_split" -> (hashSplit _),
     "q38_repetition" -> (repetition _),
@@ -203,6 +228,14 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q73_heavy_hitters" ->
+      """WITH words AS (
+        |  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |tot AS (SELECT count(*) AS n FROM words)
+        |SELECT w, count(*) AS cnt FROM words, tot
+        |GROUP BY w, tot.n HAVING count(*) > tot.n/256.0
+        |ORDER BY cnt DESC, w""".stripMargin,
     "q68_clean_corpus" ->
       """WITH lang AS (
         |  SELECT doc_id FROM documents
