@@ -214,7 +214,31 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("w"))
   }
 
+  /** Deterministic overlapping-window chunking — the document→chunk
+    * explosion every training/RAG pipeline runs before tokenization or
+    * embedding. Pure per-row arithmetic (sequence + substr + explode):
+    * no shuffle at all until the final presentation sort, chunk ids are
+    * stable functions of (doc_id, offset) so reprocessing a shard
+    * yields identical chunks, and at 100 TB the operator is a map-only
+    * stage that pipelines into whatever consumes the chunks. `size`
+    * chars per chunk, `stride` = size − overlap; the last window keeps
+    * its tail remainder. */
+  def chunkDocuments(s: SparkSession, dir: String, size: Int = 200,
+      stride: Int = 150): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(ceil((length(col("text")) - size)
+            / lit(stride.toDouble)), lit(0)).cast("int")),
+          i => substring(col("text"), i * stride + 1, lit(size))))
+          .as(Seq("chunk_ix", "chunk")))
+      .select(col("doc_id"), col("chunk_ix"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_ix")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "q73_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitterTokens(s, d)),
     "q68_clean_corpus" -> (cleanCorpus _),
     "q39_hash_split" -> (hashSplit _),
@@ -228,6 +252,15 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q74_chunk_documents" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_ix,
+        | CAST(length(c) AS INTEGER) AS chunk_len, md5(c) AS chunk_md5
+        |FROM (
+        |  SELECT doc_id, i, substr(text, CAST(i*150 + 1 AS INT), 200) AS c
+        |  FROM documents,
+        |   LATERAL unnest(range(0,
+        |     greatest(CAST(ceil((length(text) - 200)/150.0) AS BIGINT), 0) + 1)) AS t(i))
+        |ORDER BY doc_id, chunk_ix""".stripMargin,
     "q73_heavy_hitters" ->
       """WITH words AS (
         |  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -70,6 +70,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q70: the salted join really shuffles on (key, salt)") {
+    val p = plan("q70_skew_salted_join")
+    // the whole point of salting: the join key seen by the exchange
+    // includes the salt column, spreading each hot key over reducers
+    assert(p.contains("__salt"), s"salt column missing from plan:\n$p")
+  }
+
+  test("q73: candidate re-count joins via broadcast, not a shuffle of the corpus") {
+    val p = plan("q73_heavy_hitters")
+    // candidates are ≤ k rows — the exact verify pass must broadcast
+    // them and keep the big token stream un-shuffled until the groupBy
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast semi-join:\n$p")
+  }
+
+  test("q74: chunk explosion is map-only until the presentation sort") {
+    val p = plan("q74_chunk_documents")
+    // one exchange for the final orderBy and nothing else
+    assert(countOf(p, "Exchange") <= 1, s"chunking should not shuffle:\n$p")
+  }
+
   test("q01: aggregation is two-phase (partial before shuffle)") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
