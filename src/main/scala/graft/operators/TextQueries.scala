@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -237,7 +238,51 @@ object TextQueries {
         md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_ix")
 
+  /** Deterministic stratified sampling: per-language target rates
+    * applied via content-hash bucketing (the q39 trick at row level) —
+    * downsampling over-represented strata is how a corpus's language
+    * mix is rebalanced before training. Unlike rand()-based sample(),
+    * membership is a pure function of (doc_id, seed): re-runs, engine
+    * changes, and repartitioning keep the same sample, and the oracle
+    * recomputes it exactly. Per-stratum counts + kept-id checksum keep
+    * the output compact. */
+  def stratifiedSample(s: SparkSession, dir: String,
+      rates: Map[String, Double] = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0,
+        "es" -> 1.0, "zh" -> 1.0)): DataFrame = {
+    val v = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":sample"))), 1, 4), 16, 10).cast("int")
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, r).otherwise(acc)
+    }
+    t(s, dir, "documents")
+      .filter(v < rate * 65536)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang")
+  }
+
+  /** Sequence packing: chunks are packed greedily, in order, into
+    * fixed token-budget training examples — one window cumsum per
+    * document, so packing parallelizes across docs with a single
+    * shuffle on doc_id. example_ix = which budget-full bin the chunk
+    * starts in (floor of the pre-chunk running total / budget) — the
+    * standard streaming-pack rule, deterministic given chunk order. */
+  def packSequences(s: SparkSession, dir: String, budget: Int = 100): DataFrame = {
+    val chunks = chunkDocuments(s, dir)
+      .withColumn("tokens", ceil(col("chunk_len") / lit(4.0)).cast("int"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_ix"))
+    chunks
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("example_ix",
+        floor((col("cum") - col("tokens")) / lit(budget.toDouble)).cast("int"))
+      .groupBy(col("doc_id"), col("example_ix"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("tokens")).as("example_tokens"))
+      .orderBy("doc_id", "example_ix")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
+    "q76_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "q74_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "q73_heavy_hitters" -> ((s: SparkSession, d: String) => heavyHitterTokens(s, d)),
     "q68_clean_corpus" -> (cleanCorpus _),
@@ -252,6 +297,30 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q75_stratified_sample" ->
+      """SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM (SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 4)) AS INTEGER) AS v
+        | FROM documents)
+        |WHERE v < (CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END) * 65536
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q76_pack_sequences" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_ix,
+        |   CAST(ceil(length(c)/4.0) AS INT) AS tokens
+        |  FROM (
+        |    SELECT doc_id, i, substr(text, CAST(i*150 + 1 AS INT), 200) AS c
+        |    FROM documents,
+        |     LATERAL unnest(range(0,
+        |       greatest(CAST(ceil((length(text) - 200)/150.0) AS BIGINT), 0) + 1)) AS t(i))),
+        |cum AS (
+        |  SELECT doc_id, chunk_ix, tokens,
+        |   sum(tokens) OVER (PARTITION BY doc_id ORDER BY chunk_ix) AS cum
+        |  FROM chunks)
+        |SELECT doc_id, CAST(floor((cum - tokens)/100.0) AS INT) AS example_ix,
+        | count(*) AS n_chunks, CAST(sum(tokens) AS BIGINT) AS example_tokens
+        |FROM cum GROUP BY doc_id, example_ix
+        |ORDER BY doc_id, example_ix""".stripMargin,
     "q74_chunk_documents" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_ix,
         | CAST(length(c) AS INTEGER) AS chunk_len, md5(c) AS chunk_md5
