@@ -118,7 +118,7 @@ object CandyPipeline {
         bround(foldInOrder(sort_array(collect_list(struct(col("seq"), col(field)))),
           field), 2)
       else
-        (sum(graft.operators.Exact.cents(col(field))) / lit(100.0)).cast("double")
+        graft.operators.Exact.sumMoney(col(field))
     val dailyAgg = orders
       .groupBy(col("day"))
       .agg(

@@ -116,7 +116,11 @@ object DedupOps {
       .withColumn("intersect_size", gfn.sorted_intersect_size(col("ga"), col("gb")))
       .withColumn("union_size",
         size(col("ga")) + size(col("gb")) - col("intersect_size"))
-      .filter(col("intersect_size") * thresholdDen >= col("union_size") * thresholdNum)
+      // union_size > 0 excludes the degenerate all-whitespace pair (both
+      // gram sets empty): 0*den >= 0*num would pass and emit a NaN
+      // jaccard the brute-force oracle never produces
+      .filter(col("union_size") > 0 &&
+        col("intersect_size") * thresholdDen >= col("union_size") * thresholdNum)
       .select(col("a"), col("b"), col("intersect_size"), col("union_size"),
         (col("intersect_size").cast("double") / col("union_size")).as("jaccard"))
       .orderBy("a", "b")
@@ -133,12 +137,17 @@ object DedupOps {
     * the verify gate's sf0.01: 500 docs = 124,750 pairs). */
   val oracle: Map[String, String] = Map(
     "q58_neardup_verified" ->
+      // byte 5-grams, like the Spark kernel (gram_set slides over UTF-8
+      // bytes): hex(encode(t)) turns the text into its byte string, and
+      // a 10-hex-char window is exactly one 5-byte gram — char-based
+      // substr would diverge on any multi-byte character
       """WITH d AS (
-        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  SELECT doc_id, hex(encode(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+        |   octet_length(encode(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS nb
         |  FROM documents WHERE length(text) >= 5),
         |grams AS (
-        |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram
-        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i FROM d)),
+        |  SELECT DISTINCT doc_id, substring(h, CAST(i*2+1 AS INT), 10) AS gram
+        |  FROM (SELECT doc_id, h, unnest(range(0, nb - 4)) AS i FROM d)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
         |inter AS (
         |  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS isz

@@ -141,10 +141,20 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= probes)
       .select(col("cid").as("cell"), col("vec_id"))
-    val cand = ranked.select(col("cell"), col("vec_id").as("a"))
-      .join(ranked.select(col("cell"), col("vec_id").as("b")), Seq("cell"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct() // a pair may share several cells
+    // bucket-grouping pair expansion (same shape as minhashPairs): the
+    // scoring+ranking dataflow runs ONCE — a self-join of `ranked`
+    // would recompute the N×nlist cosine pass on both sides. Per-cell
+    // member lists are bounded by ~N·probes/nlist, a knob that scales
+    // with the corpus exactly like LSH bucket width.
+    val cand = ranked
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct() // a pair may share several cells
     cand
       .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
       .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))

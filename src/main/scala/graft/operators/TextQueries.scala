@@ -201,13 +201,15 @@ object TextQueries {
     * answer. At 100 TB this replaces a full-vocabulary groupBy (memory
     * ∝ distinct tokens) with memory ∝ k per task. */
   def heavyHitterTokens(s: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    import s.implicits._
     val words = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
     val mg = udaf(new graft.functions.MisraGries(k))
-    val cands = words.agg(mg(col("w")).as("cands"))
-      .select(explode(col("cands")).as("w"))
-    val total = words.count()
+    // sketch AND total in the same pass — no extra corpus scan for n
+    val row = words.agg(mg(col("w")).as("cands"), count(lit(1)).as("total")).head()
+    val total = row.getLong(1)
+    val cands = row.getSeq[String](0).toDF("w")
     words.join(broadcast(cands), Seq("w"), "left_semi")
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"))
@@ -358,11 +360,12 @@ object TextQueries {
         |    FROM documents f JOIN lang USING (doc_id) JOIN qual USING (doc_id))
         |  WHERE rn = 1),
         |d AS (
-        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  SELECT doc_id, hex(encode(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+        |   octet_length(encode(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS nb
         |  FROM documents WHERE length(text) >= 5),
         |grams AS (
-        |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram
-        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i FROM d)),
+        |  SELECT DISTINCT doc_id, substring(h, CAST(i*2+1 AS INT), 10) AS gram
+        |  FROM (SELECT doc_id, h, unnest(range(0, nb - 4)) AS i FROM d)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
         |pairs AS (
         |  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS isz

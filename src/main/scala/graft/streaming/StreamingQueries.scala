@@ -59,7 +59,15 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy("event_date")
+    // materialize the final table and DROP the memory sink's temp view —
+    // repeated invocations in one session (warmup + bench + tests) must
+    // not accumulate result copies in the driver for the JVM's lifetime
+    val result = s.table(name).orderBy("event_date")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
