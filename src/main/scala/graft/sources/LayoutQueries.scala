@@ -48,12 +48,55 @@ object LayoutQueries {
         Exact.sumMoney(col("o_totalprice")).as("sum_total"))
       .orderBy(col("o_month"))
 
+  /** DYNAMIC partition pruning: the partition filter is not a literal
+    * the planner can see — it comes from a dimension table filtered at
+    * runtime. A calendar dim (month → quarter) filtered to one quarter
+    * joins the month-partitioned fact on the partition column; Spark
+    * plants a dynamicpruning subquery in the fact scan, so only the
+    * quarter's 3 month-directories are read even though no literal
+    * month range appears anywhere in the query. At 100 TB this is THE
+    * mechanism that makes star-schema queries over partitioned facts
+    * cheap — static pruning (q65) can't help when the filter lives in
+    * a dim. Plan pin in ParquetLayoutSpec; the oracle computes the
+    * same join over the original unpartitioned table. */
+  def dynamicPartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the calendar must be a real on-disk dim: a local collection gets
+    // constant-folded into literal rows at plan time, the selective
+    // Filter node disappears, and the DPP rule never fires
+    val calPath = s"${System.getProperty("java.io.tmpdir")}/graft_calendar_dim"
+    written.computeIfAbsent(calPath, { p =>
+      val months = (1992 to 1998).flatMap { y =>
+        (1 to 12).map(m => (f"$y-$m%02d", s"$y-Q${(m - 1) / 3 + 1}"))
+      }
+      months.toDF("o_month", "quarter").coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val calendar = s.read.parquet(calPath)
+    val fact = s.read.parquet(monthlyOrdersPath(s, dir))
+    fact
+      .join(calendar.filter(col("quarter") === "1995-Q2"), Seq("o_month"))
+      .groupBy(col("quarter"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Exact.sumMoney(col("o_totalprice")).as("sum_total"))
+      .orderBy("quarter")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q65_partition_pruning" -> (partitionPrunedScan _))
+    "q65_partition_pruning" -> (partitionPrunedScan _),
+    "q77_dynamic_pruning" -> (dynamicPartitionPruning _))
 
   /** Oracle runs on the ORIGINAL orders table — partitioning must not
     * change the answer, only the IO. */
   val oracle: Map[String, String] = Map(
+    "q77_dynamic_pruning" ->
+      """SELECT '1995-Q2' AS quarter, count(*) AS n_orders,
+        | sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS sum_total
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-04', '1995-05', '1995-06')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q65_partition_pruning" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_orders,
         | sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS sum_total

@@ -48,6 +48,23 @@ class ParquetLayoutSpec extends SparkSpec {
     assert(df.collect().toSeq === expected)
   }
 
+  test("q77: runtime dim filter plants a dynamic-pruning subquery in the fact scan") {
+    val df = LayoutQueries.dynamicPartitionPruning(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+    // and the pruned execution answers exactly like the original table
+    val expected = graft.Tables(spark, sf, "orders")
+      .filter(date_format(col("o_orderdate"), "yyyy-MM")
+        .isin("1995-04", "1995-05", "1995-06"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.operators.Exact.sumMoney(col("o_totalprice")).as("sum_total"))
+      .collect().head
+    val got = df.collect().head
+    assert(got.getLong(1) === expected.getLong(0))
+    assert(got.getDouble(2) === expected.getDouble(1))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // drop metadata AND any orphaned location from a prior aborted run
     Seq("b_orders", "b_lineitem").foreach { t =>
