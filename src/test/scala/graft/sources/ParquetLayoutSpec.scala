@@ -65,6 +65,40 @@ class ParquetLayoutSpec extends SparkSpec {
     assert(got.getDouble(2) === expected.getDouble(1))
   }
 
+  test("runtime bloom-filter join pruning fires when thresholds allow") {
+    // the non-partition-column sibling of DPP: a selective dim filter
+    // injects a bloom filter into the fact scan at runtime, pruning
+    // shuffle input row-by-row. Default thresholds target 10GB+ scans,
+    // so lower them to demonstrate the mechanism at fixture scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // the rule only fires for probable SHUFFLE joins — at fixture
+      // scale everything is broadcastable-by-size, which at 100 TB it
+      // would not be, so model that by disabling auto-broadcast
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val lineitem = graft.Tables(spark, sf, "lineitem")
+      val orders = graft.Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      // force the shuffle join path — bloom filters exist to protect
+      // shuffles; a broadcast join would not need one
+      val joined = lineitem.hint("merge")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"expected an injected runtime bloom filter in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // drop metadata AND any orphaned location from a prior aborted run
     Seq("b_orders", "b_lineitem").foreach { t =>
