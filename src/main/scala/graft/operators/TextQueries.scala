@@ -282,7 +282,45 @@ object TextQueries {
       .orderBy("doc_id", "example_ix")
   }
 
+  /** Hash-PORTABLE SimHash: the q57 kernel uses an engine-specific
+    * mix64 for speed, so its values are rows-only; this variant derives
+    * every feature hash from md5 — standardized, so any engine (or a
+    * future migration off Spark) reproduces the fingerprints bit-for-
+    * bit, which is what makes a dedup fingerprint durable as an
+    * ORGANIZATIONAL artifact rather than a per-engine one. Char
+    * 3-grams → 64 bits from the first 16 md5 hex digits → per-bit ±1
+    * votes → sign — classic SimHash, emitted as a 16-hex-char string
+    * (no 64-bit integer anywhere, so no signed-overflow hazards in
+    * either engine). One explode + one groupBy(doc_id): scales as a
+    * single shuffle of (doc, 16 small ints). */
+  def simhashPortable(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(length(col("text")) >= 3)
+      .select(col("doc_id"), norm(col("text")).as("t"))
+    val grams = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), length(col("t")) - 2),
+        i => col("t").substr(i, lit(3)))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val digits = (0 until 16).map(i =>
+      conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as(s"d$i"))
+    val bitSums = (0 until 64).map { b =>
+      val bit = shiftrightunsigned(col(s"d${b / 4}"), 3 - (b % 4))
+        .bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val sums = grams.select(col("doc_id") +: digits: _*)
+      .groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val hexCols = (0 until 16).map { i =>
+      val v = (0 until 4).map(j =>
+        when(col(s"s${4 * i + j}") > 0, lit(8 >> j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      lit("0123456789abcdef").substr(v + 1, lit(1))
+    }
+    sums.select(col("doc_id"), concat(hexCols: _*).as("simhash_hex"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_simhash_portable" -> (simhashPortable _),
     "q75_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "q76_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "q74_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
@@ -299,6 +337,33 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q78's oracle is generated: 16 digit extractions, 64 bit-vote
+    // sums, 16 hex reassemblies — mechanical SQL mirroring the Spark
+    // expressions exactly (same md5 on the same UTF-8 gram bytes).
+    "q78_simhash_portable" -> {
+      val digitExprs = (0 until 16)
+        .map(i => s"CAST(('0x' || substr(h, ${i + 1}, 1)) AS INTEGER) AS d$i")
+        .mkString(", ")
+      val sumExprs = (0 until 64)
+        .map(b => s"sum(CASE WHEN ((d${b / 4} >> ${3 - (b % 4)}) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(", ")
+      val hexExprs = (0 until 16).map { i =>
+        val v = (0 until 4)
+          .map(j => s"(CASE WHEN s${4 * i + j} > 0 THEN ${8 >> j} ELSE 0 END)")
+          .mkString(" + ")
+        s"substr('0123456789abcdef', 1 + $v, 1)"
+      }.mkString(" || ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+         |  FROM documents WHERE length(text) >= 3),
+         |g AS (
+         |  SELECT doc_id, md5(substr(t, CAST(i AS INT), 3)) AS h
+         |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i FROM d)),
+         |dig AS (SELECT doc_id, $digitExprs FROM g),
+         |sums AS (SELECT doc_id, $sumExprs FROM dig GROUP BY doc_id)
+         |SELECT doc_id, $hexExprs AS simhash_hex
+         |FROM sums ORDER BY doc_id""".stripMargin
+    },
     "q75_stratified_sample" ->
       """SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM (SELECT doc_id, lang,

@@ -78,6 +78,19 @@ class DedupSimilaritySpec extends SparkSpec {
       s"jaccard>=0.9 pairs should be within 16/64 bits, got ${pairs.mkString(",")}")
   }
 
+  test("portable simhash: near-dup pairs have small hamming distance too") {
+    val sh = TextQueries.simhashPortable(spark, sf)
+      .select(col("doc_id"), conv(col("simhash_hex"), 16, 10).cast("decimal(22,0)"))
+      .collect().map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+    val close = truePairs.filter(col("jac") >= 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(close.nonEmpty)
+    close.foreach { case (a, b) =>
+      val hamming = (sh(a) ^ sh(b)).bitCount
+      assert(hamming <= 16, s"pair ($a,$b) hamming $hamming")
+    }
+  }
+
   test("ANN LSH recall vs brute-force top-50") {
     val exact = SimilarityOps.cosineTopK(spark, sf, k = 50)
       .select("vec_id").collect().map(_.getLong(0)).toSet
