@@ -28,7 +28,10 @@ object DedupOps {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  private def norm(c: Column): Column = lower(regexp_replace(c, "\\s+", " "))
+  // explicit whitespace class (= Java's \s): RE2-based engines define \s
+  // without vertical tab, and the oracle must normalize identically
+  private def norm(c: Column): Column =
+    lower(regexp_replace(c, TextQueries.wsClass, " "))
 
   /** MinHash signatures as one array<long> column of k slot minima over
     * 5-byte shingles (native expression; see MinHashSig scaladoc). */
@@ -142,8 +145,8 @@ object DedupOps {
       // a 10-hex-char window is exactly one 5-byte gram — char-based
       // substr would diverge on any multi-byte character
       """WITH d AS (
-        |  SELECT doc_id, hex(encode(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
-        |   octet_length(encode(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS nb
+        |  SELECT doc_id, hex(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS h,
+        |   octet_length(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS nb
         |  FROM documents WHERE length(text) >= 5),
         |grams AS (
         |  SELECT DISTINCT doc_id, substring(h, CAST(i*2+1 AS INT), 10) AS gram

@@ -15,8 +15,22 @@ object TextQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** Whitespace-normalized lowercase form used by fingerprint/ngram ops. */
-  private def norm(c: Column): Column = lower(regexp_replace(c, "\\s+", " "))
+  /** Whitespace-normalized lowercase form used by fingerprint/ngram ops.
+    * The whitespace class is written out explicitly ([ \t\n\x0B\f\r] =
+    * exactly Java's \s) because RE2-based engines define \s WITHOUT
+    * vertical tab — with a bare \s the same document would normalize
+    * differently in Spark and in the DuckDB oracle. */
+  private[operators] val wsClass = "[ \\t\\n\\x0B\\f\\r]+"
+  private def norm(c: Column): Column = lower(regexp_replace(c, wsClass, " "))
+
+  /** Char 3-grams, empty-safe: sequence(1, len-2) with len < 3 produces
+    * a DESCENDING sequence (Spark infers step -1) and garbage substr
+    * positions — gate on length so short normalized text yields an
+    * empty gram list, exactly like the oracle's empty range(). */
+  private def grams3(c: Column): Column =
+    when(length(c) >= 3,
+      transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+      .otherwise(typedlit(Seq.empty[String]))
 
   /** Exact dedup: keep the lowest doc_id per content hash (hash-groupBy;
     * at 100 TB this is one shuffle on the 128-bit hash, no full-text
@@ -32,7 +46,7 @@ object TextQueries {
     * and a simple quality score (stopword share + alpha share). */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
-    val nTokens = size(split(trim(txt), "\\s+"))
+    val nTokens = size(split(trim(txt), wsClass))
     val nStop = regexp_count(lower(txt), lit("\\b(the|a|and|of|to|in|is|it)\\b"))
     val nAlpha = regexp_count(txt, lit("[A-Za-z]"))
     t(s, dir, "documents")
@@ -86,7 +100,7 @@ object TextQueries {
     t(s, dir, "documents")
       .select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        size(split(trim(col("text")), wsClass)).as("ws_tokens"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_tokens"),
         round(length(col("text")).cast("double") / 4.0, 2).as("approx_llm_tokens"))
       .orderBy("doc_id")
@@ -102,11 +116,12 @@ object TextQueries {
     * reference document (doc_id 0) — the verification kernel under
     * MinHash near-dup (DedupOps.minhashPairs estimates exactly this). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    def grams(c: Column): Column =
-      array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+    // filter on the NORMALIZED length: a raw-length gate would admit
+    // whitespace-heavy docs whose normalized form is shorter than a gram
     val docs = t(s, dir, "documents")
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), grams(norm(col("text"))).as("g"))
+      .select(col("doc_id"), norm(col("text")).as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(grams3(col("t"))).as("g"))
     val ref = docs.filter(col("doc_id") === 0).select(col("g").as("ref_g"))
     docs.crossJoin(broadcast(ref))
       .select(col("doc_id"),
@@ -120,12 +135,12 @@ object TextQueries {
     * (1 − distinct/total), a standard low-quality-text signal
     * (boilerplate and spam repeat heavily). */
   def repetition(s: SparkSession, dir: String): DataFrame = {
-    val t3 = norm(col("text"))
+    val t3 = col("t")
     val total = length(t3) - 2
-    val distinctG = size(array_distinct(transform(
-      sequence(lit(1), length(t3) - 2), i => t3.substr(i, lit(3)))))
+    val distinctG = size(array_distinct(grams3(t3)))
     t(s, dir, "documents")
-      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), norm(col("text")).as("t"))
+      .filter(length(t3) >= 3) // normalized length — see ngramJaccard
       .select(col("doc_id"),
         total.cast("int").as("total_grams"),
         distinctG.as("distinct_grams"),
@@ -173,7 +188,7 @@ object TextQueries {
     val gated = docs.filter(
       predictedLang(hits("en_hits"), hits("de_hits"), hits("fr_hits"),
         hits("es_hits"), hits("cjk_hits")) === "en" &&
-        size(split(trim(col("text")), "\\s+")) >= 20)
+        size(split(trim(col("text")), wsClass)) >= 20)
     val deduped = Ops.dedupKeepFirst(
         gated.withColumn("fp", md5(norm(col("text")))),
         Seq(col("fp")), Seq(col("doc_id")))
@@ -294,11 +309,11 @@ object TextQueries {
     * either engine). One explode + one groupBy(doc_id): scales as a
     * single shuffle of (doc, 16 small ints). */
   def simhashPortable(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(length(col("text")) >= 3)
+    val docs = t(s, dir, "documents")
       .select(col("doc_id"), norm(col("text")).as("t"))
+      .filter(length(col("t")) >= 3) // normalized length — see ngramJaccard
     val grams = docs.select(col("doc_id"),
-      explode(transform(sequence(lit(1), length(col("t")) - 2),
-        i => col("t").substr(i, lit(3)))).as("g"))
+      explode(grams3(col("t"))).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
     val digits = (0 until 16).map(i =>
       conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as(s"d$i"))
@@ -354,11 +369,12 @@ object TextQueries {
         s"substr('0123456789abcdef', 1 + $v, 1)"
       }.mkString(" || ")
       s"""WITH d AS (
-         |  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
-         |  FROM documents WHERE length(text) >= 3),
+         |  SELECT doc_id, lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS t
+         |  FROM documents),
+         |dn AS (SELECT doc_id, t FROM d WHERE length(t) >= 3),
          |g AS (
          |  SELECT doc_id, md5(substr(t, CAST(i AS INT), 3)) AS h
-         |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i FROM d)),
+         |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i FROM dn)),
          |dig AS (SELECT doc_id, $digitExprs FROM g),
          |sums AS (SELECT doc_id, $sumExprs FROM dig GROUP BY doc_id)
          |SELECT doc_id, $hexExprs AS simhash_hex
@@ -415,18 +431,18 @@ object TextQueries {
         |                len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una)\b')))),
         |qual AS (
         |  SELECT doc_id FROM documents
-        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 20),
+        |  WHERE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) >= 20),
         |deduped AS (
         |  SELECT doc_id FROM (
         |    SELECT f.doc_id,
         |     row_number() OVER (
-        |       PARTITION BY md5(lower(regexp_replace(f.text, '\s+', ' ', 'g')))
+        |       PARTITION BY md5(lower(regexp_replace(f.text, '[ \t\n\x0b\f\r]+', ' ', 'g')))
         |       ORDER BY f.doc_id) AS rn
         |    FROM documents f JOIN lang USING (doc_id) JOIN qual USING (doc_id))
         |  WHERE rn = 1),
         |d AS (
-        |  SELECT doc_id, hex(encode(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
-        |   octet_length(encode(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS nb
+        |  SELECT doc_id, hex(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS h,
+        |   octet_length(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS nb
         |  FROM documents WHERE length(text) >= 5),
         |grams AS (
         |  SELECT DISTINCT doc_id, substring(h, CAST(i*2+1 AS INT), 10) AS gram
@@ -470,7 +486,7 @@ object TextQueries {
         |   i -> substr(t, CAST(i AS INTEGER), 3)))) AS INTEGER) AS distinct_grams,
         | round(1.0 - CAST(len(list_distinct(list_transform(range(1, length(t) - 1),
         |   i -> substr(t, CAST(i AS INTEGER), 3)))) AS DOUBLE) / (length(t) - 2), 6) AS repetition_ratio
-        |FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |FROM (SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
         |      FROM documents WHERE length(text) >= 3)
         |ORDER BY doc_id""".stripMargin,
     "q50_dedup_exact" ->
@@ -481,15 +497,15 @@ object TextQueries {
     "q51_text_stats" ->
       """SELECT doc_id,
         | CAST(length(text) AS INTEGER) AS n_chars,
-        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        | CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS INTEGER) AS n_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INTEGER) AS n_alpha,
         | CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digit,
         | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct,
         | round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
-        |   / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
-        | round(CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_span,
+        |   / len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')), 6) AS stopword_ratio,
+        | round(CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')), 6) AS avg_token_span,
         | round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
-        |    / len(string_split_regex(trim(text), '\s+')) * 0.5
+        |    / len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) * 0.5
         |  + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) * 0.5, 6) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q52_lang_id" ->
@@ -509,18 +525,18 @@ object TextQueries {
         | FROM documents) ORDER BY doc_id""".stripMargin,
     "q53_token_count" ->
       """SELECT doc_id,
-        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+        | CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS INTEGER) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
         | round(CAST(length(text) AS DOUBLE) / 4.0, 2) AS approx_llm_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q54_fingerprint" ->
-      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      """SELECT doc_id, md5(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q55_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,
         |   list_distinct(list_transform(range(1, length(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3))) AS grams
-        |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  FROM (SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
         |        FROM documents WHERE length(text) >= 3)),
         |r AS (SELECT grams AS ref_grams FROM g WHERE doc_id = 0)
         |SELECT doc_id,

@@ -21,21 +21,23 @@ import graft.operators.Exact
   */
 object LayoutQueries {
 
-  /** One write per (jvm, source dir): queries must be re-runnable and
-    * concurrent suites must not race on the overwrite. */
+  /** One write per (jvm, source dir). The directory is a fresh
+    * per-process temp dir — a path shared across JVMs would race:
+    * this map can only guard within one process, and another JVM's
+    * mode("overwrite") would delete files out from under an in-flight
+    * scan here. */
   private val written = new ConcurrentHashMap[String, String]()
 
-  private def monthlyOrdersPath(s: SparkSession, dir: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_orders_by_month_" +
-      Integer.toHexString(dir.hashCode)
-    written.computeIfAbsent(path, { p =>
+  private def monthlyOrdersPath(s: SparkSession, dir: String): String =
+    written.computeIfAbsent(s"orders:$dir", { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_orders_by_month_").toString
       ParquetLayout.writePartitioned(
         Tables(s, dir, "orders")
           .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
         p, Seq("o_month"))
       p
     })
-  }
 
   /** The partition-pruned read: only the 1995-01..1995-03 directories
     * are listed and scanned. */
@@ -63,9 +65,11 @@ object LayoutQueries {
     import s.implicits._
     // the calendar must be a real on-disk dim: a local collection gets
     // constant-folded into literal rows at plan time, the selective
-    // Filter node disappears, and the DPP rule never fires
-    val calPath = s"${System.getProperty("java.io.tmpdir")}/graft_calendar_dim"
-    written.computeIfAbsent(calPath, { p =>
+    // Filter node disappears, and the DPP rule never fires. Fresh
+    // per-process temp dir for the same race reason as monthlyOrdersPath.
+    val calPath = written.computeIfAbsent("calendar", { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_calendar_dim_").toString
       val months = (1992 to 1998).flatMap { y =>
         (1 to 12).map(m => (f"$y-$m%02d", s"$y-Q${(m - 1) / 3 + 1}"))
       }
