@@ -334,7 +334,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** PII scrubbing pass — the redaction stage every training-corpus
+    * pipeline runs before release. Detects emails, URLs, and
+    * phone-like number runs with conservative patterns written to mean
+    * the same thing in Java regex and RE2 (explicit classes, no \w/\d
+    * shorthand, no backrefs), counts them per document, and reports
+    * the redacted length — per-row arithmetic that scales as a
+    * map-only stage. The oracle runs the identical patterns in DuckDB:
+    * detection AND redaction must agree engine-for-engine, or the
+    * "clean" corpus depends on which engine cleaned it. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val url = "https?://[A-Za-z0-9./_%+#?&=-]+"
+    val phone = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+    // the synthetic corpus contains no PII-shaped strings, so the scrub
+    // pass would be vacuous on it; inject deterministic test vectors
+    // (id-dependent, mirrored exactly in the oracle) so the detection
+    // AND redaction paths are exercised on real pattern occurrences —
+    // redacted lengths then depend on each doc_id's digit count, which
+    // makes the parity check substantive
+    val txt = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(""),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" see https://example.com/d/"), col("doc_id")))
+        .otherwise(""),
+      when(col("doc_id") % 7 === 0, lit(" call 555-867-5309")).otherwise(""))
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(txt, email, "<EMAIL>"), url, "<URL>"),
+      phone, "<PHONE>")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_count(txt, lit(email)).as("n_emails"),
+        regexp_count(txt, lit(url)).as("n_urls"),
+        regexp_count(txt, lit(phone)).as("n_phones"),
+        length(txt).as("len_raw"),
+        length(redacted).as("len_redacted"))
+      .filter(col("n_emails") + col("n_urls") + col("n_phones") > 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_pii_scrub" -> (piiScrub _),
     "q78_simhash_portable" -> (simhashPortable _),
     "q75_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "q76_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
@@ -352,6 +396,29 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q79_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |   (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+        |   (CASE WHEN doc_id % 5 = 0 THEN ' see https://example.com/d/' || doc_id ELSE '' END) ||
+        |   (CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END) AS t
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT doc_id,
+        |   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
+        |   CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_%+#?&=-]+')) AS INTEGER) AS n_urls,
+        |   CAST(len(regexp_extract_all(t, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS INTEGER) AS n_phones,
+        |   CAST(length(t) AS INTEGER) AS len_raw,
+        |   CAST(length(
+        |     regexp_replace(
+        |       regexp_replace(
+        |         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |         'https?://[A-Za-z0-9./_%+#?&=-]+', '<URL>', 'g'),
+        |       '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')) AS INTEGER) AS len_redacted
+        |  FROM aug)
+        |SELECT * FROM scrub
+        |WHERE n_emails + n_urls + n_phones > 0
+        |ORDER BY doc_id""".stripMargin,
     // q78's oracle is generated: 16 digit extractions, 64 bit-vote
     // sums, 16 hex reassemblies — mechanical SQL mirroring the Spark
     // expressions exactly (same md5 on the same UTF-8 gram bytes).
