@@ -56,7 +56,7 @@ object TextQueries {
         nTokens.as("n_tokens"),
         nAlpha.as("n_alpha"),
         regexp_count(txt, lit("[0-9]")).as("n_digit"),
-        regexp_count(txt, lit("[^A-Za-z0-9\\s]")).as("n_punct"),
+        regexp_count(txt, lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]")).as("n_punct"),
         round(nStop.cast("double") / nTokens, 6).as("stopword_ratio"),
         round(length(txt).cast("double") / nTokens, 6).as("avg_token_span"),
         round(nStop.cast("double") / nTokens * 0.5
@@ -101,7 +101,7 @@ object TextQueries {
       .select(
         col("doc_id"),
         size(split(trim(col("text")), wsClass)).as("ws_tokens"),
-        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]")).as("bpe_tokens"),
         round(length(col("text")).cast("double") / 4.0, 2).as("approx_llm_tokens"))
       .orderBy("doc_id")
 
@@ -199,7 +199,7 @@ object TextQueries {
     deduped.join(removed, Seq("doc_id"), "left_anti")
       .join(docs, "doc_id")
       .select(col("doc_id"),
-        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"))
           .as("bpe_tokens"),
         Ops.hashSplit(col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
@@ -525,7 +525,7 @@ object TextQueries {
         |  WHERE isz * 10 >= (sa.sz + sb.sz - isz) * 7),
         |removed AS (SELECT DISTINCT n.b AS doc_id FROM neardup n JOIN deduped s ON s.doc_id = n.a)
         |SELECT doc.doc_id,
-        | CAST(len(regexp_extract_all(doc.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        | CAST(len(regexp_extract_all(doc.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS INTEGER) AS bpe_tokens,
         | CASE WHEN v < round(0.8*65536) THEN 'train'
         |      WHEN v < round(0.9*65536) THEN 'val'
         |      ELSE 'test' END AS split
@@ -554,7 +554,8 @@ object TextQueries {
         | round(1.0 - CAST(len(list_distinct(list_transform(range(1, length(t) - 1),
         |   i -> substr(t, CAST(i AS INTEGER), 3)))) AS DOUBLE) / (length(t) - 2), 6) AS repetition_ratio
         |FROM (SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
-        |      FROM documents WHERE length(text) >= 3)
+        |      FROM documents)
+        |WHERE length(t) >= 3
         |ORDER BY doc_id""".stripMargin,
     "q50_dedup_exact" ->
       """SELECT doc_id, h FROM (
@@ -567,7 +568,7 @@ object TextQueries {
         | CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS INTEGER) AS n_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INTEGER) AS n_alpha,
         | CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digit,
-        | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct,
+        | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0b\f\r]')) AS INTEGER) AS n_punct,
         | round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
         |   / len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')), 6) AS stopword_ratio,
         | round(CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')), 6) AS avg_token_span,
@@ -593,7 +594,7 @@ object TextQueries {
     "q53_token_count" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS INTEGER) AS ws_tokens,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS INTEGER) AS bpe_tokens,
         | round(CAST(length(text) AS DOUBLE) / 4.0, 2) AS approx_llm_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q54_fingerprint" ->
@@ -604,7 +605,8 @@ object TextQueries {
         |  SELECT doc_id,
         |   list_distinct(list_transform(range(1, length(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3))) AS grams
         |  FROM (SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
-        |        FROM documents WHERE length(text) >= 3)),
+        |        FROM documents)
+        |  WHERE length(t) >= 3),
         |r AS (SELECT grams AS ref_grams FROM g WHERE doc_id = 0)
         |SELECT doc_id,
         | round(CAST(len(list_intersect(grams, ref_grams)) AS DOUBLE)

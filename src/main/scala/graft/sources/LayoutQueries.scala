@@ -25,8 +25,20 @@ object LayoutQueries {
     * per-process temp dir — a path shared across JVMs would race:
     * this map can only guard within one process, and another JVM's
     * mode("overwrite") would delete files out from under an in-flight
-    * scan here. */
+    * scan here. A shutdown hook deletes whatever this process created,
+    * so repeated Verify/Bench runs don't accumulate copies in /tmp. */
   private val written = new ConcurrentHashMap[String, String]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    import scala.jdk.CollectionConverters._
+    written.values.asScala.foreach { dir =>
+      try {
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => }
+    }
+  }))
 
   private def monthlyOrdersPath(s: SparkSession, dir: String): String =
     written.computeIfAbsent(s"orders:$dir", { _ =>
