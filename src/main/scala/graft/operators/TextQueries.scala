@@ -383,7 +383,32 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental ingestion dedup — the steady-state shape of a corpus
+    * that grows batch by batch: an incoming batch (doc_id >= 250 here;
+    * in production, today's crawl) is admitted only after dropping
+    * (a) exact duplicates within the batch, (b) exact matches of
+    * already-ingested fingerprints, and (c) near-duplicates of
+    * existing documents (the verified MinHash pair set restricted to
+    * existing→incoming edges). All three gates are anti-joins keyed by
+    * fingerprint or doc id, so the incremental cost is the batch size,
+    * not the corpus size — the property that keeps ingestion dedup
+    * viable as the accumulated corpus reaches 100 TB. */
+  def incrementalDedup(s: SparkSession, dir: String, batchStart: Long = 250): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("fp", md5(norm(col("text"))))
+    val existingFps = docs.filter(col("doc_id") < batchStart).select("fp")
+    val incoming = docs.filter(col("doc_id") >= batchStart)
+    val exactOk = Ops.dedupKeepFirst(incoming, Seq(col("fp")), Seq(col("doc_id")))
+      .join(existingFps, Seq("fp"), "left_anti")
+    val nearExisting = DedupOps.neardupVerified(s, dir)
+      .filter(col("a") < batchStart && col("b") >= batchStart)
+      .select(col("b").as("doc_id")).distinct()
+    exactOk.join(nearExisting, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "q79_pii_scrub" -> (piiScrub _),
     "q78_simhash_portable" -> (simhashPortable _),
     "q75_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
@@ -402,6 +427,35 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q80_incremental_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, hex(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS h,
+        |   octet_length(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS nb
+        |  FROM documents WHERE length(text) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substring(h, CAST(i*2+1 AS INT), 10) AS gram
+        |  FROM (SELECT doc_id, h, unnest(range(0, nb - 4)) AS i FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS isz
+        |  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+        |  GROUP BY 1, 2),
+        |neardup AS (
+        |  SELECT a, b FROM pairs
+        |   JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |  WHERE isz * 10 >= (sa.sz + sb.sz - isz) * 7),
+        |drop_near AS (SELECT DISTINCT b FROM neardup WHERE a < 250 AND b >= 250),
+        |within AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM f WHERE doc_id >= 250) WHERE rn = 1)
+        |SELECT doc_id, fp FROM within
+        |WHERE fp NOT IN (SELECT fp FROM f WHERE doc_id < 250)
+        |  AND doc_id NOT IN (SELECT b FROM drop_near)
+        |ORDER BY doc_id""".stripMargin,
     "q79_pii_scrub" ->
       """WITH aug AS (
         |  SELECT doc_id, text ||
