@@ -407,7 +407,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-statistical quality score: mean unigram log-probability per
+    * document — the cheap stand-in for the LM-perplexity gate training
+    * pipelines run (documents whose tokens are improbable under the
+    * corpus distribution are boilerplate, garbage, or wrong-language).
+    * Two passes: global unigram counts (one groupBy), then per-doc
+    * mean log10 p(token) via a token→frequency join. Float-parity
+    * design: each token's log-prob is quantized to integer 1e-4 units
+    * BEFORE the per-doc sum, so the aggregate is order-independent and
+    * engine-exact (a double sum's fold order would differ across
+    * shuffles and engines); the final mean is two IEEE divisions of
+    * exact integers. */
+  def unigramLogProb(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = toks.count()
+    val scored = toks.join(freq, "w")
+      .withColumn("lp_micro",
+        round(log10(col("cnt").cast("double") / lit(total.toDouble)) * 1e4)
+          .cast("long"))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("lp_micro")).cast("double") / count(lit(1)) / 1e4)
+          .as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_unigram_logprob" -> (unigramLogProb _),
     "q80_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "q79_pii_scrub" -> (piiScrub _),
     "q78_simhash_portable" -> (simhashPortable _),
@@ -427,6 +457,20 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q81_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |   CAST(round(log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 10000) AS BIGINT) AS lp
+        |  FROM toks t JOIN freq USING (w), tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(lp) AS DOUBLE) / count(*) / 10000 AS mean_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q80_incremental_dedup" ->
       """WITH f AS (
         |  SELECT doc_id, md5(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
