@@ -436,7 +436,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the overlap check run before training
+    * so eval data doesn't leak into the corpus: a document is flagged
+    * when it shares any normalized char-8-gram with the benchmark set
+    * (long grams make coincidental overlap rare; real leakage shares
+    * many). Here the "benchmark" is doc_id < 10 standing in for an
+    * eval set. Shape: the benchmark's distinct grams are a broadcast
+    * semi-join filter against the exploded corpus grams — at 100 TB
+    * the benchmark side is tiny and broadcast, so the check is one
+    * map-side-filtered pass over the corpus, and the output is the
+    * flagged docs with their matching-gram counts (the triage signal
+    * for manual review vs automatic drop). */
+  def decontaminate(s: SparkSession, dir: String, benchmarkMaxId: Long = 10,
+      gramLen: Int = 8): DataFrame = {
+    def grams(c: Column): Column =
+      filter(
+        transform(sequence(lit(1), greatest(length(c) - (gramLen - 1), lit(1))),
+          i => c.substr(i, lit(gramLen))),
+        g => length(g) === gramLen)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), norm(col("text")).as("t"))
+    val benchGrams = docs.filter(col("doc_id") < benchmarkMaxId)
+      .select(explode(grams(col("t"))).as("g")).distinct()
+    docs.filter(col("doc_id") >= benchmarkMaxId)
+      .select(col("doc_id"), explode(array_distinct(grams(col("t")))).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "q81_unigram_logprob" -> (unigramLogProb _),
     "q80_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "q79_pii_scrub" -> (piiScrub _),
@@ -457,6 +488,19 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q82_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 8) AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS i FROM d)
+        |  WHERE length(substr(t, CAST(i AS INT), 8)) = 8),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 10) c
+        | JOIN bench USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q81_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, w FROM (
