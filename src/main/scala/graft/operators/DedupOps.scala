@@ -129,7 +129,48 @@ object DedupOps {
       .orderBy("a", "b")
   }
 
+  /** Near-duplicate CLUSTERS: connected components of the verified
+    * pair graph, so an entire family of mutual near-dups keeps exactly
+    * one representative (pairwise removal can drop every member or
+    * chain inconsistently). Iterative min-label propagation as
+    * DataFrame joins: each round, every node takes the smallest label
+    * among itself and its neighbors; converges in ≤ diameter rounds
+    * (checked per round, hard cap as a safety net). Near-dup
+    * components are tiny by construction, so the diameter — and the
+    * number of shuffle rounds — stays small at any corpus size; a
+    * pathological giant component would call for the large-star/
+    * small-star rewrite, the same dataflow primitives with balanced
+    * fan-out. Emits (doc_id, cluster = min doc_id of its component)
+    * for every document that appears in at least one pair; the oracle
+    * recomputes components with a recursive transitive-closure CTE. */
+  def neardupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    val pairs = neardupVerified(s, dir).select(col("a"), col("b"))
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint() // pair generation must not re-run per iteration
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .select(col("a").as("id"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint() // truncate the growing iteration lineage
+      converged = next.join(labels,
+        next("id") === labels("id") && next("label") === labels("label"),
+        "left_anti").isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_neardup_clusters" -> ((s: SparkSession, d: String) => neardupClusters(s, d)),
     "q56_minhash_pairs" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
     "q57_simhash" -> ((s: SparkSession, d: String) => simhash(s, d)),
     "q58_neardup_verified" -> ((s: SparkSession, d: String) => neardupVerified(s, d)),
@@ -139,6 +180,30 @@ object DedupOps {
     * exact 5-gram Jaccard, recomputed brute-force by DuckDB (feasible at
     * the verify gate's sf0.01: 500 docs = 124,750 pairs). */
   val oracle: Map[String, String] = Map(
+    "q83_neardup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, hex(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS h,
+        |   octet_length(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS nb
+        |  FROM documents WHERE length(text) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substring(h, CAST(i*2+1 AS INT), 10) AS gram
+        |  FROM (SELECT doc_id, h, unnest(range(0, nb - 4)) AS i FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |prs AS (
+        |  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS isz
+        |  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT a, b FROM prs
+        |   JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |  WHERE isz * 10 >= (sa.sz + sb.sz - isz) * 7),
+        |edges AS (SELECT a, b FROM nd UNION SELECT b, a FROM nd),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
+        |SELECT id AS doc_id, min(r) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q58_neardup_verified" ->
       // byte 5-grams, like the Spark kernel (gram_set slides over UTF-8
       // bytes): hex(encode(t)) turns the text into its byte string, and
