@@ -148,8 +148,14 @@ object DedupOps {
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint() // pair generation must not re-run per iteration
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // seed = round 1 fused into the initial aggregation: edges already
+    // carry neighbor ids, so min(self, neighbors) needs no join — for
+    // the near-clique components near-dup graphs produce, this alone
+    // is usually the fixpoint and the loop only confirms convergence
+    var labels = edges
+      .groupBy(col("a"))
+      .agg(min(least(col("a"), col("b"))).as("label"))
+      .select(col("a").as("id"), col("label"))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
