@@ -19,12 +19,27 @@ import graft.operators.Exact
   */
 object JdbcQueries {
 
-  /** One Derby database + load per (jvm, source dir). */
+  /** One Derby database + load per (jvm, source dir); the database
+    * directory is deleted on JVM exit so repeated runs don't
+    * accumulate copies in /tmp. */
   private val loaded = new ConcurrentHashMap[String, Jdbc.JdbcConfig]()
+  private val dbDirs = new ConcurrentHashMap[String, String]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    import scala.jdk.CollectionConverters._
+    dbDirs.values.asScala.foreach { dir =>
+      try {
+        Files.walk(java.nio.file.Paths.get(dir))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => }
+    }
+  }))
 
   private def derbyFor(s: SparkSession, dir: String): Jdbc.JdbcConfig =
     loaded.computeIfAbsent(dir, { d =>
       val db = Files.createTempDirectory("graft_derby")
+      dbDirs.put(dir, db.toString)
       val cfg = Jdbc.JdbcConfig(
         url = s"jdbc:derby:$db/graftdb;create=true",
         user = "", password = "",

@@ -20,9 +20,21 @@ import graft.operators.Exact
 object StreamingQueries {
 
   /** One staged copy of events.parquet per source dir (file streams
-    * read directories, and queries must be re-runnable). */
+    * read directories, and queries must be re-runnable); deleted on JVM
+    * exit so repeated runs don't accumulate copies in /tmp. */
   private val staged = new ConcurrentHashMap[String, String]()
   private val runId = new AtomicInteger()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    import scala.jdk.CollectionConverters._
+    staged.values.asScala.foreach { dir =>
+      try {
+        Files.walk(Paths.get(dir))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => }
+    }
+  }))
 
   private def stageDir(dir: String): String =
     staged.computeIfAbsent(dir, { d =>
