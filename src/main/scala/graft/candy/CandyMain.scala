@@ -11,9 +11,16 @@ import graft.forecast.Forecaster
   * pipeline (candy_dag.py:80-126).
   *
   * Usage:
-  *   CandyMain process  <productsCsv> <transactionsGlob> <outputDir>
+  *   CandyMain process  [--strict-float-parity] <productsCsv> <transactionsGlob> <outputDir>
   *   CandyMain forecast <dailySummaryCsv> <outputDir> [horizonDays]
-  *   CandyMain all      <productsCsv> <transactionsGlob> <outputDir>
+  *   CandyMain all      [--strict-float-parity] <productsCsv> <transactionsGlob> <outputDir>
+  *
+  * `--strict-float-parity` reproduces the reference's float
+  * accumulation order in the daily money sums for byte-for-byte
+  * parity with its daily_summary.csv (CandyConfig.strictFloatParity —
+  * the knowingly non-scalable path); the default uses exact
+  * integer-cents sums, which can differ from the reference by one
+  * trailing cent on rounding-boundary days.
   */
 object CandyMain {
 
@@ -27,21 +34,29 @@ object CandyMain {
     try run(spark, args.toList) finally spark.stop()
   }
 
-  def run(spark: SparkSession, args: List[String]): Unit = args match {
-    case "process" :: products :: txns :: out :: Nil =>
-      process(spark, products, txns, out)
-    case "forecast" :: summaryCsv :: out :: rest =>
-      forecast(spark, summaryCsv, out, rest.headOption.map(_.toInt).getOrElse(1))
-    case "all" :: products :: txns :: out :: Nil =>
-      process(spark, products, txns, out)
-      forecast(spark, s"$out/daily_summary.csv", out, 1)
-    case other =>
-      throw new IllegalArgumentException(s"unknown command: $other")
+  def run(spark: SparkSession, args: List[String]): Unit = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    flags.filterNot(_ == "--strict-float-parity") match {
+      case Nil => ()
+      case bad => throw new IllegalArgumentException(s"unknown flags: $bad")
+    }
+    val cfg = CandyConfig(strictFloatParity = flags.contains("--strict-float-parity"))
+    positional match {
+      case "process" :: products :: txns :: out :: Nil =>
+        process(spark, products, txns, out, cfg)
+      case "forecast" :: summaryCsv :: out :: rest =>
+        forecast(spark, summaryCsv, out, rest.headOption.map(_.toInt).getOrElse(1))
+      case "all" :: products :: txns :: out :: Nil =>
+        process(spark, products, txns, out, cfg)
+        forecast(spark, s"$out/daily_summary.csv", out, 1)
+      case other =>
+        throw new IllegalArgumentException(s"unknown command: $other")
+    }
   }
 
   private def process(spark: SparkSession, products: String, txns: String,
-      out: String): Unit =
-    CandyPipeline.save(CandyPipeline.run(spark, products, txns), out)
+      out: String, cfg: CandyConfig): Unit =
+    CandyPipeline.save(CandyPipeline.run(spark, products, txns, cfg), out)
 
   private def forecast(spark: SparkSession, summaryCsv: String, out: String,
       horizon: Int): Unit = {

@@ -93,9 +93,14 @@ object DedupOps {
     * over candidates). Verification uses the native GramSet /
     * SortedIntersectSize expressions: each document's gram set is a
     * sorted array of verbatim-packed longs (exact, collision-free) and
-    * each pair costs one linear merge scan. The gram-set frames enter
-    * via broadcast joins, so no gram arrays ever cross a shuffle — the
-    * per-pair arrays exist only inside the codegen'd project stage.
+    * each pair costs one linear merge scan. Gram sets are built ONLY
+    * for documents that appear in some candidate pair (semi-join
+    * against the materialized pair set), so the frames entering the
+    * verification joins scale with the candidate count, not the corpus
+    * — AQE broadcasts them when they are small and falls back to a
+    * shuffled join keyed on doc_id when they are not. (An earlier
+    * revision broadcast the FULL corpus's gram sets unconditionally,
+    * which at the 100 TB design point would OOM the driver.)
     *
     * The threshold is a rational num/den and the filter is integer
     * arithmetic (den·|∩| ≥ num·|∪|), so the emitted pair set is exactly
@@ -109,13 +114,20 @@ object DedupOps {
     */
   def neardupVerified(s: SparkSession, dir: String,
       thresholdNum: Int = 7, thresholdDen: Int = 10): DataFrame = {
+    // materialize the candidate pairs once: they are consumed twice
+    // (candidate-id restriction + join probe) and LSH generation must
+    // not re-run per consumer
+    val pairs = minhashPairs(s, dir).localCheckpoint()
+    val candIds = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id")))
+      .distinct()
     val docs = t(s, dir, "documents")
       .filter(length(col("text")) >= 5)
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), gfn.gram_set(norm(col("text")), 5).as("g"))
-    val pairs = minhashPairs(s, dir)
     pairs
-      .join(broadcast(docs.select(col("doc_id").as("a"), col("g").as("ga"))), "a")
-      .join(broadcast(docs.select(col("doc_id").as("b"), col("g").as("gb"))), "b")
+      .join(docs.select(col("doc_id").as("a"), col("g").as("ga")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("g").as("gb")), "b")
       .withColumn("intersect_size", gfn.sorted_intersect_size(col("ga"), col("gb")))
       .withColumn("union_size",
         size(col("ga")) + size(col("gb")) - col("intersect_size"))
