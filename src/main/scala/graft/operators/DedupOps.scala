@@ -34,8 +34,17 @@ object DedupOps {
     lower(regexp_replace(c, TextQueries.wsClass, " "))
 
   /** MinHash signatures as one array<long> column of k slot minima over
-    * 5-byte shingles (native expression; see MinHashSig scaladoc). */
-  def minhashSignatures(s: SparkSession, dir: String, k: Int = 32): DataFrame =
+    * 5-byte shingles (native expression; see MinHashSig scaladoc).
+    *
+    * k=64 in 16 bands of 4 rows: the miss probability for a pair at
+    * Jaccard j is (1-j⁴)¹⁶ ≈ 2e-9 at the fixture's near-dup band
+    * (j ≥ 0.92) and ~1.2% even for a pair sitting exactly on the 0.7
+    * verification threshold — vs 4e-5 / 11% for the previous 8×4
+    * scheme. The oracle for the verified-pair queries compares against
+    * brute-force all-pairs truth, so candidate recall IS the gate's
+    * stability margin; widening the signature buys four orders of
+    * magnitude of it for one extra rolling-hash lane per byte. */
+  def minhashSignatures(s: SparkSession, dir: String, k: Int = 64): DataFrame =
     t(s, dir, "documents")
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), gfn.minhash_sig(norm(col("text")), k, 5).as("sig"))
@@ -51,7 +60,7 @@ object DedupOps {
     * size by nature of LSH (identical-doc clusters land in one bucket);
     * a production guard would cap or sample buckets past a size bound.
     */
-  def minhashPairs(s: SparkSession, dir: String, k: Int = 32, bands: Int = 8): DataFrame = {
+  def minhashPairs(s: SparkSession, dir: String, k: Int = 64, bands: Int = 16): DataFrame = {
     val rows = k / bands
     val sig = minhashSignatures(s, dir, k)
     val digests = (0 until bands).map(b =>
@@ -108,7 +117,7 @@ object DedupOps {
     * brute-force over all pairs. The jaccard column is one int/int IEEE
     * division (no rounding), identical across engines. MinHash recall
     * at the corpus's near-dup band (gram-Jaccard ≥ 0.92 here) makes a
-    * candidate miss ~1e-5-probable per pair and the pipeline is fully
+    * candidate miss ~1e-9-probable per pair and the pipeline is fully
     * deterministic, so oracle equality is a stable property, verified
     * per-run by the driver at sf0.01 and by ScalaTest at sf0.001.
     */
