@@ -151,50 +151,17 @@ object DedupOps {
   }
 
   /** Near-duplicate CLUSTERS: connected components of the verified
-    * pair graph, so an entire family of mutual near-dups keeps exactly
-    * one representative (pairwise removal can drop every member or
-    * chain inconsistently). Iterative min-label propagation as
-    * DataFrame joins: each round, every node takes the smallest label
-    * among itself and its neighbors; converges in ≤ diameter rounds
-    * (checked per round, hard cap as a safety net). Near-dup
-    * components are tiny by construction, so the diameter — and the
-    * number of shuffle rounds — stays small at any corpus size; a
-    * pathological giant component would call for the large-star/
-    * small-star rewrite, the same dataflow primitives with balanced
-    * fan-out. Emits (doc_id, cluster = min doc_id of its component)
-    * for every document that appears in at least one pair; the oracle
-    * recomputes components with a recursive transitive-closure CTE. */
-  def neardupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
-    val pairs = neardupVerified(s, dir).select(col("a"), col("b"))
-    val edges = pairs
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint() // pair generation must not re-run per iteration
-    // seed = round 1 fused into the initial aggregation: edges already
-    // carry neighbor ids, so min(self, neighbors) needs no join — for
-    // the near-clique components near-dup graphs produce, this alone
-    // is usually the fixpoint and the loop only confirms convergence
-    var labels = edges
-      .groupBy(col("a"))
-      .agg(min(least(col("a"), col("b"))).as("label"))
-      .select(col("a").as("id"), col("label"))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "b"), "b")
-        .select(col("a").as("id"), col("label"))
-      val next = labels.union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint() // truncate the growing iteration lineage
-      converged = next.join(labels,
-        next("id") === labels("id") && next("label") === labels("label"),
-        "left_anti").isEmpty
-      labels = next
-      i += 1
-    }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    * pair graph (Ops.connectedComponents — iterative min-label
+    * propagation), so an entire family of mutual near-dups keeps
+    * exactly one representative (pairwise removal can drop every
+    * member or chain inconsistently). Emits (doc_id, cluster = min
+    * doc_id of its component) for every document that appears in at
+    * least one pair; the oracle recomputes components with a recursive
+    * transitive-closure CTE. */
+  def neardupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
+    Ops.connectedComponents(neardupVerified(s, dir).select(col("a"), col("b")), maxIters)
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
       .orderBy("doc_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_neardup_clusters" -> ((s: SparkSession, d: String) => neardupClusters(s, d)),

@@ -56,6 +56,46 @@ object Ops {
     }
   }
 
+  /** Connected components of an undirected edge list (columns `a`, `b`)
+    * by iterative min-label propagation as DataFrame joins: each round,
+    * every node takes the smallest label among itself and its
+    * neighbors; converges in ≤ diameter rounds (checked per round, hard
+    * cap as a safety net). Round 1 is fused into the seed aggregation —
+    * edges already carry neighbor ids, so min(self, neighbors) needs no
+    * join, and for the near-clique components dedup graphs produce
+    * that alone is usually the fixpoint. Components of similarity
+    * graphs are tiny by construction, so the diameter — and the number
+    * of shuffle rounds — stays small at any corpus size; a pathological
+    * giant component would call for the large-star/small-star rewrite,
+    * the same dataflow primitives with balanced fan-out. Returns
+    * (id, label = min id of the component) for every node appearing in
+    * at least one edge. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint() // edge generation must not re-run per iteration
+    var labels = edges
+      .groupBy(col("a"))
+      .agg(min(least(col("a"), col("b"))).as("label"))
+      .select(col("a").as("id"), col("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .select(col("a").as("id"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint() // truncate the growing iteration lineage
+      converged = next.join(labels,
+        next("id") === labels("id") && next("label") === labels("label"),
+        "left_anti").isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** As-of join (an operator Spark lacks natively): for every left row,
     * attach the LATEST right row with rightTime <= leftTime within the
     * same key. Union-then-window formulation — tag both sides, sort

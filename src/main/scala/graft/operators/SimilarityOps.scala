@@ -208,7 +208,57 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Per-dimension symmetric int8 quantization report — the compression
+    * pass a 100 TB embedding store runs before serving ANN from memory:
+    * scale each dimension by 127/max|x| (one global per-dim aggregate),
+    * quantize, and report the per-dim distribution of the quantized
+    * values (sums, squares, saturation count). Two aggregation passes
+    * over the posexploded (vec_id, dim, x) view, both with map-side
+    * partial aggregation, so the shuffled volume is O(dims), not
+    * O(rows·dims). All reported stats are exact integers after the
+    * deterministic rounding, so the query is engine-exact. */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+    val st = e.groupBy(col("dim")).agg(max(abs(col("x"))).as("maxabs"))
+    e.join(broadcast(st), "dim")
+      .withColumn("q", round(col("x") / col("maxabs") * 127).cast("int"))
+      .groupBy(col("dim"), col("maxabs"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("sum_q2"),
+        sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"))
+      .select(col("dim"), round(col("maxabs"), 6).as("maxabs"), col("n"),
+        col("sum_q"), col("sum_q2"), col("n_sat"))
+      .orderBy("dim")
+  }
+
+  /** Semantic deduplication of the embedding corpus (SemDeDup-style):
+    * IVF-cell-blocked near-dup pairs (q66's verified candidate
+    * pipeline) → connected components (Ops.connectedComponents, the
+    * same min-label propagation as text near-dup clusters) → keep ONE
+    * representative per component (its min vec_id) and every vector
+    * that has no near-duplicate. Component-based removal is the part
+    * pairwise dedup gets wrong: dropping the higher id of each pair
+    * independently can delete an entire mutual-duplicate family.
+    * Returns the surviving corpus (vec_id, label). */
+  def semdedupCorpus(s: SparkSession, dir: String, threshold: Double = 0.35,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = neardupIvfBlocked(s, dir, threshold).select(col("a"), col("b"))
+    val nonRep = Ops.connectedComponents(pairs, maxIters)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("vec_id"))
+    t(s, dir, "embeddings")
+      .join(nonRep, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_embedding_quantize" -> (embeddingQuantize _),
+    "q87_semdedup_corpus" -> ((s: SparkSession, d: String) => semdedupCorpus(s, d)),
     "q63_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
     "q59_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNeardup(s, d)),
     "q60_cosine_topk" -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
@@ -217,6 +267,33 @@ object SimilarityOps {
     "q66_neardup_ivf_blocked" -> ((s: SparkSession, d: String) => neardupIvfBlocked(s, d)),
     "q67_ann_ivf_trained" -> ((s: SparkSession, d: String) => annIvf(s, d, trainIters = 2)),
   )
+
+  /** Exact double cosine of two embedding columns in DuckDB SQL —
+    * fold order identical to the CosineSimF kernel. */
+  private def cosSqlOf(x: String, y: String): String =
+    s"""list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+       |   / (sqrt(list_sum(list_transform($x, v -> CAST(v AS DOUBLE)*v)))
+       |      * sqrt(list_sum(list_transform($y, v -> CAST(v AS DOUBLE)*v))))""".stripMargin
+
+  private val pairCosSql = cosSqlOf("ea.embedding", "eb.embedding")
+
+  /** The q66 multi-probe IVF-cell candidate pipeline as CTEs
+    * (c → scored → ranked → cand), shared by every oracle that builds
+    * on the blocked near-dup pair set. */
+  private val ivfCandSql =
+    s"""c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+      |scored AS (
+      |  SELECT e.vec_id, c.cid,
+      |   ${cosSqlOf("e.embedding", "c.cv")} AS sim
+      |  FROM embeddings e CROSS JOIN c),
+      |ranked AS (
+      |  SELECT vec_id, cid,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rk
+      |  FROM scored),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      |  FROM ranked x JOIN ranked y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      |  WHERE x.rk <= 3 AND y.rk <= 3)""".stripMargin
 
   /** q61 uses engine-specific hashing → rows-only. q60/q62 accumulate in
     * double left-to-right, mirrored exactly by list_zip/list_transform
@@ -313,34 +390,47 @@ object SimilarityOps {
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 50""".stripMargin
     },
     "q66_neardup_ivf_blocked" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
-        |scored AS (
-        |  SELECT e.vec_id, c.cid,
-        |   list_sum(list_transform(list_zip(e.embedding, c.cv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE)*v)))
-        |      * sqrt(list_sum(list_transform(c.cv, v -> CAST(v AS DOUBLE)*v)))) AS sim
-        |  FROM embeddings e CROSS JOIN c),
-        |ranked AS (
-        |  SELECT vec_id, cid,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rk
-        |  FROM scored),
-        |cand AS (
-        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-        |  FROM ranked x JOIN ranked y ON x.cid = y.cid AND x.vec_id < y.vec_id
-        |  WHERE x.rk <= 3 AND y.rk <= 3)
+      s"""WITH $ivfCandSql
         |SELECT cand.a, cand.b,
-        | round(
-        |   list_sum(list_transform(list_zip(ea.embedding, eb.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(ea.embedding, v -> CAST(v AS DOUBLE)*v)))
-        |      * sqrt(list_sum(list_transform(eb.embedding, v -> CAST(v AS DOUBLE)*v)))), 6) AS cos_sim
+        | round($pairCosSql, 6) AS cos_sim
         |FROM cand
         | JOIN embeddings ea ON ea.vec_id = cand.a
         | JOIN embeddings eb ON eb.vec_id = cand.b
-        |WHERE round(
-        |   list_sum(list_transform(list_zip(ea.embedding, eb.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(ea.embedding, v -> CAST(v AS DOUBLE)*v)))
-        |      * sqrt(list_sum(list_transform(eb.embedding, v -> CAST(v AS DOUBLE)*v)))), 6) >= 0.35
+        |WHERE round($pairCosSql, 6) >= 0.35
         |ORDER BY a, b""".stripMargin,
+    // q87: q66's verified pair set, then components via a recursive
+    // transitive-closure CTE, then drop every non-representative member
+    "q87_semdedup_corpus" ->
+      s"""WITH RECURSIVE $ivfCandSql,
+        |nd AS (
+        |  SELECT cand.a, cand.b
+        |  FROM cand
+        |   JOIN embeddings ea ON ea.vec_id = cand.a
+        |   JOIN embeddings eb ON eb.vec_id = cand.b
+        |  WHERE round($pairCosSql, 6) >= 0.35),
+        |edges AS (SELECT a, b FROM nd UNION SELECT b, a FROM nd),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+        |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM lab WHERE cluster <> id)
+        |ORDER BY vec_id""".stripMargin,
+    "q86_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT CAST(u.d - 1 AS INT) AS dim, CAST(u.x AS DOUBLE) AS x
+        |  FROM embeddings,
+        |   LATERAL (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d) u),
+        |st AS (SELECT dim, max(abs(x)) AS maxabs FROM e GROUP BY dim),
+        |q AS (
+        |  SELECT e.dim, st.maxabs, CAST(round(x / maxabs * 127) AS INT) AS q
+        |  FROM e JOIN st USING (dim))
+        |SELECT dim, round(maxabs, 6) AS maxabs, count(*) AS n,
+        | CAST(sum(q) AS BIGINT) AS sum_q,
+        | CAST(sum(CAST(q AS BIGINT) * q) AS BIGINT) AS sum_q2,
+        | CAST(count(*) FILTER (WHERE abs(q) = 127) AS BIGINT) AS n_sat
+        |FROM q GROUP BY dim, maxabs ORDER BY dim""".stripMargin,
     "q62_embedding_stats" ->
       """SELECT label, count(*) AS n,
         | round(avg(l2), 4) AS avg_norm,

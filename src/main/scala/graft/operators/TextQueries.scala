@@ -466,7 +466,61 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-internal duplicated-shingle ratio — the substring-level
+    * duplication signal (trained-on-memorized-text risk) that document-
+    * level dedup can't see: a document may be globally unique while
+    * most of its word 5-grams are boilerplate shared with other
+    * documents. For each document: the fraction of its DISTINCT word
+    * 5-grams that occur in at least one other document. Shape: one
+    * explode to (gram, doc_id), one groupBy for corpus-wide gram
+    * document-frequencies, one join back — the exact-substring-dedup
+    * dataflow, linear in corpus size with a single shuffle keyed by
+    * gram. The ratio is one int/int IEEE division (engine-exact). */
+  def dupGramRatio(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(norm(col("text")), " "), w => w =!= "").as("toks"))
+      .filter(size(col("toks")) >= n)
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))).as("g"))
+    // grams are distinct per doc, so count(*) per gram IS its document
+    // frequency
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    grams.join(freq, "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_ratio",
+        col("n_dup_grams").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic dataset mixing — the weighted-epoch upsampling step
+    * that turns per-source mixture weights into a concrete training
+    * corpus: a document with weight w is emitted floor(w) times, plus
+    * once more when its content hash lands below frac(w) (the same
+    * md5-bucket device as hashSplit/stratifiedSample, so replication is
+    * reproducible across runs, engines, and partitionings — rand()
+    * would resample every run and every shuffle). Map-only explode: no
+    * shuffle, output size = sum of weights. */
+  def mixUpsample(s: SparkSession, dir: String): DataFrame = {
+    val w = when(col("lang") === "en", lit(2.5)).otherwise(lit(1.25))
+    val v = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 4),
+      16, 10).cast("int")
+    val copies = (floor(w).cast("int") +
+      when(v < (w - floor(w)) * 65536, 1).otherwise(0)).cast("int")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0), copies - 1)).as("copy_ix"))
+      .orderBy("doc_id", "copy_ix")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_dup_gram_ratio" -> ((s: SparkSession, d: String) => dupGramRatio(s, d)),
+    "q85_mix_upsample" -> ((s: SparkSession, d: String) => mixUpsample(s, d)),
     "q82_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "q81_unigram_logprob" -> (unigramLogProb _),
     "q80_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
@@ -488,6 +542,37 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q84_dup_gram_ratio" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |   list_filter(string_split(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')), ' '),
+        |     w -> w <> '') AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |   array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM dd)),
+        |freq AS (SELECT g, count(*) AS n_docs FROM grams GROUP BY g)
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(count(*) FILTER (WHERE n_docs >= 2) AS BIGINT) AS n_dup_grams,
+        | CAST(count(*) FILTER (WHERE n_docs >= 2) AS DOUBLE) / count(*) AS dup_ratio
+        |FROM grams JOIN freq USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q85_mix_upsample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |   (CASE WHEN lang = 'en' THEN 2.5 ELSE 1.25 END) AS wt,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4)) AS INTEGER) AS v
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |   CAST(floor(wt) AS INT) +
+        |    (CASE WHEN v < (wt - floor(wt)) * 65536 THEN 1 ELSE 0 END) AS n_copies
+        |  FROM w)
+        |SELECT doc_id, lang, CAST(i AS INT) AS copy_ix
+        |FROM c, LATERAL unnest(range(0, n_copies)) AS t(i)
+        |ORDER BY doc_id, copy_ix""".stripMargin,
     "q82_decontaminate" ->
       """WITH d AS (
         |  SELECT doc_id, lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t

@@ -46,4 +46,20 @@ class OpsSpec extends SparkSpec {
     assert(got.select("h", "doc_id").except(expFirst).count() === 0)
     assert(got.count() === expFirst.count())
   }
+
+  test("connectedComponents labels a chain, a clique, and a lone pair correctly") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 exercises >1 propagation round),
+    // clique {10,11,12}, lone pair {20,21}; node 30 absent from edges
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("a", "b")
+    val got = Ops.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got === exp)
+  }
 }
