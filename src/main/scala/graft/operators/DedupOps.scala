@@ -60,9 +60,22 @@ object DedupOps {
     * size by nature of LSH (identical-doc clusters land in one bucket);
     * a production guard would cap or sample buckets past a size bound.
     */
-  def minhashPairs(s: SparkSession, dir: String, k: Int = 64, bands: Int = 16): DataFrame = {
+  def minhashPairs(s: SparkSession, dir: String, k: Int = 64, bands: Int = 16): DataFrame =
+    minhashPairsRaw(s, dir, k, bands).orderBy("a", "b")
+
+  /** minhashPairs without the presentation sort: internal consumers
+    * (verification, clustering) re-shuffle the pairs immediately, so
+    * the declared query's global orderBy — a range-partitioning sample
+    * job plus a sort — would be pure waste on their path. */
+  private[operators] def minhashPairsRaw(s: SparkSession, dir: String,
+      k: Int = 64, bands: Int = 16): DataFrame =
+    pairsFromSig(minhashSignatures(s, dir, k), k, bands)
+
+  /** The band→bucket→pair expansion from an existing signature frame
+    * (doc_id, sig) — callers that also need the signatures for other
+    * purposes materialize them once and share. */
+  private def pairsFromSig(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignatures(s, dir, k)
     val digests = (0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)))
     val melted = sig.select(col("doc_id"),
@@ -76,7 +89,6 @@ object DedupOps {
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-      .orderBy("a", "b")
   }
 
   /** MinHash summary: small stable output for the rows-only check. */
@@ -122,11 +134,43 @@ object DedupOps {
     * per-run by the driver at sf0.01 and by ScalaTest at sf0.001.
     */
   def neardupVerified(s: SparkSession, dir: String,
+      thresholdNum: Int = 7, thresholdDen: Int = 10): DataFrame =
+    neardupVerifiedRaw(s, dir, thresholdNum, thresholdDen).orderBy("a", "b")
+
+  /** neardupVerified without the presentation sort (see
+    * minhashPairsRaw — same reasoning for downstream consumers). */
+  private[operators] def neardupVerifiedRaw(s: SparkSession, dir: String,
       thresholdNum: Int = 7, thresholdDen: Int = 10): DataFrame = {
-    // materialize the candidate pairs once: they are consumed twice
-    // (candidate-id restriction + join probe) and LSH generation must
-    // not re-run per consumer
-    val pairs = minhashPairs(s, dir).localCheckpoint()
+    val k = 64
+    // signatures materialized ONCE and shared by band-bucketing and the
+    // estimate prefilter below
+    val sig = minhashSignatures(s, dir, k).localCheckpoint()
+    val rawPairs = pairsFromSig(sig, k, bands = 16)
+    // Signature-estimate prefilter: on a template-heavy corpus the
+    // band buckets admit a quadratic mass of moderate-jaccard pairs
+    // (168k candidates for 256 verified at 5k docs here), and each
+    // exact verification drags two multi-KB gram arrays through two
+    // shuffles. The 64-slot signatures are ~512 B, so estimating
+    // jaccard as the matching-slot fraction and discarding pairs more
+    // than 0.2 below the threshold removes almost all of that mass for
+    // two cheap joins. For a pair AT the threshold the estimate is
+    // Binomial(64, j)/64, so the added miss probability is
+    // P(Binom(64, 0.7) < 32) ≈ 2e-4 — an order below the banding miss
+    // (~1.2%) — and at the corpus's actual near-dup band (j ≥ 0.92)
+    // it is ~1e-30: the oracle-stability margin is unchanged.
+    val minMatches = math.max(0,
+      math.floor(k * (thresholdNum.toDouble / thresholdDen - 0.2)).toInt)
+    val estMatches = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    // materialize the surviving pairs once: they are consumed twice
+    // (candidate-id restriction + join probe)
+    val pairs = rawPairs
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
+      .filter(estMatches >= minMatches)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
     val candIds = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id")))
       .distinct()
@@ -147,7 +191,6 @@ object DedupOps {
         col("intersect_size") * thresholdDen >= col("union_size") * thresholdNum)
       .select(col("a"), col("b"), col("intersect_size"), col("union_size"),
         (col("intersect_size").cast("double") / col("union_size")).as("jaccard"))
-      .orderBy("a", "b")
   }
 
   /** Near-duplicate CLUSTERS: connected components of the verified
@@ -159,7 +202,7 @@ object DedupOps {
     * least one pair; the oracle recomputes components with a recursive
     * transitive-closure CTE. */
   def neardupClusters(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
-    Ops.connectedComponents(neardupVerified(s, dir).select(col("a"), col("b")), maxIters)
+    Ops.connectedComponents(neardupVerifiedRaw(s, dir).select(col("a"), col("b")), maxIters)
       .select(col("id").as("doc_id"), col("label").as("cluster"))
       .orderBy("doc_id")
 

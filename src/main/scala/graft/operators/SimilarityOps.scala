@@ -126,7 +126,13 @@ object SimilarityOps {
     * truth in ScalaTest, and the whole query is DuckDB-oracle-checked —
     * the ranked cell assignment is plain SQL. */
   def neardupIvfBlocked(s: SparkSession, dir: String, threshold: Double = 0.35,
-      nlist: Int = 16, probes: Int = 3): DataFrame = {
+      nlist: Int = 16, probes: Int = 3): DataFrame =
+    neardupIvfBlockedRaw(s, dir, threshold, nlist, probes).orderBy("a", "b")
+
+  /** neardupIvfBlocked without the presentation sort — downstream
+    * consumers (semantic dedup) re-shuffle the pairs immediately. */
+  private[operators] def neardupIvfBlockedRaw(s: SparkSession, dir: String,
+      threshold: Double = 0.35, nlist: Int = 16, probes: Int = 3): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val cents = emb.filter(col("vec_id").between(1, nlist))
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -161,7 +167,6 @@ object SimilarityOps {
       .select(col("a"), col("b"),
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .orderBy("a", "b")
   }
 
   /** ANN via IVF (inverted-file) coarse quantization: every vector is

@@ -199,7 +199,7 @@ object TextQueries {
         gated.withColumn("fp", md5(norm(col("text")))),
         Seq(col("fp")), Seq(col("doc_id")))
       .select("doc_id")
-    val removed = DedupOps.neardupVerified(s, dir)
+    val removed = DedupOps.neardupVerifiedRaw(s, dir)
       .join(deduped.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
       .select(col("b").as("doc_id")).distinct()
     deduped.join(removed, Seq("doc_id"), "left_anti")
@@ -399,7 +399,7 @@ object TextQueries {
     val incoming = docs.filter(col("doc_id") >= batchStart)
     val exactOk = Ops.dedupKeepFirst(incoming, Seq(col("fp")), Seq(col("doc_id")))
       .join(existingFps, Seq("fp"), "left_anti")
-    val nearExisting = DedupOps.neardupVerified(s, dir)
+    val nearExisting = DedupOps.neardupVerifiedRaw(s, dir)
       .filter(col("a") < batchStart && col("b") >= batchStart)
       .select(col("b").as("doc_id")).distinct()
     exactOk.join(nearExisting, Seq("doc_id"), "left_anti")
