@@ -11,6 +11,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the engine's native kernels as SQL functions (static conf —
+      // must be set where the SparkContext is created)
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     warmup(spark, sfDir)

@@ -192,7 +192,34 @@ object GraftExpressions {
       }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("gram_set"),
+      new ExpressionInfo(classOf[GramSet].getName, "gram_set"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => GramSet(c, 3)
+        case Seq(c, n) => GramSet(c, intLit(n, "n"))
+        case _ => throw SparkException.internalError("gram_set takes 1-2 args")
+      }),
+    (FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (args: Seq[Expression]) => args match {
+        case Seq(l, r) => SortedIntersectSize(l, r)
+        case _ => throw SparkException.internalError("sorted_intersect_size takes 2 args")
+      }),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim"),
+      (args: Seq[Expression]) => args match {
+        case Seq(l, r) => CosineSimF(l, r)
+        case _ => throw SparkException.internalError("cosine_sim takes 2 args")
+      }),
+    (FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketF].getName, "lsh_bucket"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, bits) => LshBucketF(c, intLit(bits, "bits"), 0)
+        case Seq(c, bits, tbl) =>
+          LshBucketF(c, intLit(bits, "bits"), intLit(tbl, "table"))
+        case _ => throw SparkException.internalError("lsh_bucket takes 2-3 args")
+      }))
 
   /** Register the SQL functions on an already-built session. */
   def registerAll(spark: SparkSession): Unit =

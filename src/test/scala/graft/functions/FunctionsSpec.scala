@@ -28,6 +28,38 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects every kernel as a SQL function via spark.sql.extensions") {
+    val orig = spark // force shared-session init before clearing defaults
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // a NEW SparkSession over the existing SparkContext. The
+      // spark.sql.extensions STRING conf is static (read from the
+      // SparkContext at its creation — Verify/Bench set it there);
+      // withExtensions exercises the same injection path for a
+      // context that already exists.
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new org.apache.spark.sql.graft.GraftExtensions().apply(_))
+        .getOrCreate()
+      assert(s2 ne orig, "builder must construct a fresh session")
+      import s2.implicits._
+      Seq(("abcdefg", Array(1.0f, 2.0f), Array(1.0f, 2.0f)))
+        .toDF("t", "x", "y").createOrReplaceTempView("ext_t")
+      val r = s2.sql(
+        """SELECT size(minhash_sig(t)) AS a, simhash64(t) AS b,
+          |  sorted_intersect_size(gram_set(t, 3), gram_set(t, 3)) AS c,
+          |  cosine_sim(x, y) AS d, lsh_bucket(x, 4, 1) AS e
+          |FROM ext_t""".stripMargin).collect().head
+      assert(r.getInt(0) === 32) // minhash_sig default k
+      assert(r.getInt(2) === 5) // "abcdefg": 5 distinct 3-grams
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-12) // cos(x, x) = 1
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("expressions evaluate identically interpreted vs codegen") {
     // force both paths: the Column API plan normally codegens; a
     // literal-only eager eval goes through nullSafeEval
