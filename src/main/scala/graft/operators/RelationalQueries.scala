@@ -507,7 +507,33 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The NAIVE point-in-interval join — no equi key, no manual
+    * bucketing — planned scalably by the injected BucketedRangeJoinRule
+    * (org.apache.spark.sql.graft): the rule detects the interval
+    * predicate and rewrites it to q37's bucketed equi-join shape
+    * automatically, so the user writes the declarative condition and
+    * still avoids the nested-loop cross product. Intervals are 6-hour
+    * windows seeded by the first 20 events (events and orders don't
+    * overlap in time in this dataset); width = 1 hour of microseconds,
+    * so each interval spans ≤ 7 buckets. The plan pin (PlanSpec)
+    * asserts no nested-loop join survives. */
+  def rangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    // opt-in width for the rewrite (session conf read at planning time)
+    s.conf.set(org.apache.spark.sql.graft.BucketedRangeJoinRule.WIDTH_KEY, hourUs.toString)
+    val ev = t(s, dir, "events").select(
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val iv = t(s, dir, "events").filter(col("event_id") < 20)
+      .select(col("event_id").as("win_id"),
+        unix_micros(col("ts").cast("timestamp")).as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(6L) * lit(hourUs))
+    ev.join(iv, col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .groupBy(col("win_id")).agg(count(lit(1)).as("n_events"))
+      .orderBy("win_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_range_join_auto" -> (rangeJoinAuto _),
     "q32_bag_ops" -> (bagOps _),
     "q33_window_firstlast" -> (windowFirstLast _),
     "q34_window_ranks" -> (windowRanks _),
@@ -582,6 +608,13 @@ object RelationalQueries {
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q88_range_join_auto" ->
+      """WITH iv AS (
+        |  SELECT event_id AS win_id, ts AS start_ts FROM events WHERE event_id < 20)
+        |SELECT iv.win_id, count(*) AS n_events
+        |FROM iv JOIN events e
+        |  ON e.ts >= iv.start_ts AND e.ts < iv.start_ts + INTERVAL 6 HOUR
+        |GROUP BY iv.win_id ORDER BY iv.win_id""".stripMargin,
     "q37_range_join" ->
       """SELECT o.o_orderkey,
         | count(e.event_id) AS n_events_7d

@@ -1,0 +1,134 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** Optimizer rule: plans a point-in-interval INNER join with no
+  * equi-join keys as a bucketed equi-join instead of the nested-loop
+  * cross product Spark would otherwise produce.
+  *
+  * A condition of the shape `p >= lo AND p <= hi` (strict variants and
+  * flipped operand orders accepted; `p` from one side, `lo`/`hi` from
+  * the other, all LongType and deterministic) has no equi key, so
+  * Spark's only strategies are broadcast/cartesian nested-loop — O(n·m)
+  * comparisons and, at 100 TB, an unrunnable plan. But bucketing by a
+  * fixed width w is monotone: p ∈ [lo, hi] implies
+  * floor(p/w) ∈ [floor(lo/w), floor(hi/w)]. So the join can run as an
+  * equi-join on the bucket id — the interval side exploded to the
+  * buckets it spans, the point side tagged with its single bucket —
+  * with the ORIGINAL predicate re-applied as a post-join filter
+  * (the bucket join is a strict superset, so the rewrite is exact
+  * regardless of bound strictness). This is q37's hand-written shape
+  * (RelationalQueries.rangeJoinBucketed), derived automatically.
+  *
+  * Opt-in by setting `spark.graft.rangeJoin.bucketWidth` (in the
+  * point column's units) — width choice is a data statement: intervals
+  * should span few buckets, which the optimizer cannot know statically.
+  * The rule runs inside the operator-optimization fixed point and is
+  * self-stabilizing: its own output contains an equi condition, which
+  * the eligibility check rejects.
+  */
+case class BucketedRangeJoinRule() extends Rule[LogicalPlan] with PredicateHelper {
+
+  import BucketedRangeJoinRule.WIDTH_KEY
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = conf.getConfString(WIDTH_KEY, "0").toLong
+    if (width <= 0) plan
+    else plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        rewrite(j, left, right, cond, width).getOrElse(j)
+    }
+  }
+
+  /** A conjunct's possible bound readings: (point, bound,
+    * pointIsFromLeft, isLowerBound). Every comparison admits two — in
+    * `a >= b`, a is a point lower-bounded by b AND b is a point
+    * upper-bounded by a; which reading is right emerges when a lower
+    * and an upper bound pair up on the same point expression. */
+  private def boundsOf(e: Expression, left: LogicalPlan,
+      right: LogicalPlan): Seq[(Expression, Expression, Boolean, Boolean)] = {
+    def mk(p: Expression, b: Expression, lower: Boolean) = {
+      val ok = (x: Expression) => x.deterministic && x.dataType == LongType
+      if (!ok(p) || !ok(b)) None
+      else if (p.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
+        Some((p, b, true, lower))
+      else if (p.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+        Some((p, b, false, lower))
+      else None
+    }
+    e match {
+      case GreaterThanOrEqual(a, b) => mk(a, b, lower = true).toSeq ++ mk(b, a, lower = false)
+      case GreaterThan(a, b) => mk(a, b, lower = true).toSeq ++ mk(b, a, lower = false)
+      case LessThanOrEqual(a, b) => mk(a, b, lower = false).toSeq ++ mk(b, a, lower = true)
+      case LessThan(a, b) => mk(a, b, lower = false).toSeq ++ mk(b, a, lower = true)
+      case _ => Nil
+    }
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      cond: Expression, width: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    // an equi condition between the sides means Spark already has a
+    // shuffle key (and also marks our own rewritten joins)
+    val hasEqui = conjuncts.exists {
+      case Equality(a, b) =>
+        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+          (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+      case _ => false
+    }
+    if (hasEqui) return None
+
+    val bounds = conjuncts.flatMap(boundsOf(_, left, right))
+    // one lower and one upper bound on the SAME point expression, with
+    // both bounds coming from the other side
+    val pair = (for {
+      (p1, lo, fromL1, true) <- bounds
+      (p2, hi, fromL2, false) <- bounds
+      if fromL1 == fromL2 && p1.semanticEquals(p2)
+    } yield (p1, lo, hi, fromL1)).headOption
+    pair.map { case (p, lo, hi, pointFromLeft) =>
+      val w = Literal(width, LongType)
+      // floor division via pmod (exact long math, correct for negatives)
+      def bucket(e: Expression): Expression =
+        IntegralDivide(Subtract(e, Pmod(e, w)), w)
+
+      val pb = Alias(bucket(p), "__graft_pb")()
+      val pointSide = Project(
+        (if (pointFromLeft) left.output else right.output) :+ pb,
+        if (pointFromLeft) left else right)
+
+      // interval side: one row per spanned bucket; an empty interval
+      // (hi < lo) explodes to no rows, exactly like the original
+      // join's empty match set (Sequence would throw on a reversed
+      // range, hence the guard)
+      val bLo = bucket(lo)
+      val bHi = bucket(hi)
+      // timeZoneId must be supplied explicitly: ResolveTimeZone ran at
+      // analysis, long before this rule injects the expression
+      val seq = If(LessThanOrEqual(bLo, bHi),
+        Sequence(bLo, bHi, Some(Literal(1L, LongType)),
+          Some(conf.sessionLocalTimeZone)),
+        Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+      val rbAttr = AttributeReference("__graft_rb", LongType, nullable = false)()
+      val boundSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(rbAttr),
+        child = if (pointFromLeft) right else left)
+
+      val (newLeft, newRight) =
+        if (pointFromLeft) (pointSide, boundSide) else (boundSide, pointSide)
+      val bucketJoin = Join(newLeft, newRight, Inner,
+        Some(EqualTo(pb.toAttribute, rbAttr)), JoinHint.NONE)
+      // the full original condition re-applied: the bucket join is a
+      // candidate superset, the filter makes it exact
+      Project(j.output, Filter(cond, bucketJoin))
+    }
+  }
+}
+
+object BucketedRangeJoinRule {
+  val WIDTH_KEY = "spark.graft.rangeJoin.bucketWidth"
+}

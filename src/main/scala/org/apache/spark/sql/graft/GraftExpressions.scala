@@ -232,6 +232,8 @@ object GraftExpressions {
   * `.config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExpressions.registrations.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => BucketedRangeJoinRule())
+  }
 }

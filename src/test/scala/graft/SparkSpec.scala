@@ -18,6 +18,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // tests run under the same extensions Verify/Bench deploy with
+      // (SQL function registry + conf-gated optimizer rules)
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions().apply(_))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

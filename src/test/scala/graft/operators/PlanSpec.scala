@@ -72,6 +72,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q88: the naive interval join is auto-rewritten — no nested-loop join") {
+    val p = plan("q88_range_join_auto")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range-join rewrite did not fire:\n$p")
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("q70: the salted join really shuffles on (key, salt)") {
     val p = plan("q70_skew_salted_join")
     // the whole point of salting: the join key seen by the exchange
