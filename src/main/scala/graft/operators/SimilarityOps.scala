@@ -261,7 +261,35 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector (the first `nQueries` ids), the `topK` highest-cosine
+    * corpus vectors with a DIFFERENT label — the near-misses a
+    * retrieval model must learn to push away. Shape: the probe set is
+    * tiny and broadcast, scoring is one codegen'd pass over the corpus,
+    * and per-query top-k runs through the salted two-phase
+    * Ops.topKPerGroup (a plain window over `nQueries` partitions would
+    * serialize into nQueries tasks at corpus scale). Ranking is on the
+    * ROUNDED cosine with vec_id tie-break, so the emitted order is
+    * engine-exact. */
+  def hardNegatives(s: SparkSession, dir: String, nQueries: Long = 10,
+      topK: Int = 5): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+    Ops.topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos_sim").desc, col("vec_id")), topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"),
+        col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "q86_embedding_quantize" -> (embeddingQuantize _),
     "q87_semdedup_corpus" -> ((s: SparkSession, d: String) => semdedupCorpus(s, d)),
     "q63_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d)),
@@ -305,6 +333,19 @@ object SimilarityOps {
     * (DuckDB's builtin list_cosine_similarity accumulates in float32 and
     * does NOT match). */
   val oracle: Map[String, String] = Map(
+    "q90_hard_negatives" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id, e.label,
+        |   round(${cosSqlOf("e.embedding", "q.qv")}, 6) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlabel),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, CAST(rk AS INT) AS rank, vec_id, label, cos_sim
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
     // q63's sampled-centroid mode is fully deterministic and its cosine
     // fold is oracle-exact (proven by q59/q60), so even the ANN variant
     // gets a DuckDB oracle: same centroids, same struct-argmax cell

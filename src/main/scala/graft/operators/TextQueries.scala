@@ -518,7 +518,33 @@ object TextQueries {
       .orderBy("doc_id", "copy_ix")
   }
 
+  /** TF-IDF top terms per document — the classic retrieval/keyword
+    * signal: score = tf · ln(N/df), top 3 per doc. Two corpus
+    * aggregates (term frequencies, document frequencies) and one join
+    * back; the per-doc ranking window partitions by doc_id, a
+    * high-cardinality key that runs at full parallelism. Ranking is on
+    * the ROUNDED score (ties broken by term) so the order is
+    * engine-exact: tf and df are exact integers and N/df→ln→product is
+    * identical IEEE arithmetic in both engines. */
+  def tfidfTopTerms(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = toks.select(col("doc_id")).distinct().count()
+    val scored = tf.join(df, "w")
+      .withColumn("score",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+    Ops.topKPerGroup(scored, Seq(col("doc_id")),
+        Seq(col("score").desc, col("w")), topK)
+      .select(col("doc_id"), col("rank"), col("w").as("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "q84_dup_gram_ratio" -> ((s: SparkSession, d: String) => dupGramRatio(s, d)),
     "q85_mix_upsample" -> ((s: SparkSession, d: String) => mixUpsample(s, d)),
     "q82_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
@@ -542,6 +568,24 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q89_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM toks),
+        |scored AS (
+        |  SELECT doc_id, w, tf, df,
+        |   round(tf * ln(CAST(nd AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN df USING (w), n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS INT) AS rank, w AS term,
+        | CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q84_dup_gram_ratio" ->
       """WITH d AS (
         |  SELECT doc_id,
