@@ -187,8 +187,18 @@ object MultimodalOps {
       .orderBy("kind")
   }
 
+  /** q91: frame sampling as a declared query — every 7th frame index of
+    * each video row, a pure metadata explosion (map-only; the sampled
+    * frames' decode happens downstream in batches). The frame grid is
+    * deterministic arithmetic over n_frames, so DuckDB reproduces it
+    * exactly. */
+  def frameSample(s: SparkSession, dir: String, everyN: Int = 7): DataFrame =
+    sampleFrames(mediaFromDocuments(s, dir).toDF(), everyN)
+      .orderBy("media_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_media_stats" -> ((s: SparkSession, d: String) => mediaStats(s, d)),
+    "q91_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
   )
 
   /** The payload is the document text's UTF-8 bytes, so DuckDB's byte
@@ -203,6 +213,14 @@ object MultimodalOps {
         | CAST(max(strlen(text)) AS INT) AS max_bytes,
         | CAST(sum(strlen(text)) AS DOUBLE) / count(*) AS avg_bytes
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    // video rows are doc_id % 3 = 2 with n_frames = 1 + doc_id % 100;
+    // Spark's sequence(0, n-1, 7) and DuckDB's range(0, n, 7) generate
+    // the same grid (inclusive vs exclusive upper bound)
+    "q91_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx
+        |FROM documents, LATERAL unnest(range(0, 1 + doc_id % 100, 7)) AS t(i)
+        |WHERE doc_id % 3 = 2
+        |ORDER BY media_id, frame_idx""".stripMargin,
   )
 
   /** Deterministic synthetic media table (no external fixtures in the
