@@ -26,6 +26,10 @@ object Prof {
     time("verified")(DedupOps.neardupVerified(spark, dir).count())
     time("verified2")(DedupOps.neardupVerified(spark, dir).count())
     time("clusters")(DedupOps.neardupClusters(spark, dir).count())
+    time("ivf_pairs")(graft.operators.SimilarityOps.neardupIvfBlocked(spark, dir).count())
+    time("ivf_pairs2")(graft.operators.SimilarityOps.neardupIvfBlocked(spark, dir).count())
+    time("semdedup")(graft.operators.SimilarityOps.semdedupCorpus(spark, dir, 0.5).count())
+    time("semdedup2")(graft.operators.SimilarityOps.semdedupCorpus(spark, dir, 0.5).count())
     spark.stop()
   }
 }
