@@ -43,6 +43,16 @@ object StreamingQueries {
       p.toString
     })
 
+  /** Staging dir holding events.parquet TWICE (distinct file names) —
+    * the at-least-once-delivery fixture for the streaming dedup query. */
+  private def stageDirDuplicated(dir: String): String =
+    staged.computeIfAbsent(dir + "#dup", { _ =>
+      val p = Files.createTempDirectory("graft_stream_events_dup")
+      Files.copy(Paths.get(s"$dir/events.parquet"), p.resolve("events.parquet"))
+      Files.copy(Paths.get(s"$dir/events.parquet"), p.resolve("events_redelivered.parquet"))
+      p.toString
+    })
+
   /** Daily rollup executed as a Structured Streaming job: micro-batched
     * file source, event-time tumbling window, exact integer-cents sums
     * (order-independent — a streaming engine gives no fold-order
@@ -82,11 +92,56 @@ object StreamingQueries {
     out
   }
 
+  /** Streaming exactly-once dedup under at-least-once delivery: the
+    * staged source contains every event TWICE (a redelivered file —
+    * the failure mode any distributed ingestion has), and the stream
+    * must emit each event_id exactly once. Watermarked dropDuplicates
+    * is the production shape: state for an id is kept only one day
+    * past the event-time frontier, which bounds memory on an unbounded
+    * stream; a redelivery either arrives while the id is in state
+    * (dropped by dedup) or after the frontier passed it (dropped as
+    * late), so the appended output never carries a duplicate. The
+    * gate then aggregates the emitted rows per day and must equal the
+    * batch truth over the ORIGINAL (single-copy) events table. */
+  def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val events = s.readStream.schema(schema).parquet(stageDirDuplicated(dir))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id")
+    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+    val q = events.select("event_id", "ts", "value").writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = s.table(name)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(
+        count(lit(1)).as("num_events"),
+        (sum(Exact.cents(col("value"))) / 100.0).cast("double").as("total_value"))
+      .orderBy("event_date")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q71_streaming_daily" -> (streamingDaily _))
+    "q71_streaming_daily" -> (streamingDaily _),
+    "q92_streaming_dedup" -> (streamingDedup _))
 
   val oracle: Map[String, String] = Map(
     "q71_streaming_daily" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS num_events,
+        | sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
+        |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin,
+    // the oracle sees the SINGLE-copy table: streaming dedup over the
+    // doubled input must converge to exactly this
+    "q92_streaming_dedup" ->
       """SELECT CAST(ts AS DATE) AS event_date, count(*) AS num_events,
         | sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
         |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin)
