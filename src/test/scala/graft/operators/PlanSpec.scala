@@ -72,6 +72,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q84: gram dataflow reads only (doc_id, text) and keeps one gram-keyed shuffle") {
+    val p = plan("q84_dup_gram_ratio")
+    // column pruning must reach both scans of documents
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(!p.contains("lang") && !p.contains("n_chars"), "unpruned scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q88: the naive interval join is auto-rewritten — no nested-loop join") {
     val p = plan("q88_range_join_auto")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
