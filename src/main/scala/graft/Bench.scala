@@ -35,7 +35,13 @@ object Bench {
       val (d1, e1) = once()
       val (d, err) =
         if (e1.isDefined) (d1, e1) // failed: don't pay the retry
-        else { val (d2, e2) = once(); (math.min(d1, d2), e2) }
+        else {
+          val (d2, e2) = once()
+          // run 1 succeeded, so the query works and d1 is a valid
+          // measurement — a flaky run 2 must neither poison the timing
+          // with a time-to-failure nor evict the query from the total
+          if (e2.isDefined) (d1, None) else (math.min(d1, d2), None)
+        }
       (name, d, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

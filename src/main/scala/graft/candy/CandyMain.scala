@@ -45,6 +45,11 @@ object CandyMain {
       case "process" :: products :: txns :: out :: Nil =>
         process(spark, products, txns, out, cfg)
       case "forecast" :: summaryCsv :: out :: rest =>
+        // reject rather than silently ignore: the flag only affects
+        // the process stage's daily sums
+        if (flags.nonEmpty)
+          throw new IllegalArgumentException(
+            s"forecast takes no flags (got $flags)")
         forecast(spark, summaryCsv, out, rest.headOption.map(_.toInt).getOrElse(1))
       case "all" :: products :: txns :: out :: Nil =>
         process(spark, products, txns, out, cfg)

@@ -519,17 +519,31 @@ object RelationalQueries {
     * asserts no nested-loop join survives. */
   def rangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600000000L
-    // opt-in width for the rewrite (session conf read at planning time)
-    s.conf.set(org.apache.spark.sql.graft.BucketedRangeJoinRule.WIDTH_KEY, hourUs.toString)
     val ev = t(s, dir, "events").select(
       unix_micros(col("ts").cast("timestamp")).as("ts_us"))
     val iv = t(s, dir, "events").filter(col("event_id") < 20)
       .select(col("event_id").as("win_id"),
         unix_micros(col("ts").cast("timestamp")).as("start_us"))
       .withColumn("end_us", col("start_us") + lit(6L) * lit(hourUs))
-    ev.join(iv, col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+    val out = ev
+      .join(iv, col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
       .groupBy(col("win_id")).agg(count(lit(1)).as("n_events"))
       .orderBy("win_id")
+    // arm the rewrite only while THIS frame plans: width is a
+    // per-query data statement, and leaving the conf set session-wide
+    // would silently rewrite every later pure-range join with q88's
+    // width. queryExecution is a lazy val, so forcing the physical
+    // plan here pins the rewritten plan into the returned frame and
+    // the conf can be restored before any other query plans.
+    val key = org.apache.spark.sql.graft.BucketedRangeJoinRule.WIDTH_KEY
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, hourUs.toString)
+    try out.queryExecution.executedPlan
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

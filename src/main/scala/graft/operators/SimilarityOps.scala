@@ -226,7 +226,11 @@ object SimilarityOps {
     val e = t(s, dir, "embeddings")
       .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("dim"), col("xf").cast("double").as("x"))
+    // an all-zero dimension has no defined scale: drop it rather than
+    // divide by zero (NaN → ANSI cast error in Spark 4, and the oracle
+    // would diverge); the DuckDB side applies the same HAVING guard
     val st = e.groupBy(col("dim")).agg(max(abs(col("x"))).as("maxabs"))
+      .filter(col("maxabs") > 0)
     e.join(broadcast(st), "dim")
       .withColumn("q", round(col("x") / col("maxabs") * 127).cast("int"))
       .groupBy(col("dim"), col("maxabs"))
@@ -251,7 +255,7 @@ object SimilarityOps {
     * Returns the surviving corpus (vec_id, label). */
   def semdedupCorpus(s: SparkSession, dir: String, threshold: Double = 0.35,
       maxIters: Int = 20): DataFrame = {
-    val pairs = neardupIvfBlocked(s, dir, threshold).select(col("a"), col("b"))
+    val pairs = neardupIvfBlockedRaw(s, dir, threshold).select(col("a"), col("b"))
     val nonRep = Ops.connectedComponents(pairs, maxIters)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("vec_id"))
@@ -474,7 +478,8 @@ object SimilarityOps {
         |  SELECT CAST(u.d - 1 AS INT) AS dim, CAST(u.x AS DOUBLE) AS x
         |  FROM embeddings,
         |   LATERAL (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d) u),
-        |st AS (SELECT dim, max(abs(x)) AS maxabs FROM e GROUP BY dim),
+        |st AS (SELECT dim, max(abs(x)) AS maxabs FROM e GROUP BY dim
+        |       HAVING max(abs(x)) > 0),
         |q AS (
         |  SELECT e.dim, st.maxabs, CAST(round(x / maxabs * 127) AS INT) AS q
         |  FROM e JOIN st USING (dim))

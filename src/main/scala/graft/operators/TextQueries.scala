@@ -513,8 +513,13 @@ object TextQueries {
     val copies = (floor(w).cast("int") +
       when(v < (w - floor(w)) * 65536, 1).otherwise(0)).cast("int")
     t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), copies.as("__copies"))
+      // weights below 1.0 (downsampling) give 0 copies for some docs:
+      // those must be DROPPED — sequence(0, -1) would infer step -1 and
+      // emit two phantom rows (the descending-sequence gotcha)
+      .filter(col("__copies") > 0)
       .select(col("doc_id"), col("lang"),
-        explode(sequence(lit(0), copies - 1)).as("copy_ix"))
+        explode(sequence(lit(0), col("__copies") - 1)).as("copy_ix"))
       .orderBy("doc_id", "copy_ix")
   }
 
@@ -531,8 +536,12 @@ object TextQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
-    val nDocs = toks.select(col("doc_id")).distinct().count()
+      .localCheckpoint() // consumed three times below; the token
+    // explosion (the query's largest intermediate) must shuffle ONCE —
+    // df and nDocs both derive from the reduced tf frame, not the raw
+    // token stream
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(col("doc_id")).distinct().count()
     val scored = tf.join(df, "w")
       .withColumn("score",
         round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))

@@ -95,12 +95,13 @@ object StreamingQueries {
   /** Streaming exactly-once dedup under at-least-once delivery: the
     * staged source contains every event TWICE (a redelivered file —
     * the failure mode any distributed ingestion has), and the stream
-    * must emit each event_id exactly once. Watermarked dropDuplicates
-    * is the production shape: state for an id is kept only one day
-    * past the event-time frontier, which bounds memory on an unbounded
-    * stream; a redelivery either arrives while the id is in state
-    * (dropped by dedup) or after the frontier passed it (dropped as
-    * late), so the appended output never carries a duplicate. The
+    * must emit each event_id exactly once. dropDuplicatesWithinWatermark
+    * is the production shape: plain dropDuplicates without the
+    * event-time column in its subset NEVER evicts state (the watermark
+    * is inert for it — unbounded state on an unbounded stream), while
+    * the WithinWatermark variant keeps an id only until the event-time
+    * frontier passes its allowed lateness, which bounds memory and
+    * still catches any redelivery inside the lateness window. The
     * gate then aggregates the emitted rows per day and must equal the
     * batch truth over the ORIGINAL (single-copy) events table. */
   def streamingDedup(s: SparkSession, dir: String): DataFrame = {
@@ -109,7 +110,7 @@ object StreamingQueries {
     val events = s.readStream.schema(schema).parquet(stageDirDuplicated(dir))
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 day")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
     val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
     val q = events.select("event_id", "ts", "value").writeStream
       .format("memory").queryName(name)

@@ -120,8 +120,10 @@ case class BucketedRangeJoinRule() extends Rule[LogicalPlan] with PredicateHelpe
 
       val (newLeft, newRight) =
         if (pointFromLeft) (pointSide, boundSide) else (boundSide, pointSide)
+      // the original join's hints carry over: sides keep their roles,
+      // and a user's broadcast(intervals) must survive the rewrite
       val bucketJoin = Join(newLeft, newRight, Inner,
-        Some(EqualTo(pb.toAttribute, rbAttr)), JoinHint.NONE)
+        Some(EqualTo(pb.toAttribute, rbAttr)), j.hint)
       // the full original condition re-applied: the bucket join is a
       // candidate superset, the filter makes it exact
       Project(j.output, Filter(cond, bucketJoin))
