@@ -546,7 +546,29 @@ object RelationalQueries {
     out
   }
 
+  /** q36's as-of semantics executed by the CUSTOM physical operator
+    * (org.apache.spark.sql.graft.AsofJoinExec — logical node, planner
+    * strategy, and a per-partition merge scan, injected via
+    * SparkSessionExtensions): one forward pass over co-partitioned
+    * (key, time)-sorted children, one buffered right row of state.
+    * Same DuckDB ASOF oracle as q36 — two independent formulations,
+    * one truth. */
+  def asofJoinPhysical(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val rollup = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey").as("r_user"),
+        col("o_orderdate").cast("timestamp").as("r_ts"), col("o_orderkey"))
+    org.apache.spark.sql.graft.GraftPlans
+      .asofJoin(events, rollup, "user_id", "r_user", "ts", "r_ts")
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_order"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_asof_physical" -> (asofJoinPhysical _),
     "q88_range_join_auto" -> (rangeJoinAuto _),
     "q32_bag_ops" -> (bagOps _),
     "q33_window_firstlast" -> (windowFirstLast _),
@@ -615,6 +637,16 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "q36_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, r.o_orderkey AS last_order
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    // q93 = q36's semantics through the custom physical operator; the
+    // oracle is intentionally identical
+    "q93_asof_physical" ->
       """WITH r AS (
         |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
         |  FROM orders GROUP BY o_custkey, o_orderdate)

@@ -1,0 +1,170 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join as a FIRST-CLASS operator — logical node + planner
+  * strategy + physical merge-scan plan, registered through
+  * SparkSessionExtensions. This is the (c) rung of the extension
+  * ladder (custom LogicalPlan + Strategy + SparkPlan) for the one
+  * operator whose ideal physical shape Spark cannot reach from
+  * relational building blocks: for every left row, attach the LATEST
+  * right row with rightTime <= leftTime within the same key.
+  *
+  * Physical contract: both children cluster by their key
+  * (EnsureRequirements co-partitions them, exactly as it does for a
+  * sort-merge join) and sort within partitions by (key, time); the
+  * exec then streams BOTH sides in one forward merge pass per
+  * partition — no window state, no union trick (Ops.asofJoin's
+  * union+last(ignoreNulls) formulation carries a growing window
+  * buffer through one merged sort), and per-partition memory is one
+  * buffered right row. Left-outer semantics: unmatched left rows get
+  * nulls for every right column. Ties (rightTime == leftTime) match,
+  * like DuckDB's ASOF JOIN and the union formulation.
+  *
+  * The right side must be unique per (key, time) for deterministic
+  * output — same contract as Ops.asofJoin.
+  */
+case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+class AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // cluster both sides by key — EnsureRequirements inserts compatible
+  // hash exchanges (or reuses existing ones), the same mechanism that
+  // co-partitions a sort-merge join's children
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkB = BindReferences.bindReference(leftKey: Expression, left.output)
+    val ltB = BindReferences.bindReference(leftTime: Expression, left.output)
+    val rkB = BindReferences.bindReference(rightKey: Expression, right.output)
+    val rtB = BindReferences.bindReference(rightTime: Expression, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val rightWidth = right.output.size
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
+      new Iterator[InternalRow] {
+        // one-row lookahead into the right side; `lastMatch` is the
+        // newest right row whose (key, time) does not exceed the
+        // current left row — a COPY, because iterator rows are reused
+        private var rNext: InternalRow = advanceRight()
+        private var lastMatch: InternalRow = _
+        private var lastKey: Any = _
+        private var haveKey = false
+
+        private def advanceRight(): InternalRow = {
+          // skip right rows with null key or time: they can never be
+          // "the latest row at or before t" for any left row
+          var r: InternalRow = null
+          var searching = true
+          while (searching && rIter.hasNext) {
+            r = rIter.next()
+            if (rkB.eval(r) != null && rtB.eval(r) != null) searching = false
+            else r = null
+          }
+          r
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val k = lkB.eval(l)
+          val t = ltB.eval(l)
+          if (k == null || t == null) {
+            // null key/time never matches; right state is untouched
+            joined(l, nullRight)
+          } else {
+            if (!haveKey || keyOrd.compare(k, lastKey) != 0) {
+              lastMatch = null; lastKey = k; haveKey = true
+            }
+            var scanning = true
+            while (scanning && rNext != null) {
+              val c = keyOrd.compare(rkB.eval(rNext), k)
+              if (c < 0) rNext = advanceRight()
+              else if (c == 0 && timeOrd.compare(rtB.eval(rNext), t) <= 0) {
+                lastMatch = rNext.copy()
+                rNext = advanceRight()
+              } else scanning = false
+            }
+            joined(l, if (lastMatch != null) lastMatch else nullRight)
+          }
+          toUnsafe(joined)
+        }
+      }
+    }
+  }
+}
+
+/** Public construction API for the custom plan (lives here because
+  * Dataset.ofRows is private[sql]). */
+object GraftPlans {
+
+  /** As-of join `left` to `right`: for every left row, the latest
+    * right row with `rightTime <= leftTime` sharing the key (nulls
+    * when none precedes). Column names must be disjoint across sides.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    require(lp.outputSet.intersect(rp.outputSet).isEmpty,
+      "as-of join sides must not share attributes — re-alias one side")
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    val (lk, rk) = (attr(lp, leftKey), attr(rp, rightKey))
+    val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
+    require(lk.dataType == rk.dataType && lt.dataType == rt.dataType,
+      s"key/time types must match: ${lk.dataType}/${rk.dataType}, ${lt.dataType}/${rt.dataType}")
+    classic.Dataset.ofRows(
+      left.sparkSession.asInstanceOf[classic.SparkSession],
+      AsofJoinNode(lp, rp, lk, rk, lt, rt))
+  }
+}

@@ -235,5 +235,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExpressions.registrations.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => BucketedRangeJoinRule())
+    ext.injectPlannerStrategy(_ => new AsofJoinStrategy)
   }
 }
