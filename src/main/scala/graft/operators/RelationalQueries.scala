@@ -467,11 +467,21 @@ object RelationalQueries {
   /** As-of join (Ops.asofJoin): each event picks up the user's latest
     * order at-or-before the event time. Right side pre-deduped to one
     * row per (key, time) for determinism. */
+  /** Latest-order-per-(customer, day) rollup — the right side of BOTH
+    * as-of formulations (q36 union+window, q93 physical operator) and
+    * of their equivalence spec: one definition, so the "two
+    * formulations, one oracle" property can't silently decouple. The
+    * max() tie-break makes it unique per (key, time), the as-of
+    * contract. */
+  private[operators] def ordersAsofRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
     val events = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
-    val orders = t(s, dir, "orders")
-      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
-      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val orders = ordersAsofRollup(s, dir)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
     Ops.asofJoin(events, orders, "user_id", "ts", "o_orderdate", Seq("o_orderkey"))
       .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_order"))
       .orderBy("event_id")
@@ -556,9 +566,7 @@ object RelationalQueries {
   def asofJoinPhysical(s: SparkSession, dir: String): DataFrame = {
     val events = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val rollup = t(s, dir, "orders")
-      .groupBy(col("o_custkey"), col("o_orderdate"))
-      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val rollup = ordersAsofRollup(s, dir)
       .select(col("o_custkey").as("r_user"),
         col("o_orderdate").cast("timestamp").as("r_ts"), col("o_orderkey"))
     org.apache.spark.sql.graft.GraftPlans

@@ -121,7 +121,14 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
             joined(l, nullRight)
           } else {
             if (!haveKey || keyOrd.compare(k, lastKey) != 0) {
-              lastMatch = null; lastKey = k; haveKey = true
+              lastMatch = null
+              // copyValue, not k: for buffer-backed types (UTF8String,
+              // binary, nested rows) eval() returns a view into the
+              // iterator's reused row buffer — holding it across next()
+              // calls would let lastKey mutate and break key-change
+              // detection (same reason lastMatch is copied)
+              lastKey = InternalRow.copyValue(k)
+              haveKey = true
             }
             var scanning = true
             while (scanning && rNext != null) {
@@ -156,6 +163,10 @@ object GraftPlans {
     val rp = right.queryExecution.analyzed
     require(lp.outputSet.intersect(rp.outputSet).isEmpty,
       "as-of join sides must not share attributes — re-alias one side")
+    val shared = lp.output.map(_.name).toSet.intersect(rp.output.map(_.name).toSet)
+    require(shared.isEmpty,
+      s"as-of join sides must not share column NAMES (got $shared) — " +
+        "the combined output would be ambiguous to resolve; rename one side")
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))

@@ -34,12 +34,24 @@ class AsofPhysicalSpec extends SparkSpec {
     assert(got === Map("tie" -> "a", "early" -> null, "nokey" -> null))
   }
 
+  test("string keys: stale matches never leak into the next key group") {
+    import spark.implicits._
+    // many adjacent key groups per partition: a stale lastMatch (or a
+    // lastKey aliasing the recycled row buffer) would leak a previous
+    // group's payload into a group with no qualifying right row
+    val l = (1 to 500).map(i => (s"k${i % 50}", i.toLong, i)).toDF("k", "t", "id")
+    val r = Seq(("k1", 0L, "p1"), ("k3", 0L, "p3")).toDF("rk", "rt", "pay")
+    val got = GraftPlans.asofJoin(l, r, "k", "rk", "t", "rt").cache()
+    assert(got.filter(col("pay").isNotNull && !col("k").isin("k1", "k3")).count() === 0)
+    assert(got.filter(col("pay") === "p1").count() === 10)
+    assert(got.filter(col("pay") === "p3").count() === 10)
+    got.unpersist()
+  }
+
   test("equals Ops.asofJoin (union+window) on the q36 data") {
     val events = graft.Tables(spark, sf, "events")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val rollup = graft.Tables(spark, sf, "orders")
-      .groupBy(col("o_custkey"), col("o_orderdate"))
-      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val rollup = RelationalQueries.ordersAsofRollup(spark, sf)
     val physical = GraftPlans.asofJoin(
         events,
         rollup.select(col("o_custkey").as("r_user"),
