@@ -69,6 +69,21 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.conf.unset(WIDTH_KEY)
   }
 
+  test("a user's broadcast hint survives the rewrite") {
+    try {
+      spark.conf.set(WIDTH_KEY, "256")
+      val auto = points.join(broadcast(intervals),
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      val plan = auto.queryExecution.executedPlan.toString
+      assert(plan.contains("Generate explode"), plan)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"hint dropped — exploded side should be broadcast:\n$plan")
+      val got = auto.select("id", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === expected(strict = false).sorted)
+    } finally spark.conf.unset(WIDTH_KEY)
+  }
+
   test("does not fire with an equi key, without the width conf, or on non-inner joins") {
     // equi key present: Spark already has a shuffle key
     try {
