@@ -292,7 +292,22 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q60's brute-force top-k expressed as a plain SQL STRING through
+    * the registered function surface (GraftExtensions) — the path an
+    * analyst or a SQL-only tool takes. Same oracle as a DSL query
+    * would get: the SQL registry is now itself a gated component, not
+    * just unit-tested plumbing. */
+  def sqlCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    s.sql(
+      """WITH q AS (SELECT embedding AS qv FROM graft_embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label, round(cosine_sim(embedding, qv), 6) AS cos_sim
+        |FROM graft_embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 50""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_sql_cosine_topk" -> (sqlCosineTopK _),
     "q90_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "q86_embedding_quantize" -> (embeddingQuantize _),
     // 0.5 rather than q66's 0.35: on these weakly-clustered synthetic
@@ -343,6 +358,14 @@ object SimilarityOps {
     * (DuckDB's builtin list_cosine_similarity accumulates in float32 and
     * does NOT match). */
   val oracle: Map[String, String] = Map(
+    // q94 shares q60's truth: the native cosine_sim fold order is the
+    // same whether reached from the Column API or the SQL registry
+    "q94_sql_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        | round(${cosSqlOf("embedding", "qv")}, 6) AS cos_sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 50""".stripMargin,
     "q90_hard_negatives" ->
       s"""WITH q AS (
         |  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
