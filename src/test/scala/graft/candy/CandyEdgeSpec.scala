@@ -174,4 +174,13 @@ class CandyEdgeSpec extends SparkSpec {
       .filter(abs(col("t") - coalesce(col("s"), lit(0.0))) > 0.005)
     assert(joined.count() === 0)
   }
+
+  test("CLI flag parsing: unknown flags and forecast-stage flags are rejected") {
+    intercept[IllegalArgumentException](
+      CandyMain.run(spark, List("--bogus", "process", "p.csv", "t*.json", "/tmp/x")))
+    // --strict-float-parity only affects the process stage's daily
+    // sums; accepting it on forecast would silently do nothing
+    intercept[IllegalArgumentException](
+      CandyMain.run(spark, List("forecast", "--strict-float-parity", "s.csv", "/tmp/x")))
+  }
 }

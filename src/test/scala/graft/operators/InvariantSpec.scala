@@ -74,4 +74,15 @@ class InvariantSpec extends SparkSpec {
       .groupBy("l_partkey").agg(count(lit(1)).as("n2"))
     assert(dep.join(direct, "l_partkey").filter(col("n") =!= col("n2")).count() === 0)
   }
+
+  test("registry consistency: every oracle key is declared; rows-only set is exactly q56/q57/q61") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    // an oracle for an undeclared query is a typo the driver would
+    // silently ignore; a declared query without an oracle silently
+    // downgrades to a rows-only check — both must be deliberate
+    assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
+    assert(qs -- os === Set("q56_minhash_pairs", "q57_simhash", "q61_ann_lsh"),
+      s"unexpected rows-only queries: ${qs -- os}")
+  }
 }
