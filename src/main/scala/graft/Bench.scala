@@ -102,7 +102,9 @@ object Bench {
     // streaming-engine class loading / state-store init
     step(SparkEntry.queries("q72_jdbc_roundtrip")(spark, sfDir).count())
     step(SparkEntry.queries("q71_streaming_daily")(spark, sfDir).count())
-    // q92 stages its own (doubled) source copy once per JVM
+    // q92/q95 stage their own source copies (doubled / sentinel'd)
+    // once per JVM
     step(SparkEntry.queries("q92_streaming_dedup")(spark, sfDir).count())
+    step(SparkEntry.queries("q95_streaming_sessions")(spark, sfDir).count())
   }
 }

@@ -92,6 +92,74 @@ object StreamingQueries {
     out
   }
 
+  /** Staging dir = events.parquet + a one-row far-future SENTINEL file.
+    * Append-mode emission of session windows requires the watermark to
+    * pass each session's END; a bounded input's final sessions would
+    * otherwise never flush (the watermark stops at max(ts) - delay).
+    * The sentinel (user_id = -1, filtered from output) pushes the
+    * frontier past every real session — the standard flush pattern for
+    * draining an event-time stream to completion. */
+  private def stageDirWithSentinel(s: SparkSession, dir: String): String =
+    staged.computeIfAbsent(dir + "#sentinel", { _ =>
+      val p = Files.createTempDirectory("graft_stream_events_sn")
+      Files.copy(Paths.get(s"$dir/events.parquet"), p.resolve("events.parquet"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val maxTsNanos = ev.agg(max(col("ts"))).collect().head.getLong(0)
+      // past max + gap(30 m) + watermark delay(1 h) + margin(1 h)
+      val sentinelTs = maxTsNanos + 9000L * 1000000000L
+      val row = ev.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts", lit(sentinelTs))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("sentinel"))
+      val tmp = Files.createTempDirectory("graft_sentinel_write")
+      row.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(f => f.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, p.resolve("zz_sentinel.parquet"))
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      p.toString
+    })
+
+  /** Gap-based sessionization through the REAL streaming engine:
+    * session_window(ts, 30 min) per user with a 1-hour watermark,
+    * append mode (the only mode session windows support), AvailableNow.
+    * The sentinel staging flushes the final sessions; the gate then
+    * rolls the emitted (user, session) rows up to per-user session and
+    * event counts and compares against a batch recomputation. NOTE the
+    * boundary semantics: session_window opens a NEW session when the
+    * gap is >= the duration (windows [t, t+gap) merge only on
+    * overlap), so the oracle uses >=, unlike q21's strictly-greater
+    * lag formulation. */
+  def streamingSessions(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val events = s.readStream.schema(schema).parquet(stageDirWithSentinel(s, dir))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+    val agg = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = s.table(name)
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy("user_id")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** Streaming exactly-once dedup under at-least-once delivery: the
     * staged source contains every event TWICE (a redelivered file —
     * the failure mode any distributed ingestion has), and the stream
@@ -133,7 +201,8 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_streaming_daily" -> (streamingDaily _),
-    "q92_streaming_dedup" -> (streamingDedup _))
+    "q92_streaming_dedup" -> (streamingDedup _),
+    "q95_streaming_sessions" -> (streamingSessions _))
 
   val oracle: Map[String, String] = Map(
     "q71_streaming_daily" ->
@@ -145,5 +214,15 @@ object StreamingQueries {
     "q92_streaming_dedup" ->
       """SELECT CAST(ts AS DATE) AS event_date, count(*) AS num_events,
         | sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
-        |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin)
+        |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin,
+    // >= on the gap: session_window merges [t, t+gap) windows only on
+    // OVERLAP, so a gap of exactly the duration starts a new session
+    "q95_streaming_sessions" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE gap_us IS NULL OR gap_us >= 1800000000) AS n_sessions,
+        | count(*) AS n_events
+        |FROM (SELECT user_id,
+        |   epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
