@@ -106,5 +106,6 @@ object Bench {
     // once per JVM
     step(SparkEntry.queries("q92_streaming_dedup")(spark, sfDir).count())
     step(SparkEntry.queries("q95_streaming_sessions")(spark, sfDir).count())
+    step(SparkEntry.queries("q96_stream_stream_join")(spark, sfDir).count())
   }
 }

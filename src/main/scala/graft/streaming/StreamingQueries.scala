@@ -199,10 +199,52 @@ object StreamingQueries {
     out
   }
 
+  /** Stream-STREAM inner join — the fourth streaming pillar (after
+    * windowed aggregation q71, stateful dedup q92, sessionization
+    * q95): two live streams of the same events joined on user with a
+    * 10-minute follow window, per-user pair counts gated against the
+    * batch self-join. Both sides carry watermarks so the join STATE is
+    * bounded (a buffered row can be dropped once the other side's
+    * frontier passes its maximum match window); emission needs no
+    * sentinel because an inner join emits each match the moment both
+    * rows have arrived. The a_id < b_id condition makes the pair set
+    * well-defined; the oracle is the identical batch predicate. */
+  def streamingPairJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def stream = s.readStream.schema(schema).parquet(stageDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val a = stream.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+      col("ts").as("a_ts")).withWatermark("a_ts", "1 hour")
+    val b = stream.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_ts")).withWatermark("b_ts", "1 hour")
+    val joined = a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES") &&
+        col("a_id") < col("b_id"))
+    val name = s"graft_stream_pairs_${runId.incrementAndGet()}"
+    val q = joined.select("a_user").writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = s.table(name)
+      .groupBy(col("a_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_streaming_daily" -> (streamingDaily _),
     "q92_streaming_dedup" -> (streamingDedup _),
-    "q95_streaming_sessions" -> (streamingSessions _))
+    "q95_streaming_sessions" -> (streamingSessions _),
+    "q96_stream_stream_join" -> (streamingPairJoin _))
 
   val oracle: Map[String, String] = Map(
     "q71_streaming_daily" ->
@@ -224,5 +266,11 @@ object StreamingQueries {
         |FROM (SELECT user_id,
         |   epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |  FROM events)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q96_stream_stream_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        | AND a.event_id < b.event_id
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)
 }
