@@ -44,17 +44,36 @@ object Bench {
         }
       (name, d, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // a failed query's elapsed time is meaningless — surface it as an
-    // explicit error instead of letting it pass for a slow success,
-    // and keep it OUT of the headline total (a fast failure must not
-    // deflate the number a later round is compared against)
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // the recording harness keeps only the LAST ~2000 characters of this
+    // process's output and parses the metric line out of that window; a
+    // full-name queries map is ~2.6k chars, so with 89 queries the line
+    // itself overflows the window and the recorded artifact ends up
+    // unparseable (both prior rounds' BENCH artifacts show parsed:null).
+    // Emit the full-name line first (complete in the full log, for
+    // humans), then a compact line — short qNN keys, ms precision —
+    // guaranteed to fit inside the tail window, as the FINAL line.
+    def line(keyOf: String => String, fmt: Double => String): String = {
+      val qs = results.map { case (k, v, _) => "\"" + keyOf(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      // a failed query's elapsed time is meaningless — surface it as an
+      // explicit error instead of letting it pass for a slow success,
+      // and keep it OUT of the headline total (a fast failure must not
+      // deflate the number a later round is compared against)
+      val errs = results.collect { case (k, _, Some(e)) => "\"" + keyOf(k) + "\":\"" + e + "\"" }
+        .mkString("{", ",", "}")
+      val total = fmt(results.collect { case (_, v, None) => v }.sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    val shortKey: String => String = {
+      val full = results.map(_._1)
+      val abbrev = full.map(_.takeWhile(_ != '_'))
+      // qNN prefixes are unique today; if a future query breaks that,
+      // fall back to full names rather than silently merging two rows
+      if (abbrev.distinct.size == full.size) full.zip(abbrev).toMap else identity[String]
+    }
+    println(line(identity[String], _.toString))
     spark.stop()
+    println(line(shortKey, d => f"$d%.3f"))
   }
 
   /** Untimed warmup: first-touch costs (JIT of the native expression
