@@ -16,7 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CandyQueries.queries ++ TextQueries.queries ++
-      DedupOps.queries ++ SimilarityOps.queries ++
+      CdcOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       graft.multimodal.MultimodalOps.queries ++ graft.sources.LayoutQueries.queries ++
       graft.sources.JdbcQueries.queries ++ graft.streaming.StreamingQueries.queries
 
@@ -25,7 +25,7 @@ object SparkEntry {
     * driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ CandyQueries.oracle ++ TextQueries.oracle ++
-      DedupOps.oracle ++ SimilarityOps.oracle ++
+      CdcOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
       graft.multimodal.MultimodalOps.oracle ++ graft.sources.LayoutQueries.oracle ++
       graft.sources.JdbcQueries.oracle ++ graft.streaming.StreamingQueries.oracle
 }

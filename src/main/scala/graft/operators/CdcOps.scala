@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Change-data-capture and event-sequence operators.
+  *
+  * The reference's inventory replay (src/data_processor.py:357-414) is a
+  * special case of the general problem every warehouse solves nightly:
+  * APPLY a keyed change-set (inserts / updates / deletes) to a base
+  * table — MERGE INTO in SQL engines. Spark has no MERGE over plain
+  * parquet, but the operation is one full-outer join on the key plus a
+  * row-level decision, which is exactly how Delta/Iceberg execute the
+  * non-matched paths under the hood: one co-partitioned shuffle of base
+  * and changes, no driver-side state, scales linearly at 100 TB.
+  */
+object CdcOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** q97: CDC merge (MERGE INTO semantics) of a deterministic change-set
+    * into `customer`:
+    *   - per customer with 1995 orders: DELETE if their last-status
+    *     aggregate is 'F' (max status), else UPDATE adding the year's
+    *     spend to the account balance;
+    *   - synthetic INSERTs (every 97th custkey re-keyed +1,000,000) —
+    *     rows whose key does not exist in the base.
+    * Semantics (standard MERGE):
+    *   matched + D → drop; matched + U → update; unmatched change + I →
+    *   insert; unmatched change that is not an insert → ignored (nothing
+    *   to update/delete); unmatched base rows pass through.
+    *
+    * Money stays in integer cents through the arithmetic (Exact.cents)
+    * so the merged balance is bit-identical to the oracle's. The join is
+    * a full-outer on the key: the changes side is usually much smaller
+    * but a full-outer cannot broadcast, so this is one sort-merge
+    * shuffle co-partitioned on c_custkey — the plan MERGE compiles to in
+    * every lakehouse engine.
+    */
+  def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        Exact.cents(col("c_acctbal")).as("bal_cents"))
+    val updates = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+      .groupBy(col("o_custkey").as("k"))
+      .agg(
+        when(max(col("o_orderstatus")) === "F", lit("D")).otherwise(lit("U")).as("op"),
+        sum(Exact.cents(col("o_totalprice"))).as("delta_cents"))
+    val inserts = t(s, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 1000000L).as("k"),
+        lit("I").as("op"), lit(0L).as("delta_cents"))
+    base
+      .join(updates.unionByName(inserts), col("c_custkey") === col("k"), "full_outer")
+      // matched deletes go; a change row with no base match only
+      // survives if it IS an insert (nothing to update/delete)
+      .filter(coalesce(col("op"), lit("")) =!= "D" &&
+        !(col("c_custkey").isNull && col("op") =!= "I"))
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+        coalesce(col("c_name"), concat(lit("new#"), col("k").cast("string"))).as("c_name"),
+        ((coalesce(col("bal_cents"), lit(0L)) + coalesce(col("delta_cents"), lit(0L)))
+          / lit(100.0)).cast("double").as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** q100: event funnel — for every `view` event, did the same user
+    * `purchase` within 30 minutes? The naive formulation is a per-user
+    * time-range self-join (quadratic in events-per-user); this one is a
+    * single forward-looking window: sort each user's events once, take
+    * the conditional min of the next purchase timestamp at or after each
+    * event, and compare. One shuffle on user_id, O(n log n) per user,
+    * no pair blow-up — the funnel plan that survives web-scale event
+    * tables where power users have millions of rows. Output: per-day
+    * view counts and 30-minute view→purchase conversions.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    // total order within user (ts, event_id) makes the window — and so
+    // the conversion flag on ties — engine-independent
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val nextPurchase = min(
+      when(col("event_type") === "purchase", col("ts"))).over(w)
+    ev.withColumn("next_purchase_ts", nextPurchase)
+      .filter(col("event_type") === "view")
+      .withColumn("converted",
+        col("next_purchase_ts").isNotNull &&
+          col("next_purchase_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(
+        count(lit(1)).as("n_views"),
+        count(when(col("converted"), 1)).as("n_converted"))
+      .orderBy("event_date")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_cdc_merge" -> (cdcMerge _),
+    "q100_funnel" -> (funnel _))
+
+  val oracle: Map[String, String] = Map(
+    "q97_cdc_merge" ->
+      """WITH upd AS (
+        |  SELECT o_custkey AS k,
+        |   CASE WHEN max(o_orderstatus) = 'F' THEN 'D' ELSE 'U' END AS op,
+        |   CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS delta_cents
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+        |  GROUP BY o_custkey),
+        |chg AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'I', 0 FROM customer WHERE c_custkey % 97 = 0)
+        |SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+        | coalesce(c.c_name, 'new#' || CAST(g.k AS VARCHAR)) AS c_name,
+        | CAST((coalesce(CAST(round(c.c_acctbal*100) AS BIGINT), 0)
+        |       + coalesce(g.delta_cents, 0)) / 100.0 AS DOUBLE) AS c_acctbal
+        |FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
+        |WHERE coalesce(g.op, '') <> 'D'
+        |  AND NOT (c.c_custkey IS NULL AND g.op <> 'I')
+        |ORDER BY 1""".stripMargin,
+    "q100_funnel" ->
+      """WITH flagged AS (
+        |  SELECT ts, event_type,
+        |   min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+        |  FROM events)
+        |SELECT CAST(ts AS DATE) AS event_date,
+        | count(*) AS n_views,
+        | CAST(count(*) FILTER (WHERE next_purchase_ts IS NOT NULL
+        |   AND next_purchase_ts <= ts + INTERVAL 30 MINUTE) AS BIGINT) AS n_converted
+        |FROM flagged WHERE event_type = 'view'
+        |GROUP BY event_date ORDER BY event_date""".stripMargin)
+}

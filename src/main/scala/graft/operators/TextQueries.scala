@@ -552,7 +552,36 @@ object TextQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Vocabulary coverage / out-of-vocabulary rate per document — the
+    * gate every tokenizer-bound training pipeline runs: how much of
+    * each document is covered by the model's vocabulary? The vocab here
+    * is the corpus's own top-`topK` words (count desc, word asc — a
+    * total order, so the cut at rank K is engine-exact); production
+    * swaps in the real tokenizer vocab as a small table. Plan shape:
+    * one wordcount shuffle → top-K (TakeOrderedAndProject — only K
+    * rows ever leave the executors) → BROADCAST back onto the token
+    * stream (map-side membership test, no second shuffle of the
+    * exploded tokens) → per-doc aggregate. oov_ratio is one int/int
+    * IEEE division — bit-identical across engines, no rounding. */
+  def vocabCoverage(s: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(topK)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_ratio",
+        col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "q89_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "q84_dup_gram_ratio" -> ((s: SparkSession, d: String) => dupGramRatio(s, d)),
     "q85_mix_upsample" -> ((s: SparkSession, d: String) => mixUpsample(s, d)),
@@ -577,6 +606,17 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q99_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |vocab AS (SELECT w FROM toks GROUP BY w ORDER BY count(*) DESC, w LIMIT 100)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        | CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov,
+        | CAST(count(*) FILTER (WHERE v.w IS NULL) AS DOUBLE) / count(*) AS oov_ratio
+        |FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q89_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, w FROM (
