@@ -18,6 +18,7 @@ object SparkEntry {
     RelationalQueries.queries ++ CandyQueries.queries ++ TextQueries.queries ++
       CdcOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       graft.multimodal.MultimodalOps.queries ++ graft.sources.LayoutQueries.queries ++
+      graft.sources.v2.RangeSourceQueries.queries ++
       graft.sources.JdbcQueries.queries ++ graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,5 +28,6 @@ object SparkEntry {
     RelationalQueries.oracle ++ CandyQueries.oracle ++ TextQueries.oracle ++
       CdcOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
       graft.multimodal.MultimodalOps.oracle ++ graft.sources.LayoutQueries.oracle ++
+      graft.sources.v2.RangeSourceQueries.oracle ++
       graft.sources.JdbcQueries.oracle ++ graft.streaming.StreamingQueries.oracle
 }
