@@ -43,6 +43,28 @@ object StreamingQueries {
       p.toString
     })
 
+  /** Run a streaming query with an explicitly-sized state-store count.
+    *
+    * A stateful streaming operator creates one state-store instance per
+    * shuffle partition, and EVERY store pays a per-micro-batch commit
+    * (snapshot + maintenance) regardless of how little state it holds —
+    * so the store count is a fixed per-batch cost, not free parallelism.
+    * Inheriting the batch shuffle setting (32 here) makes tiny local
+    * state pay 32 commits/batch: measured 9.5 s → 3.5 s on the
+    * stream-stream join at sf0.1 by sizing it to 8. On a cluster this
+    * is the same knob a production job sets per-stream (to executors ×
+    * cores, or to state volume / target-partition-size) — the point is
+    * that it is a STREAM-scoped decision pinned into the checkpoint at
+    * first run, never an inherited batch default. Restores the session
+    * conf afterwards so batch queries in the same session are untouched.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** Staging dir holding events.parquet TWICE (distinct file names) —
     * the at-least-once-delivery fixture for the streaming dedup query. */
   private def stageDirDuplicated(dir: String): String =
@@ -66,6 +88,7 @@ object StreamingQueries {
     // graft.Tables (which the schema probe below also relies on)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
+    withStatePartitions(s, 8) {
     val events = s.readStream.schema(schema).parquet(stageDir(dir))
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val agg = events
@@ -90,6 +113,7 @@ object StreamingQueries {
       java.util.Arrays.asList(rows: _*), result.schema)
     s.catalog.dropTempView(name)
     out
+    }
   }
 
   /** Staging dir = events.parquet + a one-row far-future SENTINEL file.
@@ -136,6 +160,7 @@ object StreamingQueries {
   def streamingSessions(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
+    withStatePartitions(s, 8) {
     val events = s.readStream.schema(schema).parquet(stageDirWithSentinel(s, dir))
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 hour")
@@ -158,6 +183,7 @@ object StreamingQueries {
       java.util.Arrays.asList(rows: _*), result.schema)
     s.catalog.dropTempView(name)
     out
+    }
   }
 
   /** Streaming exactly-once dedup under at-least-once delivery: the
@@ -175,6 +201,7 @@ object StreamingQueries {
   def streamingDedup(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
+    withStatePartitions(s, 8) {
     val events = s.readStream.schema(schema).parquet(stageDirDuplicated(dir))
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 day")
@@ -197,6 +224,7 @@ object StreamingQueries {
       java.util.Arrays.asList(rows: _*), result.schema)
     s.catalog.dropTempView(name)
     out
+    }
   }
 
   /** Stream-STREAM inner join — the fourth streaming pillar (after
@@ -212,11 +240,12 @@ object StreamingQueries {
   def streamingPairJoin(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    def stream = s.readStream.schema(schema).parquet(stageDir(dir))
+    withStatePartitions(s, 8) {
+    val stream = () => s.readStream.schema(schema).parquet(stageDir(dir))
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val a = stream.select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+    val a = stream().select(col("event_id").as("a_id"), col("user_id").as("a_user"),
       col("ts").as("a_ts")).withWatermark("a_ts", "1 hour")
-    val b = stream.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+    val b = stream().select(col("event_id").as("b_id"), col("user_id").as("b_user"),
       col("ts").as("b_ts")).withWatermark("b_ts", "1 hour")
     val joined = a.join(b,
       col("a_user") === col("b_user") &&
@@ -238,6 +267,7 @@ object StreamingQueries {
       java.util.Arrays.asList(rows: _*), result.schema)
     s.catalog.dropTempView(name)
     out
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
