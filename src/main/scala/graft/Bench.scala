@@ -117,9 +117,11 @@ object Bench {
     // pay the one-off layout cost here so the timed query measures
     // what it declares: the partition-pruned READ
     step(SparkEntry.queries("q65_partition_pruning")(spark, sfDir).count())
-    // likewise q72's Derby load (memoized) and q71's first-touch
-    // streaming-engine class loading / state-store init
+    // likewise q72's Derby load (memoized), q102's one-off bucketed
+    // write, and q71's first-touch streaming-engine class loading /
+    // state-store init
     step(SparkEntry.queries("q72_jdbc_roundtrip")(spark, sfDir).count())
+    step(SparkEntry.queries("q102_bucketed_join")(spark, sfDir).count())
     step(SparkEntry.queries("q71_streaming_daily")(spark, sfDir).count())
     // q92/q95 stage their own source copies (doubled / sentinel'd)
     // once per JVM
