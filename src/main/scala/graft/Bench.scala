@@ -72,6 +72,11 @@ object Bench {
       if (abbrev.distinct.size == full.size) full.zip(abbrev).toMap else identity[String]
     }
     println(line(identity[String], _.toString))
+    // sidecar copy with full names — survives any stdout mangling
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_last.json"),
+      (line(identity[String], _.toString) + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
     spark.stop()
     println(line(shortKey, d => f"$d%.3f"))
   }

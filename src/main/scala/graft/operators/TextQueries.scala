@@ -580,7 +580,34 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Character-distribution Shannon entropy per document — the cheap
+    * gibberish/encoding-noise detector (natural text sits ~4 bits/char;
+    * base64 blobs and key-mash noise push toward log2|alphabet|, single
+    * -char repetition toward 0). Relational formulation: explode to
+    * (doc, char), count, window-sum to per-doc totals, fold
+    * -Σ p·log2 p. The (doc_id, ch) key is high-cardinality → full
+    * parallelism; the per-doc window runs over each doc's alphabet
+    * (≤ a few hundred rows), not its text. Rounded to 6 decimals so the
+    * engine's partial-aggregation order can't flip a last-ulp bit vs
+    * the oracle. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    val p = col("cnt").cast("double") / col("n")
+    counts
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("doc_id"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n")).as("n_chars"),
+        round(-sum(p * log2(p)), 6).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_char_entropy" -> (charEntropy _),
     "q99_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "q89_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
     "q84_dup_gram_ratio" -> ((s: SparkSession, d: String) => dupGramRatio(s, d)),
@@ -606,6 +633,18 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q103_char_entropy" ->
+      """WITH counts AS (
+        |  SELECT doc_id, ch, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        |  WHERE ch <> '' GROUP BY 1, 2),
+        |wn AS (
+        |  SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n
+        |  FROM counts)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+        | round(-sum((CAST(cnt AS DOUBLE) / n) * log2(CAST(cnt AS DOUBLE) / n)), 6)
+        |  AS entropy_bits
+        |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q99_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT doc_id, w FROM (
