@@ -127,6 +127,7 @@ object Bench {
     // state-store init
     step(SparkEntry.queries("q72_jdbc_roundtrip")(spark, sfDir).count())
     step(SparkEntry.queries("q102_bucketed_join")(spark, sfDir).count())
+    step(SparkEntry.queries("q104_zorder_skipping")(spark, sfDir).count())
     step(SparkEntry.queries("q71_streaming_daily")(spark, sfDir).count())
     // q92/q95 stage their own source copies (doubled / sentinel'd)
     // once per JVM

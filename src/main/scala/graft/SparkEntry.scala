@@ -19,7 +19,7 @@ object SparkEntry {
       CdcOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       graft.multimodal.MultimodalOps.queries ++ graft.sources.LayoutQueries.queries ++
       graft.sources.v2.RangeSourceQueries.queries ++
-      graft.sources.BucketedQueries.queries ++
+      graft.sources.BucketedQueries.queries ++ graft.sources.ZOrderQueries.queries ++
       graft.sources.JdbcQueries.queries ++ graft.streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,6 +30,6 @@ object SparkEntry {
       CdcOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
       graft.multimodal.MultimodalOps.oracle ++ graft.sources.LayoutQueries.oracle ++
       graft.sources.v2.RangeSourceQueries.oracle ++
-      graft.sources.BucketedQueries.oracle ++
+      graft.sources.BucketedQueries.oracle ++ graft.sources.ZOrderQueries.oracle ++
       graft.sources.JdbcQueries.oracle ++ graft.streaming.StreamingQueries.oracle
 }
