@@ -72,11 +72,19 @@ object Bench {
       if (abbrev.distinct.size == full.size) full.zip(abbrev).toMap else identity[String]
     }
     println(line(identity[String], _.toString))
-    // sidecar copy with full names — survives any stdout mangling
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_last.json"),
-      (line(identity[String], _.toString) + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    // sidecar copy with full names — survives any stdout mangling.
+    // Written (and any failure reported) BEFORE the compact line so
+    // nothing we print can land after it in the recorder's tail window.
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (line(identity[String], _.toString) + "\n").getBytes("UTF-8"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench sidecar write failed: $e")
+    }
     spark.stop()
     println(line(shortKey, d => f"$d%.3f"))
   }

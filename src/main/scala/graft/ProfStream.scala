@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-// scratch profiling main — not part of the library surface
+// scratch profiling main — not part of the library surface. Times the
+// streaming gate queries AS DECLARED (each internally pins its
+// state-store count; see StreamingQueries.withStatePartitions — the
+// 32-vs-8 store comparison that motivated that knob was measured before
+// the pin existed and is recorded in its scaladoc).
 object ProfStream {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -15,21 +19,12 @@ object ProfStream {
       val n = body
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
     }
-    time("warm pairJoin sp=32")(graft.streaming.StreamingQueries.streamingPairJoin(spark, dir).count())
-    time("pairJoin sp=32")(graft.streaming.StreamingQueries.streamingPairJoin(spark, dir).count())
-    spark.conf.set("spark.sql.shuffle.partitions", 8)
-    time("pairJoin sp=8")(graft.streaming.StreamingQueries.streamingPairJoin(spark, dir).count())
-    time("pairJoin sp=8 again")(graft.streaming.StreamingQueries.streamingPairJoin(spark, dir).count())
-    spark.conf.set("spark.sql.shuffle.partitions", 4)
-    time("pairJoin sp=4")(graft.streaming.StreamingQueries.streamingPairJoin(spark, dir).count())
-    spark.conf.set("spark.sql.shuffle.partitions", 32)
-    time("sessions sp=32")(graft.streaming.StreamingQueries.streamingSessions(spark, dir).count())
-    spark.conf.set("spark.sql.shuffle.partitions", 8)
-    time("sessions sp=8")(graft.streaming.StreamingQueries.streamingSessions(spark, dir).count())
-    spark.conf.set("spark.sql.shuffle.partitions", 32)
-    time("dedup sp=32")(graft.streaming.StreamingQueries.streamingDedup(spark, dir).count())
-    spark.conf.set("spark.sql.shuffle.partitions", 8)
-    time("dedup sp=8")(graft.streaming.StreamingQueries.streamingDedup(spark, dir).count())
+    for (round <- 1 to 2) {
+      time(s"daily r$round")(graft.streaming.StreamingQueries.streamingDaily(spark, dir).count())
+      time(s"dedup r$round")(graft.streaming.StreamingQueries.streamingDedup(spark, dir).count())
+      time(s"sessions r$round")(graft.streaming.StreamingQueries.streamingSessions(spark, dir).count())
+      time(s"pairJoin r$round")(graft.streaming.StreamingQueries.streamingPairJoin(spark, dir).count())
+    }
     spark.stop()
   }
 }

@@ -21,30 +21,24 @@ import graft.operators.Exact
   */
 object BucketedQueries {
 
-  /** One bucketed write per (jvm, source dir); external tables under a
-    * fresh per-process temp dir (same race reasoning as LayoutQueries),
-    * dropped from the catalog and deleted on JVM exit. */
-  private val written = new ConcurrentHashMap[String, (String, (String, String))]()
-
-  Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    import scala.jdk.CollectionConverters._
-    written.values.asScala.flatMap { case (d, _) => Seq(d) }.foreach { dir =>
-      try {
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      } catch { case _: Throwable => }
-    }
-  }))
+  /** One bucketed write per (application, source dir); external tables
+    * under a fresh per-process temp dir (same race reasoning as
+    * LayoutQueries), deleted on JVM exit. Keyed by applicationId, NOT
+    * just dir: the table names live in the SparkContext's in-memory
+    * catalog, so a stop()/getOrCreate() cycle in the same JVM gets a
+    * fresh empty catalog and must re-write — a dir-only key would hand
+    * back names that no longer resolve. */
+  private val written = new ConcurrentHashMap[String, (String, String)]()
 
   private val nextId = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Returns the catalog table names (orders, customer) of bucketed
-    * copies keyed on custkey, writing them if this JVM hasn't yet. */
+    * copies keyed on custkey, writing them if this application hasn't
+    * yet. */
   private[sources] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val (_, names) = written.computeIfAbsent(dir, { _ =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_bucketed_").toString
+    val key = s.sparkContext.applicationId + ":" + dir
+    val names = written.computeIfAbsent(key, { _ =>
+      val root = graft.util.TempDirs.create("graft_bucketed_").toString
       val id = nextId.incrementAndGet()
       val (ot, ct) = (s"graft_orders_bkt_$id", s"graft_customer_bkt_$id")
       // same bucket count both sides — the co-location contract; sortBy
@@ -55,7 +49,7 @@ object BucketedQueries {
       Tables(s, dir, "customer")
         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$root/customer").saveAsTable(ct)
-      (root, (ot, ct))
+      (ot, ct)
     })
     names
   }

@@ -25,25 +25,13 @@ object LayoutQueries {
     * per-process temp dir — a path shared across JVMs would race:
     * this map can only guard within one process, and another JVM's
     * mode("overwrite") would delete files out from under an in-flight
-    * scan here. A shutdown hook deletes whatever this process created,
-    * so repeated Verify/Bench runs don't accumulate copies in /tmp. */
+    * scan here. TempDirs deletes whatever this process created, so
+    * repeated Verify/Bench runs don't accumulate copies in /tmp. */
   private val written = new ConcurrentHashMap[String, String]()
-
-  Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    import scala.jdk.CollectionConverters._
-    written.values.asScala.foreach { dir =>
-      try {
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      } catch { case _: Throwable => }
-    }
-  }))
 
   private def monthlyOrdersPath(s: SparkSession, dir: String): String =
     written.computeIfAbsent(s"orders:$dir", { _ =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_orders_by_month_").toString
+      val p = graft.util.TempDirs.create("graft_orders_by_month_").toString
       ParquetLayout.writePartitioned(
         Tables(s, dir, "orders")
           .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
@@ -80,8 +68,7 @@ object LayoutQueries {
     // Filter node disappears, and the DPP rule never fires. Fresh
     // per-process temp dir for the same race reason as monthlyOrdersPath.
     val calPath = written.computeIfAbsent("calendar", { _ =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_calendar_dim_").toString
+      val p = graft.util.TempDirs.create("graft_calendar_dim_").toString
       val months = (1992 to 1998).flatMap { y =>
         (1 to 12).map(m => (f"$y-$m%02d", s"$y-Q${(m - 1) / 3 + 1}"))
       }

@@ -45,25 +45,13 @@ object ZOrderQueries {
 
   private val written = new ConcurrentHashMap[String, String]()
 
-  Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    import scala.jdk.CollectionConverters._
-    written.values.asScala.foreach { dir =>
-      try {
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      } catch { case _: Throwable => }
-    }
-  }))
-
   /** One z-ordered copy of lineitem per (jvm, source dir), clustered on
     * (l_partkey, l_suppkey). ~48 files so footer stats stay granular at
     * test scale; at 100 TB the same write runs with the default 128 MB
     * row groups and the file count follows the data. */
   private[sources] def zorderedLineitemPath(s: SparkSession, dir: String): String =
     written.computeIfAbsent(s"lineitem:$dir", { _ =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_lineitem_zorder_").toString
+      val p = graft.util.TempDirs.create("graft_lineitem_zorder_").toString
       writeZOrdered(Tables(s, dir, "lineitem"),
         col("l_partkey"), col("l_suppkey"), p)
       p
@@ -84,14 +72,22 @@ object ZOrderQueries {
     * and destroy the bounding boxes). */
   def writeZOrdered(df: DataFrame, a: Column, b: Column, path: String,
       files: Int = 48, bits: Int = 16): DataFrame = {
-    val n = df.count()
-    val mm = df.agg(min(a), max(a), min(b), max(b)).collect().head
+    // one metadata pass: row count (for maxRecordsPerFile) and both
+    // key ranges together — not a count() job plus a min/max job
+    val mm = df.agg(count(lit(1)),
+      min(a.cast("long")), max(a.cast("long")),
+      min(b.cast("long")), max(b.cast("long"))).collect().head
+    val n = mm.getLong(0)
+    if (n == 0) { // nothing to cluster; min/max are null
+      df.write.mode("overwrite").parquet(path)
+      return df.sparkSession.read.parquet(path)
+    }
     def norm(c: Column, lo: Long, hi: Long): Column =
-      ((c - lit(lo)).cast("double") / lit((hi - lo + 1).toDouble)
+      ((c.cast("long") - lit(lo)).cast("double") / lit((hi - lo + 1).toDouble)
         * lit((1L << bits).toDouble)).cast("long")
     val z = df.withColumn("__z", zvalue(
-        norm(a, mm.getLong(0), mm.getLong(1)),
-        norm(b, mm.getLong(2), mm.getLong(3)), bits))
+        norm(a, mm.getLong(1), mm.getLong(2)),
+        norm(b, mm.getLong(3), mm.getLong(4)), bits))
       .repartitionByRange(math.max(1, files / 8), col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -38,11 +38,17 @@ class DeterministicRangeSource extends TableProvider {
     DeterministicRangeSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new RangeTable(
-      properties.getOrDefault("start", "0").toLong,
-      properties.getOrDefault("end", "0").toLong,
+      properties: util.Map[String, String]): Table = {
+    val start = properties.getOrDefault("start", "0").toLong
+    val end = properties.getOrDefault("end", "0").toLong
+    // non-negative domain: keeps the derived columns well-defined
+    // ((id % 3) must index labels) and bounds every later subtraction
+    // away from Long overflow
+    require(start >= 0 && end >= start,
+      s"graft_range requires 0 <= start <= end, got [$start, $end)")
+    new RangeTable(start, end,
       properties.getOrDefault("slices", "8").toInt)
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -90,13 +96,18 @@ private[v2] class RangeScanBuilder(start: Long, end: Long, slices: Int)
     * need NO re-evaluation above the scan (returned residual excludes
     * them). Everything else is left to Spark. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // saturating successor: v+1 on v = Long.MaxValue must clamp, not
+    // wrap to MinValue — a wrapped bound would silently WIDEN the range
+    // while the filter is reported fully handled (no residual to catch
+    // the extra rows)
+    def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     val (accepted, residual) = filters.partition {
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThan("id", v: Long) => lo = math.max(lo, succ(v)); true
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
       case LessThan("id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, succ(v)); true
       case EqualTo("id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+        lo = math.max(lo, v); hi = math.min(hi, succ(v)); true
       case IsNotNull("id") => true // nothing is null here
       case _ => false
     }
@@ -125,12 +136,17 @@ private[v2] class RangeScan(lo: Long, hi: Long, slices: Int,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, math.min(slices.toLong, math.max(hi - lo, 1L))).toInt
-    val span = hi - lo
-    // contiguous slices, remainder spread over the first partitions
+    // pushFilters can cross the bounds (lo > hi) on a contradictory
+    // predicate — that's an empty scan, not an error
+    val span = math.max(0L, hi - lo) // both >= 0 per RangeTable's domain
+    val n = math.max(1, math.min(slices.toLong, math.max(span, 1L))).toInt
+    // contiguous slices, remainder spread over the first partitions;
+    // chunk arithmetic stays within [0, span] — no i*span products that
+    // could overflow on wide ranges
+    val (chunk, rem) = (span / n, span % n)
     Array.tabulate(n) { i =>
-      val a = lo + span * i / n
-      val b = lo + span * (i + 1) / n
+      val a = lo + chunk * i + math.min(i.toLong, rem)
+      val b = a + chunk + (if (i < rem) 1L else 0L)
       RangeInputPartition(a, b)
     }.filter(p => p.lo < p.hi).toArray[InputPartition]
   }

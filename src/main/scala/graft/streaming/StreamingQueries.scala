@@ -21,24 +21,13 @@ object StreamingQueries {
 
   /** One staged copy of events.parquet per source dir (file streams
     * read directories, and queries must be re-runnable); deleted on JVM
-    * exit so repeated runs don't accumulate copies in /tmp. */
+    * exit (TempDirs) so repeated runs don't accumulate copies in /tmp. */
   private val staged = new ConcurrentHashMap[String, String]()
   private val runId = new AtomicInteger()
 
-  Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    import scala.jdk.CollectionConverters._
-    staged.values.asScala.foreach { dir =>
-      try {
-        Files.walk(Paths.get(dir))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { Files.deleteIfExists(p); () })
-      } catch { case _: Throwable => }
-    }
-  }))
-
   private def stageDir(dir: String): String =
     staged.computeIfAbsent(dir, { d =>
-      val p = Files.createTempDirectory("graft_stream_events")
+      val p = graft.util.TempDirs.create("graft_stream_events")
       Files.copy(Paths.get(s"$d/events.parquet"), p.resolve("events.parquet"))
       p.toString
     })
@@ -69,7 +58,7 @@ object StreamingQueries {
     * the at-least-once-delivery fixture for the streaming dedup query. */
   private def stageDirDuplicated(dir: String): String =
     staged.computeIfAbsent(dir + "#dup", { _ =>
-      val p = Files.createTempDirectory("graft_stream_events_dup")
+      val p = graft.util.TempDirs.create("graft_stream_events_dup")
       Files.copy(Paths.get(s"$dir/events.parquet"), p.resolve("events.parquet"))
       Files.copy(Paths.get(s"$dir/events.parquet"), p.resolve("events_redelivered.parquet"))
       p.toString
@@ -125,7 +114,7 @@ object StreamingQueries {
     * draining an event-time stream to completion. */
   private def stageDirWithSentinel(s: SparkSession, dir: String): String =
     staged.computeIfAbsent(dir + "#sentinel", { _ =>
-      val p = Files.createTempDirectory("graft_stream_events_sn")
+      val p = graft.util.TempDirs.create("graft_stream_events_sn")
       Files.copy(Paths.get(s"$dir/events.parquet"), p.resolve("events.parquet"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = s.read.parquet(s"$dir/events.parquet")

@@ -72,31 +72,4 @@ class CdcOpsSpec extends SparkSpec {
     val got = CdcOps.funnel(spark, sf).collect().toSeq
     assert(got === expected)
   }
-
-  test("vocabCoverage: counts are consistent and the vocab cut is exact") {
-    val out = CdcOpsSpecHelpers.vocab(spark, sf)
-    val rows = out.collect()
-    rows.foreach { r =>
-      val (n, oov, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
-      assert(oov >= 0 && oov <= n)
-      assert(ratio === oov.toDouble / n)
-    }
-    // every document with at least one token appears
-    val nDocs = graft.Tables(spark, sf, "documents")
-      .filter(length(trim(col("text"))) > 0).count()
-    assert(rows.length === nDocs)
-    // independent recompute of total OOV mass via except-based membership
-    val toks = graft.Tables(spark, sf, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-    val vocab = toks.groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w")).limit(100).select("w")
-    val totalOov = toks.join(vocab, Seq("w"), "left_anti").count()
-    assert(rows.map(_.getLong(2)).sum === totalOov)
-  }
-}
-
-private object CdcOpsSpecHelpers {
-  def vocab(s: org.apache.spark.sql.SparkSession, sf: String) =
-    TextQueries.vocabCoverage(s, sf)
 }

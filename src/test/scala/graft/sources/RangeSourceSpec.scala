@@ -49,4 +49,13 @@ class RangeSourceSpec extends SparkSpec {
     assert(read(0, 1000).filter(col("id") === lit(999L)).count() === 1)
     assert(read(0, 1000).filter(col("id") === lit(1000L)).count() === 0)
   }
+
+  test("pushdown saturates at Long boundaries instead of wrapping") {
+    // id > Long.MaxValue is unsatisfiable — a wrapping v+1 would widen
+    // the range to everything with no residual Filter to catch it
+    assert(read(0, 1000).filter(col("id") > lit(Long.MaxValue)).count() === 0)
+    // id <= Long.MaxValue is a tautology — wrapping would empty the scan
+    assert(read(0, 1000).filter(col("id") <= lit(Long.MaxValue)).count() === 1000)
+    assert(read(0, 1000).filter(col("id") >= lit(Long.MinValue + 1)).count() === 1000)
+  }
 }
