@@ -100,8 +100,41 @@ object CdcOps {
       .orderBy("event_date")
   }
 
+  /** q105: table diff — reconstruct a change-set by comparing two
+    * versions of a keyed table (the inverse of q97's MERGE, and the
+    * backbone of snapshot-based CDC when the upstream system emits no
+    * change log). One co-partitioned full-outer join on the key;
+    * a row is 'added' (key only in the new version), 'removed' (only
+    * in the old), or 'changed' (both sides present, any compared
+    * column differs — null-safe comparison, so NULL→value and
+    * value→NULL both register). Here the 'new version' is exactly
+    * q97's merged output, so the diff must recover q97's effective
+    * change-set — the oracle recomputes both sides and their diff in
+    * SQL. */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val oldV = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"),
+        col("c_name").as("old_name"),
+        (Exact.cents(col("c_acctbal")) / 100.0).cast("double").as("old_bal"))
+    val newV = cdcMerge(s, dir)
+      .select(col("c_custkey").as("k2"),
+        col("c_name").as("new_name"), col("c_acctbal").as("new_bal"))
+    oldV.join(newV, col("k") === col("k2"), "full_outer")
+      .withColumn("change_type",
+        when(col("k").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(!(col("old_name") <=> col("new_name")) ||
+            !(col("old_bal") <=> col("new_bal")), "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(
+        coalesce(col("k"), col("k2")).as("c_custkey"),
+        col("change_type"), col("old_bal"), col("new_bal"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_cdc_merge" -> (cdcMerge _),
+    "q105_table_diff" -> (tableDiff _),
     "q100_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
@@ -125,6 +158,41 @@ object CdcOps {
         |WHERE coalesce(g.op, '') <> 'D'
         |  AND NOT (c.c_custkey IS NULL AND g.op <> 'I')
         |ORDER BY 1""".stripMargin,
+    "q105_table_diff" ->
+      """WITH upd AS (
+        |  SELECT o_custkey AS k,
+        |   CASE WHEN max(o_orderstatus) = 'F' THEN 'D' ELSE 'U' END AS op,
+        |   CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS delta_cents
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+        |  GROUP BY o_custkey),
+        |chg AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'I', 0 FROM customer WHERE c_custkey % 97 = 0),
+        |merged AS (
+        |  SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+        |   coalesce(c.c_name, 'new#' || CAST(g.k AS VARCHAR)) AS c_name,
+        |   CAST((coalesce(CAST(round(c.c_acctbal*100) AS BIGINT), 0)
+        |         + coalesce(g.delta_cents, 0)) / 100.0 AS DOUBLE) AS c_acctbal
+        |  FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
+        |  WHERE coalesce(g.op, '') <> 'D'
+        |    AND NOT (c.c_custkey IS NULL AND g.op <> 'I')),
+        |oldv AS (
+        |  SELECT c_custkey AS k, c_name AS old_name,
+        |   CAST(CAST(round(c_acctbal*100) AS BIGINT) / 100.0 AS DOUBLE) AS old_bal
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT coalesce(o.k, m.c_custkey) AS c_custkey,
+        |   CASE WHEN o.k IS NULL THEN 'added'
+        |        WHEN m.c_custkey IS NULL THEN 'removed'
+        |        WHEN o.old_name IS DISTINCT FROM m.c_name
+        |          OR o.old_bal IS DISTINCT FROM m.c_acctbal THEN 'changed'
+        |   END AS change_type,
+        |   o.old_bal, m.c_acctbal AS new_bal
+        |  FROM oldv o FULL OUTER JOIN merged m ON o.k = m.c_custkey)
+        |WHERE change_type IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
     "q100_funnel" ->
       """WITH flagged AS (
         |  SELECT ts, event_type,

@@ -45,6 +45,28 @@ class CdcOpsSpec extends SparkSpec {
     }
   }
 
+  test("tableDiff recovers exactly the merge's effective change-set") {
+    val diff = CdcOps.tableDiff(spark, sf).collect()
+    val byType = diff.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // adds = synthetic inserts; removes = matched deletes; changes =
+    // matched updates (every update moves the balance by a positive
+    // 1995 spend, so each one must surface)
+    val base = graft.Tables(spark, sf, "customer")
+    val perCust = graft.Tables(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+      .groupBy("o_custkey").agg(max("o_orderstatus").as("st"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byType.getOrElse("added", 0) ===
+      base.filter(col("c_custkey") % 97 === 0).count().toInt)
+    assert(byType.getOrElse("removed", 0) === perCust.count(_._2 == "F"))
+    assert(byType.getOrElse("changed", 0) === perCust.count(_._2 != "F"))
+    // every changed row really moved
+    diff.filter(_.getString(1) == "changed").foreach { r =>
+      assert(r.getDouble(2) !== r.getDouble(3), r.toString)
+    }
+  }
+
   test("funnel: window formulation equals the brute-force range self-join") {
     val ev = graft.Tables(spark, sf, "events")
       .select("event_id", "ts", "user_id", "event_type")
