@@ -273,6 +273,32 @@ object RelationalQueries {
       .agg(revenueExact.as("revenue"), count(lit(1)).as("n"))
       .orderBy("r_name")
 
+  /** TPC-H Q5 (local supplier volume) — the canonical 6-way star with
+    * the join predicate that makes it interesting: the supplier must be
+    * in the CUSTOMER's nation (c_nationkey = s_nationkey crosses two
+    * dimension arms), so the optimizer cannot treat the dims as
+    * independent snowflake branches. Dates shifted to this dataset's
+    * 1995-2001 span; region pinned to ASIA. Plan: dims broadcast, the
+    * one fact-fact edge (lineitem⋈orders) shuffles, the date filter
+    * pushes into the orders scan. Revenue in exact cent·percent units
+    * so the DESC sort is engine-exact. */
+  def tpchQ5(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(revenueExact.as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
   /** Exact interpolated percentiles per group, plus a sample standard
     * deviation computed from exact integer sums (Σx, Σx² in cents) so the
     * value is order-independent — stddev_samp's streaming merge is not. */
@@ -612,6 +638,7 @@ object RelationalQueries {
     "q20_daily_summary" -> (dailySummary _),
     "q21_sessionize" -> (sessionize _),
     "q22_multi_join" -> (multiJoin _),
+    "q106_tpch_q5" -> (tpchQ5 _),
     "q23_window_leadlag" -> (windowLeadLag _),
     "q24_percentiles" -> (percentiles _),
     "q69_approx_percentiles" -> (approxPercentiles _),
@@ -831,6 +858,18 @@ object RelationalQueries {
         |   epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q106_tpch_q5" ->
+      """SELECT n_name,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q22_multi_join" ->
       """SELECT r_name,
         | sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue,

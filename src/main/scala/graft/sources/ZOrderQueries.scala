@@ -29,19 +29,26 @@ import graft.operators.Exact
   */
 object ZOrderQueries {
 
-  /** Morton code of two non-negative integer columns, `bits` bits each
-    * (bit i of `a` → bit 2i, bit i of `b` → bit 2i+1). A static
-    * expression tree of shifts/masks — whole-stage-codegen'd, branch
-    * free, no UDF. 21+21 bits = 42-bit z-values: covers keys to 2M. */
-  def zvalue(a: Column, b: Column, bits: Int = 21): Column = {
-    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
-    val al = a.cast("long")
-    val bl = b.cast("long")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+  /** Morton code of N ≥ 2 non-negative integer columns, `bits` bits
+    * each: bit i of column j lands at position i·N + j (round-robin
+    * interleave, so every dimension contributes equally at every
+    * granularity). A static expression tree of shifts/masks —
+    * whole-stage-codegen'd, branch free, no UDF. */
+  def zvalueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits exceeds a positive Long")
+    val n = cols.size
+    val longs = cols.map(_.cast("long"))
+    (for { i <- 0 until bits; (c, j) <- longs.zipWithIndex } yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
+    ).reduce(_ bitwiseOR _)
   }
+
+  /** Two-column Morton code (bit i of `a` → bit 2i, of `b` → 2i+1).
+    * 21+21 bits = 42-bit z-values: covers keys to 2M. */
+  def zvalue(a: Column, b: Column, bits: Int = 21): Column =
+    zvalueN(Seq(a, b), bits)
 
   private val written = new ConcurrentHashMap[String, String]()
 

@@ -18,6 +18,19 @@ class ZOrderSpec extends SparkSpec {
     assert(got === Seq(0L, 1L, 2L, 3L, 27L))
   }
 
+  test("zvalueN round-robins bits across three dimensions") {
+    import spark.implicits._
+    val got = Seq((1L, 1L, 1L), (2L, 0L, 1L), (0L, 4L, 0L))
+      .toDF("a", "b", "c")
+      .select(ZOrderQueries.zvalueN(
+        Seq(col("a"), col("b"), col("c")), bits = 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // (1,1,1): bit0 of each dim -> positions 0,1,2 = 0b111 = 7
+    // (2,0,1): a bit1 -> pos 3 (8); c bit0 -> pos 2 (4) = 12
+    // (0,4,0): b bit2 -> pos 2*3+1 = 7 (128)
+    assert(got === Seq(7L, 12L, 128L))
+  }
+
   /** Per-file bounding boxes of a parquet directory on two columns —
     * what footer min/max stats expose to any data-skipping layer. */
   private def fileBoxes(path: String, a: String, b: String): Seq[(Long, Long, Long, Long)] = {
