@@ -107,6 +107,16 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Exchange") <= 1, s"chunking should not shuffle:\n$p")
   }
 
+  test("q106: TPC-H Q5 broadcasts every dim, pushes the date filter, shuffles once") {
+    val p = plan("q106_tpch_q5")
+    // customer, supplier, nation, region all broadcast
+    assert(countOf(p, "BroadcastHashJoin") >= 4, p)
+    // the one fact-fact edge is the only sort-merge join
+    assert(countOf(p, "SortMergeJoin") <= 1)
+    // the 1996 date range reaches the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
+
   test("q01: aggregation is two-phase (partial before shuffle)") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
