@@ -25,8 +25,10 @@ object CdcOps {
     *   - per customer with 1995 orders: DELETE if their last-status
     *     aggregate is 'F' (max status), else UPDATE adding the year's
     *     spend to the account balance;
-    *   - synthetic INSERTs (every 97th custkey re-keyed +1,000,000) —
-    *     rows whose key does not exist in the base.
+    *   - synthetic INSERTs (every 97th custkey re-keyed to -(k+1), the
+    *     negative key space) — rows whose key does not exist in the
+    *     base at ANY scale factor (a fixed positive offset would start
+    *     colliding with real custkeys once the table outgrows it).
     * Semantics (standard MERGE):
     *   matched + D → drop; matched + U → update; unmatched change + I →
     *   insert; unmatched change that is not an insert → ignored (nothing
@@ -52,7 +54,7 @@ object CdcOps {
         sum(Exact.cents(col("o_totalprice"))).as("delta_cents"))
     val inserts = t(s, dir, "customer")
       .filter(col("c_custkey") % 97 === 0)
-      .select((col("c_custkey") + 1000000L).as("k"),
+      .select((-col("c_custkey") - 1L).as("k"),
         lit("I").as("op"), lit(0L).as("delta_cents"))
     base
       .join(updates.unionByName(inserts), col("c_custkey") === col("k"), "full_outer")
@@ -71,12 +73,19 @@ object CdcOps {
   /** q100: event funnel — for every `view` event, did the same user
     * `purchase` within 30 minutes? The naive formulation is a per-user
     * time-range self-join (quadratic in events-per-user); this one is a
-    * single forward-looking window: sort each user's events once, take
-    * the conditional min of the next purchase timestamp at or after each
-    * event, and compare. One shuffle on user_id, O(n log n) per user,
-    * no pair blow-up — the funnel plan that survives web-scale event
-    * tables where power users have millions of rows. Output: per-day
-    * view counts and 30-minute view→purchase conversions.
+    * single window: sort each user's events once and take a running
+    * conditional min of the purchase timestamp. The frame direction
+    * matters for the SAME reason the self-join does: Spark executes an
+    * [unboundedPreceding, currentRow] frame as a running aggregate
+    * (O(n) per partition) but re-aggregates a [currentRow,
+    * unboundedFollowing] frame from scratch for every row (O(n²) —
+    * UnboundedFollowingWindowFunctionFrame has no inverse-merge), so
+    * "min over my suffix in ascending order" is computed as "running
+    * min over my prefix in DESCENDING order". One shuffle on user_id,
+    * one sort, no pair blow-up — the funnel plan that survives
+    * web-scale event tables where power users have millions of rows.
+    * Output: per-day view counts and 30-minute view→purchase
+    * conversions.
     */
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -84,8 +93,8 @@ object CdcOps {
     // total order within user (ts, event_id) makes the window — and so
     // the conversion flag on ties — engine-independent
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nextPurchase = min(
       when(col("event_type") === "purchase", col("ts"))).over(w)
     ev.withColumn("next_purchase_ts", nextPurchase)
@@ -149,7 +158,7 @@ object CdcOps {
         |chg AS (
         |  SELECT * FROM upd
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, 'I', 0 FROM customer WHERE c_custkey % 97 = 0)
+        |  SELECT -c_custkey - 1, 'I', 0 FROM customer WHERE c_custkey % 97 = 0)
         |SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
         | coalesce(c.c_name, 'new#' || CAST(g.k AS VARCHAR)) AS c_name,
         | CAST((coalesce(CAST(round(c.c_acctbal*100) AS BIGINT), 0)
@@ -169,7 +178,7 @@ object CdcOps {
         |chg AS (
         |  SELECT * FROM upd
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, 'I', 0 FROM customer WHERE c_custkey % 97 = 0),
+        |  SELECT -c_custkey - 1, 'I', 0 FROM customer WHERE c_custkey % 97 = 0),
         |merged AS (
         |  SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
         |   coalesce(c.c_name, 'new#' || CAST(g.k AS VARCHAR)) AS c_name,

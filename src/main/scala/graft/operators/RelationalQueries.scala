@@ -490,9 +490,6 @@ object RelationalQueries {
       .orderBy("o_orderstatus", "o_orderkey")
   }
 
-  /** As-of join (Ops.asofJoin): each event picks up the user's latest
-    * order at-or-before the event time. Right side pre-deduped to one
-    * row per (key, time) for determinism. */
   /** Latest-order-per-(customer, day) rollup — the right side of BOTH
     * as-of formulations (q36 union+window, q93 physical operator) and
     * of their equivalence spec: one definition, so the "two
@@ -504,6 +501,9 @@ object RelationalQueries {
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("o_orderkey"))
 
+  /** As-of join (Ops.asofJoin): each event picks up the user's latest
+    * order at-or-before the event time. Right side pre-deduped to one
+    * row per (key, time) for determinism. */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
     val events = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
     val orders = ordersAsofRollup(s, dir)
@@ -565,21 +565,15 @@ object RelationalQueries {
       .join(iv, col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
       .groupBy(col("win_id")).agg(count(lit(1)).as("n_events"))
       .orderBy("win_id")
-    // arm the rewrite only while THIS frame plans: width is a
-    // per-query data statement, and leaving the conf set session-wide
-    // would silently rewrite every later pure-range join with q88's
-    // width. queryExecution is a lazy val, so forcing the physical
-    // plan here pins the rewritten plan into the returned frame and
-    // the conf can be restored before any other query plans.
-    val key = org.apache.spark.sql.graft.BucketedRangeJoinRule.WIDTH_KEY
-    val prior = s.conf.getOption(key)
-    s.conf.set(key, hourUs.toString)
-    try out.queryExecution.executedPlan
-    finally prior match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-    out
+    // width is a per-query data statement, so it is baked into THIS
+    // frame's logical plan (rewriteFrame) rather than set session-wide
+    // — and a conf-scoped planning window would not survive the fresh
+    // QueryExecution that every later count()/write() builds: the
+    // re-optimization would silently restore the nested-loop join in
+    // exactly the deployment paths (Verify/Bench) that execute the
+    // frame. The rewritten logical join carries an equi key, so any
+    // re-planning keeps the bucketed shape.
+    org.apache.spark.sql.graft.BucketedRangeJoinRule.rewriteFrame(out, hourUs)
   }
 
   /** q36's as-of semantics executed by the CUSTOM physical operator

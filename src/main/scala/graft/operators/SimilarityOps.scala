@@ -298,12 +298,20 @@ object SimilarityOps {
     * would get: the SQL registry is now itself a gated component, not
     * just unit-tested plumbing. */
   def sqlCosineTopK(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
-    s.sql(
-      """WITH q AS (SELECT embedding AS qv FROM graft_embeddings WHERE vec_id = 0)
-        |SELECT vec_id, label, round(cosine_sim(embedding, qv), 6) AS cos_sim
-        |FROM graft_embeddings, q WHERE vec_id <> 0
-        |ORDER BY cos_sim DESC, vec_id LIMIT 50""".stripMargin)
+    // per-call unique view name, dropped as soon as the frame is built:
+    // spark.sql() resolves the view at analysis time, so the returned
+    // frame stays executable after the drop — and the session catalog
+    // is left exactly as found (a fixed createOrReplaceTempView name
+    // would clobber a user view of that name and leak ours, with two
+    // concurrent dirs silently reading whichever registered last)
+    val view = s"graft_embeddings_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "embeddings").createTempView(view)
+    try s.sql(
+      s"""WITH q AS (SELECT embedding AS qv FROM $view WHERE vec_id = 0)
+         |SELECT vec_id, label, round(cosine_sim(embedding, qv), 6) AS cos_sim
+         |FROM $view, q WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 50""".stripMargin)
+    finally s.catalog.dropTempView(view)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

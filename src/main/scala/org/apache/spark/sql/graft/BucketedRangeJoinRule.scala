@@ -36,7 +36,13 @@ case class BucketedRangeJoinRule() extends Rule[LogicalPlan] with PredicateHelpe
   import BucketedRangeJoinRule.WIDTH_KEY
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(WIDTH_KEY, "0").toLong
+    val raw = conf.getConfString(WIDTH_KEY, "0")
+    // this rule runs for EVERY query in the session once the conf is
+    // set — a malformed value must fail naming the key, not as a bare
+    // NumberFormatException from deep inside the optimizer
+    val width = scala.util.Try(raw.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"$WIDTH_KEY must be a Long (point-column units), got '$raw'"))
     if (width <= 0) plan
     else plan.transform {
       case j @ Join(left, right, Inner, Some(cond), _) =>
@@ -69,7 +75,7 @@ case class BucketedRangeJoinRule() extends Rule[LogicalPlan] with PredicateHelpe
     }
   }
 
-  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+  private[graft] def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, width: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     // an equi condition between the sides means Spark already has a
@@ -133,4 +139,24 @@ case class BucketedRangeJoinRule() extends Rule[LogicalPlan] with PredicateHelpe
 
 object BucketedRangeJoinRule {
   val WIDTH_KEY = "spark.graft.rangeJoin.bucketWidth"
+
+  /** Rewrite a frame's range join with an explicit width, baking the
+    * bucketed join INTO the frame's analyzed logical plan. This is the
+    * per-query form of the conf: a conf-scoped planning window only
+    * pins the CURRENT QueryExecution, and every later `count()` /
+    * `write` builds a fresh one that re-optimizes without the conf —
+    * silently restoring the nested-loop plan. A logical-plan rewrite
+    * survives any re-planning (the rewritten join has an equi key, so
+    * the rule's own eligibility check also leaves it alone if the conf
+    * IS set). */
+  def rewriteFrame(df: org.apache.spark.sql.DataFrame, width: Long): org.apache.spark.sql.DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    val rule = BucketedRangeJoinRule()
+    val newPlan = df.queryExecution.analyzed.transform {
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        rule.rewrite(j, left, right, cond, width).getOrElse(j)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession], newPlan)
+  }
 }

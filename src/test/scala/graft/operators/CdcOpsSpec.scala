@@ -36,8 +36,10 @@ class CdcOpsSpec extends SparkSpec {
       .select(Exact.cents(col("c_acctbal"))).collect().head.getLong(0)
     assert(byKey(someUpdate._1).getDouble(2) ===
       (baseBal + someUpdate._2._2) / 100.0)
-    // inserts carry the synthetic key, generated name, zero balance
-    val ins = rows.filter(_.getLong(0) >= 1000000L)
+    // inserts carry the synthetic negative key, generated name, zero
+    // balance (negative key space cannot collide with real custkeys at
+    // any scale factor)
+    val ins = rows.filter(_.getLong(0) < 0L)
     assert(ins.length === inserts)
     ins.foreach { r =>
       assert(r.getString(1) === s"new#${r.getLong(0)}")
