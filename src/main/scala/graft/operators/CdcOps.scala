@@ -141,9 +141,35 @@ object CdcOps {
       .orderBy("c_custkey")
   }
 
+  /** q107: retention cohorts — the classic product-analytics matrix:
+    * users grouped by signup week (ISO Monday truncation), counted as
+    * active in each subsequent week. Two aggregations and one join on
+    * user_id: the cohort dim derives from the same event table (min
+    * signup ts per user), activity weeks come from every event, and the
+    * week offset is exact integer arithmetic on week-truncated dates
+    * (always a multiple of 7 days, so the division is engine-exact).
+    * The join key is the user — high cardinality, full parallelism;
+    * nothing here is driver-side. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .withColumn("week_offset",
+        (datediff(to_date(date_trunc("week", col("ts"))), col("cohort_week")) / 7)
+          .cast("int"))
+      .filter(col("week_offset").between(0, 8))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_cdc_merge" -> (cdcMerge _),
     "q105_table_diff" -> (tableDiff _),
+    "q107_retention_cohorts" -> (retentionCohorts _),
     "q100_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
@@ -202,6 +228,16 @@ object CdcOps {
         |  FROM oldv o FULL OUTER JOIN merged m ON o.k = m.c_custkey)
         |WHERE change_type IS NOT NULL
         |ORDER BY c_custkey""".stripMargin,
+    "q107_retention_cohorts" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT cohort_week,
+        | CAST(date_diff('day', cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_offset,
+        | count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN cohort USING (user_id)
+        |WHERE date_diff('day', cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) BETWEEN 0 AND 56
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q100_funnel" ->
       """WITH flagged AS (
         |  SELECT ts, event_type,

@@ -85,4 +85,18 @@ class InvariantSpec extends SparkSpec {
     assert(qs -- os === Set("q56_minhash_pairs", "q57_simhash", "q61_ann_lsh"),
       s"unexpected rows-only queries: ${qs -- os}")
   }
+
+  test("every declared query yields at least one row at sf0.001") {
+    // a 0-row result passes rows/schema/hash comparison trivially — a
+    // query whose predicate selects nothing at the gate's scale factor
+    // gates NOTHING (q104's first box was empty at sf0.001 for exactly
+    // this reason). Streaming queries are exercised (and counted) by
+    // their own suites; skipping them here keeps this sweep fast.
+    val skip = Set("q71_streaming_daily", "q92_streaming_dedup",
+      "q95_streaming_sessions", "q96_stream_stream_join")
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !skip(name) && fn(spark, sf).limit(1).count() == 0 => name
+    }
+    assert(empty.isEmpty, s"queries with empty results at sf0.001: $empty")
+  }
 }
