@@ -166,10 +166,33 @@ object CdcOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q108: trailing 7-day per-user spend — a RANGE window frame, the
+    * one frame mode the rest of the surface doesn't exercise. A ROWS
+    * frame counts physical rows; a RANGE frame is defined on the ORDER
+    * value itself (here microseconds), so it expresses "everything in
+    * the last 7 days" regardless of how many events that is, and ties
+    * on the sort key all see the same frame — deterministic without a
+    * tie-break column. Spark executes it as a sliding frame over each
+    * user's sorted events: one shuffle, O(n) per partition. Sums in
+    * integer cents (exact, order-independent). */
+  def movingWindow(s: SparkSession, dir: String): DataFrame = {
+    val sevenDaysUs = 7L * 86400000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-sevenDaysUs, 0)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withColumn("trailing_cents", sum(Exact.cents(col("value"))).over(w))
+      .select(col("event_id"), col("user_id"),
+        (col("trailing_cents") / 100.0).cast("double").as("trailing_7d_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_cdc_merge" -> (cdcMerge _),
     "q105_table_diff" -> (tableDiff _),
     "q107_retention_cohorts" -> (retentionCohorts _),
+    "q108_moving_window" -> (movingWindow _),
     "q100_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
@@ -238,6 +261,13 @@ object CdcOps {
         |FROM events e JOIN cohort USING (user_id)
         |WHERE date_diff('day', cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) BETWEEN 0 AND 56
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q108_moving_window" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) / 100.0
+        |  AS DOUBLE) AS trailing_7d_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q100_funnel" ->
       """WITH flagged AS (
         |  SELECT ts, event_type,
