@@ -50,4 +50,36 @@ object VectorKernels {
     }
     out
   }
+
+  // ----- ArrayData-aware wrappers (null-element propagation) -----
+  // ArrayData.toFloatArray/toLongArray silently read NULL elements as 0,
+  // which would make these kernels return plausible-but-wrong numbers.
+  // SQL semantics for a null-containing argument is a null RESULT, so
+  // the expressions call these wrappers, which scan the null bitmap
+  // first (O(n), same order as the kernel itself) and return a boxed
+  // null. Boxed returns only materialize on this path; the primitive
+  // kernels above stay allocation-free for null-free data.
+
+  private def hasNullElement(a: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
+  def cosineAD(l: org.apache.spark.sql.catalyst.util.ArrayData,
+      r: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double =
+    if (hasNullElement(l) || hasNullElement(r)) null
+    else java.lang.Double.valueOf(cosineFF(l.toFloatArray(), r.toFloatArray()))
+
+  def lshBucketAD(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      bits: Int, table: Int): java.lang.Long =
+    if (hasNullElement(v)) null
+    else java.lang.Long.valueOf(lshBucketF(v.toFloatArray(), bits, table))
+
+  def sortedIntersectAD(l: org.apache.spark.sql.catalyst.util.ArrayData,
+      r: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Integer =
+    if (hasNullElement(l) || hasNullElement(r)) null
+    else java.lang.Integer.valueOf(
+      TextHashes.sortedIntersectSize(l.toLongArray(), r.toLongArray()))
 }

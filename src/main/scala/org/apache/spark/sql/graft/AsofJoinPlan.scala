@@ -167,9 +167,21 @@ object GraftPlans {
     require(shared.isEmpty,
       s"as-of join sides must not share column NAMES (got $shared) — " +
         "the combined output would be ambiguous to resolve; rename one side")
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    // honor the session's resolution mode (default case-INSENSITIVE,
+    // like every other column lookup in Spark), and refuse ambiguity
+    // instead of silently taking the first duplicate
+    val caseSensitive = left.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    def attr(p: LogicalPlan, n: String): Attribute = {
+      val hits = p.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      hits match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"no column '$n' in ${p.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column '$n': matches ${many.map(_.name)}")
+      }
+    }
     val (lk, rk) = (attr(lp, leftKey), attr(rp, rightKey))
     val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
     require(lk.dataType == rk.dataType && lt.dataType == rt.dataType,

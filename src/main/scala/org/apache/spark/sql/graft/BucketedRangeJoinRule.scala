@@ -27,6 +27,10 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * Opt-in by setting `spark.graft.rangeJoin.bucketWidth` (in the
   * point column's units) — width choice is a data statement: intervals
   * should span few buckets, which the optimizer cannot know statically.
+  * Choosing a width far below the interval span makes the per-row
+  * bucket Sequence huge; past ~2^31 elements Spark's Sequence fails
+  * the query with its array-size-limit error — if that happens, the
+  * width is the knob to raise.
   * The rule runs inside the operator-optimization fixed point and is
   * self-stabilizing: its own output contains an equi condition, which
   * the eligibility check rejects.
@@ -80,8 +84,13 @@ case class BucketedRangeJoinRule() extends Rule[LogicalPlan] with PredicateHelpe
     val conjuncts = splitConjunctivePredicates(cond)
     // an equi condition between the sides means Spark already has a
     // shuffle key (and also marks our own rewritten joins)
+    // both sides must actually REFERENCE their side: a literal's empty
+    // reference set is a subset of every outputSet, so without the
+    // nonEmpty guards an attribute-vs-literal equality (cat = 'x',
+    // present pre-pushdown in rewriteFrame's analyzed plan) would
+    // masquerade as a join key and silently defeat the rewrite
     val hasEqui = conjuncts.exists {
-      case Equality(a, b) =>
+      case Equality(a, b) if a.references.nonEmpty && b.references.nonEmpty =>
         (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
           (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
       case _ => false
@@ -98,9 +107,17 @@ case class BucketedRangeJoinRule() extends Rule[LogicalPlan] with PredicateHelpe
     } yield (p1, lo, hi, fromL1)).headOption
     pair.map { case (p, lo, hi, pointFromLeft) =>
       val w = Literal(width, LongType)
-      // floor division via pmod (exact long math, correct for negatives)
-      def bucket(e: Expression): Expression =
-        IntegralDivide(Subtract(e, Pmod(e, w)), w)
+      // floor division WITHOUT the subtract-pmod identity: e - pmod(e,w)
+      // underflows Long for values in the lowest partial bucket (ANSI
+      // mode throws, legacy mode wraps to a wrong bucket and silently
+      // drops matches). trunc-div then correct when the remainder is
+      // negative — every intermediate stays in range for w >= 1.
+      def bucket(e: Expression): Expression = {
+        val d = IntegralDivide(e, w)
+        val r = Remainder(e, w)
+        If(LessThan(r, Literal(0L, LongType)),
+          Subtract(d, Literal(1L, LongType)), d)
+      }
 
       val pb = Alias(bucket(p), "__graft_pb")()
       val pointSide = Project(

@@ -5,7 +5,6 @@
  */
 package org.apache.spark.sql.graft
 
-import org.apache.spark.SparkException
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -26,6 +25,9 @@ import graft.functions.{TextHashes, VectorKernels}
   */
 case class MinHashSig(child: Expression, k: Int, shingleLen: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && k <= 4096, s"k (signature slots) must be in [1, 4096], got $k")
+  require(shingleLen >= 1 && shingleLen <= 1024,
+    s"shingleLen must be in [1, 1024], got $shingleLen")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -96,14 +98,20 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
+  // a null ELEMENT inside either array nulls the result (ArrayData's
+  // bulk converters would silently read it as 0 — a phantom gram)
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    TextHashes.sortedIntersectSize(
-      l.asInstanceOf[ArrayData].toLongArray(), r.asInstanceOf[ArrayData].toLongArray())
+    VectorKernels.sortedIntersectAD(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (l, r) =>
-      s"graft.functions.TextHashes.sortedIntersectSize($l.toLongArray(), $r.toLongArray())")
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("boxed")
+      s"""java.lang.Integer $tmp = graft.functions.VectorKernels.sortedIntersectAD($l, $r);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.intValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): SortedIntersectSize =
@@ -119,14 +127,18 @@ case class CosineSimF(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // null vector ELEMENTS null the result instead of being read as 0.0f
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    VectorKernels.cosineFF(
-      l.asInstanceOf[ArrayData].toFloatArray(), r.asInstanceOf[ArrayData].toFloatArray())
+    VectorKernels.cosineAD(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (l, r) =>
-      s"graft.functions.VectorKernels.cosineFF($l.toFloatArray(), $r.toFloatArray())")
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("boxed")
+      s"""java.lang.Double $tmp = graft.functions.VectorKernels.cosineAD($l, $r);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineSimF = copy(left = newLeft, right = newRight)
@@ -136,17 +148,26 @@ case class CosineSimF(left: Expression, right: Expression)
   * VectorKernels.lshBucketF). */
 case class LshBucketF(child: Expression, bits: Int, table: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  // bits > 63 would wrap `1L << p` mod 64 in the kernel: planes 64+
+  // would silently vote onto low bits, aliasing buckets
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+  require(table >= 0, s"table must be >= 0, got $table")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
+  // null vector ELEMENTS null the bucket instead of voting as 0.0f
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorKernels.lshBucketF(input.asInstanceOf[ArrayData].toFloatArray(), bits, table)
+    VectorKernels.lshBucketAD(input.asInstanceOf[ArrayData], bits, table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorKernels.lshBucketF($c.toFloatArray(), $bits, $table)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("boxed")
+      s"""java.lang.Long $tmp = graft.functions.VectorKernels.lshBucketAD($c, $bits, $table);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketF =
     copy(child = newChild)
@@ -175,9 +196,17 @@ object GraftExpressions {
     ExpressionUtils.column(SortedIntersectSize(
       ExpressionUtils.expression(l), ExpressionUtils.expression(r)))
 
+  // user-facing argument errors: IllegalArgumentException (surfaced by
+  // function resolution as the user's mistake), NOT internalError —
+  // that macro prints "please file a bug report" for what is a wrong
+  // argument at the call site
+  private def badArgs(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
-    case _ => throw SparkException.internalError(s"$what must be an integer literal")
+    case Literal(v: Long, _) if v.isValidInt => v.toInt
+    case other => badArgs(
+      s"$what must be an integer literal, got ${other.sql}")
   }
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -188,29 +217,32 @@ object GraftExpressions {
         case Seq(c) => MinHashSig(c, 32, 5)
         case Seq(c, k) => MinHashSig(c, intLit(k, "k"), 5)
         case Seq(c, k, l) => MinHashSig(c, intLit(k, "k"), intLit(l, "shingleLen"))
-        case _ => throw SparkException.internalError("minhash_sig takes 1-3 args")
+        case _ => badArgs("minhash_sig takes 1-3 args (col[, k[, shingleLen]])")
       }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SimHash64(c)
+        case _ => badArgs("simhash64 takes exactly 1 arg")
+      }),
     (FunctionIdentifier("gram_set"),
       new ExpressionInfo(classOf[GramSet].getName, "gram_set"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => GramSet(c, 3)
         case Seq(c, n) => GramSet(c, intLit(n, "n"))
-        case _ => throw SparkException.internalError("gram_set takes 1-2 args")
+        case _ => badArgs("gram_set takes 1-2 args (col[, n])")
       }),
     (FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (args: Seq[Expression]) => args match {
         case Seq(l, r) => SortedIntersectSize(l, r)
-        case _ => throw SparkException.internalError("sorted_intersect_size takes 2 args")
+        case _ => badArgs("sorted_intersect_size takes exactly 2 args")
       }),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim"),
       (args: Seq[Expression]) => args match {
         case Seq(l, r) => CosineSimF(l, r)
-        case _ => throw SparkException.internalError("cosine_sim takes 2 args")
+        case _ => badArgs("cosine_sim takes exactly 2 args")
       }),
     (FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucketF].getName, "lsh_bucket"),
@@ -218,7 +250,7 @@ object GraftExpressions {
         case Seq(c, bits) => LshBucketF(c, intLit(bits, "bits"), 0)
         case Seq(c, bits, tbl) =>
           LshBucketF(c, intLit(bits, "bits"), intLit(tbl, "table"))
-        case _ => throw SparkException.internalError("lsh_bucket takes 2-3 args")
+        case _ => badArgs("lsh_bucket takes 2-3 args (vec, bits[, table])")
       }))
 
   /** Register the SQL functions on an already-built session. */

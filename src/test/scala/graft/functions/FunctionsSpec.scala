@@ -91,4 +91,32 @@ class FunctionsSpec extends SparkSpec {
       gfn.gram_set(col("s"), 3)).collect()
     assert(rows.exists(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
   }
+
+  test("null ARRAY ELEMENTS null the result instead of reading as zero") {
+    // ArrayData's bulk converters read a null slot as 0 — without the
+    // element scan, cosine_sim would return a plausible wrong number
+    // and sorted_intersect_size would count phantom grams
+    val rows = spark.sql(
+      """SELECT
+        | cosine_sim(array(CAST(NULL AS FLOAT), 1.0F), array(3.0F, 4.0F)) AS c,
+        | sorted_intersect_size(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS i,
+        | lsh_bucket(array(CAST(NULL AS FLOAT), 1.0F), 4) AS b,
+        | cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS ok""".stripMargin)
+      .collect().head
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+    assert(math.abs(rows.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("argument validation fails legibly, not as internal errors") {
+    val e1 = intercept[Exception](spark.sql("SELECT simhash64('a', 'b')").collect())
+    assert(e1.getMessage.contains("simhash64 takes exactly 1 arg"), e1.getMessage)
+    val e2 = intercept[Exception](
+      org.apache.spark.sql.graft.MinHashSig(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), -1, 5))
+    assert(e2.getMessage.contains("[1, 4096]"), e2.getMessage)
+    val e3 = intercept[Exception](
+      org.apache.spark.sql.graft.LshBucketF(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), 70, 0))
+    assert(e3.getMessage.contains("[1, 63]"), e3.getMessage)
+  }
 }

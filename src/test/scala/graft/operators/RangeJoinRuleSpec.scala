@@ -84,6 +84,41 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.conf.unset(WIDTH_KEY)
   }
 
+  test("rewriteFrame fires despite an attribute-vs-literal equality conjunct") {
+    // a literal's empty reference set is a subset of every outputSet —
+    // pre-fix, `flag = 1` masqueraded as an equi join key and the
+    // rewrite silently returned the nested-loop plan
+    import spark.implicits._
+    val ps = points.withColumn("flag", lit(1))
+    val joined = ps.join(intervals,
+      col("p") >= col("lo") && col("p") <= col("hi") && col("flag") === lit(1))
+    val rewritten = BucketedRangeJoinRule.rewriteFrame(joined, 256L)
+    rewritten.collect()
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"literal equality defeated the rewrite:\n$plan")
+    assert(rewritten.select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq === expected(strict = false).sorted)
+  }
+
+  test("bucket math is exact at Long extremes (no subtract-pmod underflow)") {
+    import spark.implicits._
+    // points in the lowest partial bucket: e - pmod(e, w) underflows
+    val extremes = Seq(Long.MinValue + 1, Long.MinValue + 5, -10L, 0L, 10L)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "p")
+    val ivs = Seq((1L, Long.MinValue + 1, Long.MinValue + 6), (2L, -15L, 5L))
+      .toDF("iid", "lo", "hi")
+    val joined = extremes.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+    val got = BucketedRangeJoinRule.rewriteFrame(joined, 10L)
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val exp = (for {
+      (id, p) <- Seq((0L, Long.MinValue + 1), (1L, Long.MinValue + 5), (2L, -10L), (3L, 0L), (4L, 10L))
+      (iid, lo, hi) <- Seq((1L, Long.MinValue + 1, Long.MinValue + 6), (2L, -15L, 5L))
+      if p >= lo && p <= hi
+    } yield (id, iid)).sorted
+    assert(got === exp)
+  }
+
   test("does not fire with an equi key, without the width conf, or on non-inner joins") {
     // equi key present: Spark already has a shuffle key
     try {
