@@ -99,19 +99,34 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
   // a null ELEMENT inside either array nulls the result (ArrayData's
-  // bulk converters would silently read it as 0 — a phantom gram)
-  override def nullable: Boolean = true
+  // bulk converters would silently read it as 0 — a phantom gram).
+  // The null scan is skipped when both children DECLARE
+  // containsNull=false (e.g. gram_set output) — provably unnecessary,
+  // and these arrays are the hot path's largest (measured ~20% on the
+  // near-dup family at sf0.1 before the gate).
+  private def elementsNullable: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  override def nullable: Boolean = left.nullable || right.nullable || elementsNullable
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    VectorKernels.sortedIntersectAD(
-      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (elementsNullable)
+      VectorKernels.sortedIntersectAD(
+        l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    else TextHashes.sortedIntersectSize(
+      l.asInstanceOf[ArrayData].toLongArray(), r.asInstanceOf[ArrayData].toLongArray())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (l, r) => {
-      val tmp = ctx.freshName("boxed")
-      s"""java.lang.Integer $tmp = graft.functions.VectorKernels.sortedIntersectAD($l, $r);
-         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.intValue(); }""".stripMargin
-    })
+    if (elementsNullable)
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val tmp = ctx.freshName("boxed")
+        s"""java.lang.Integer $tmp = graft.functions.VectorKernels.sortedIntersectAD($l, $r);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.intValue(); }""".stripMargin
+      })
+    else defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.TextHashes.sortedIntersectSize($l.toLongArray(), $r.toLongArray())")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): SortedIntersectSize =
@@ -127,18 +142,30 @@ case class CosineSimF(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
-  // null vector ELEMENTS null the result instead of being read as 0.0f
-  override def nullable: Boolean = true
+  // null vector ELEMENTS null the result instead of being read as 0.0f;
+  // scan skipped when both children declare containsNull=false
+  private def elementsNullable: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  override def nullable: Boolean = left.nullable || right.nullable || elementsNullable
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    VectorKernels.cosineAD(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (elementsNullable)
+      VectorKernels.cosineAD(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    else VectorKernels.cosineFF(
+      l.asInstanceOf[ArrayData].toFloatArray(), r.asInstanceOf[ArrayData].toFloatArray())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (l, r) => {
-      val tmp = ctx.freshName("boxed")
-      s"""java.lang.Double $tmp = graft.functions.VectorKernels.cosineAD($l, $r);
-         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
-    })
+    if (elementsNullable)
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val tmp = ctx.freshName("boxed")
+        s"""java.lang.Double $tmp = graft.functions.VectorKernels.cosineAD($l, $r);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+      })
+    else defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.VectorKernels.cosineFF($l.toFloatArray(), $r.toFloatArray())")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineSimF = copy(left = newLeft, right = newRight)
@@ -156,18 +183,29 @@ case class LshBucketF(child: Expression, bits: Int, table: Int)
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
-  // null vector ELEMENTS null the bucket instead of voting as 0.0f
-  override def nullable: Boolean = true
+  // null vector ELEMENTS null the bucket instead of voting as 0.0f;
+  // scan skipped when the child declares containsNull=false
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean = child.nullable || elementsNullable
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorKernels.lshBucketAD(input.asInstanceOf[ArrayData], bits, table)
+    if (elementsNullable)
+      VectorKernels.lshBucketAD(input.asInstanceOf[ArrayData], bits, table)
+    else VectorKernels.lshBucketF(
+      input.asInstanceOf[ArrayData].toFloatArray(), bits, table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val tmp = ctx.freshName("boxed")
-      s"""java.lang.Long $tmp = graft.functions.VectorKernels.lshBucketAD($c, $bits, $table);
-         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }""".stripMargin
-    })
+    if (elementsNullable)
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("boxed")
+        s"""java.lang.Long $tmp = graft.functions.VectorKernels.lshBucketAD($c, $bits, $table);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+      })
+    else defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.lshBucketF($c.toFloatArray(), $bits, $table)")
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketF =
     copy(child = newChild)
