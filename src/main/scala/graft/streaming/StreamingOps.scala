@@ -108,6 +108,41 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream a keyed aggregate into an external table with foreachBatch
+    * MERGE semantics — the production sink pattern for everything that
+    * is not an append-only log: each micro-batch's per-key partials
+    * upsert into the target keyed on `keyCol` (insert new keys, fold
+    * into existing ones), and because the fold is idempotent per
+    * (batchId, key) an at-least-once redelivery of a batch must not
+    * double-count. The upsert itself is the same full-outer-join MERGE
+    * shape as CdcOps.cdcMerge — here applied per micro-batch, keyed by
+    * batchId for replay detection, which is exactly what a
+    * Delta/Iceberg `MERGE INTO` inside foreachBatch does at cluster
+    * scale. The target is pluggable (a function) so tests can use an
+    * in-memory map and production a parquet/lakehouse writer. */
+  def foreachBatchUpsert(
+      events: DataFrame,
+      applyBatch: (Long, Seq[(Long, Long, Double)]) => Unit): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = events
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // reduce INSIDE the batch first: the sink sees one row per key
+        // per batch, never the raw stream volume
+        val partials = batch
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            (sum(graft.operators.Exact.cents(col("value"))) / 100.0).as("v"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq
+        applyBatch(batchId, partials)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Running per-user spend with mapGroupsWithState (update-mode
     * analytics state machine: emits the latest cumulative value per
     * user per batch). */
