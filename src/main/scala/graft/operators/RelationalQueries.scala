@@ -273,6 +273,30 @@ object RelationalQueries {
       .agg(revenueExact.as("revenue"), count(lit(1)).as("n"))
       .orderBy("r_name")
 
+  /** q109: market-basket pair mining — the frequent-itemset primitive:
+    * which part pairs are bought together in the most orders? The pair
+    * generation is a SELF-join co-partitioned on the order key (one
+    * shuffle; both sides are the same scan), with `pa < pb` making each
+    * unordered pair canonical, and a per-(order, part) distinct first
+    * so a part appearing on two lines of one order can't inflate
+    * counts. Pair mass is bounded by per-order line count (≤ 7 lines →
+    * ≤ 21 pairs/order), so the explosion is a small constant factor of
+    * the fact table at ANY scale — the property that separates basket
+    * mining from all-pairs similarity. Top pairs ranked with a total
+    * order (count desc, pa, pb). */
+  def basketPairs(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val a = items.select(col("ok"), col("p").as("pa"))
+    val b = items.select(col("ok").as("ok2"), col("p").as("pb"))
+    a.join(b, col("ok") === col("ok2") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("pa"), col("pb"))
+      .limit(topK)
+  }
+
   /** TPC-H Q5 (local supplier volume) — the canonical 6-way star with
     * the join predicate that makes it interesting: the supplier must be
     * in the CUSTOMER's nation (c_nationkey = s_nationkey crosses two
@@ -633,6 +657,7 @@ object RelationalQueries {
     "q21_sessionize" -> (sessionize _),
     "q22_multi_join" -> (multiJoin _),
     "q106_tpch_q5" -> (tpchQ5 _),
+    "q109_basket_pairs" -> ((s: SparkSession, d: String) => basketPairs(s, d)),
     "q23_window_leadlag" -> (windowLeadLag _),
     "q24_percentiles" -> (percentiles _),
     "q69_approx_percentiles" -> (approxPercentiles _),
@@ -852,6 +877,12 @@ object RelationalQueries {
         |   epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q109_basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)
+        |SELECT a.p AS pa, b.p AS pb, count(*) AS n_orders
+        |FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, pa, pb LIMIT 20""".stripMargin,
     "q106_tpch_q5" ->
       """SELECT n_name,
         | sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue
