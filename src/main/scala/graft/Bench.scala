@@ -98,7 +98,11 @@ object Bench {
         System.err.println(s"bench sidecar write failed: $e")
     }
     spark.stop()
-    println(line(shortKey, d => f"$d%.3f"))
+    // Locale.ROOT, not an f-interpolator: f"" formats through the JVM's
+    // default locale, and a comma decimal separator would make the one
+    // line the recorder parses unparseable JSON
+    println(line(shortKey,
+      d => String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))))
   }
 
   /** Untimed warmup: first-touch costs (JIT of the native expression

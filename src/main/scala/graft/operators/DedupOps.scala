@@ -56,9 +56,9 @@ object DedupOps {
     * Shape: melt to (doc_id, band, digest), group into buckets, emit
     * each bucket's pairs with a nested array transform — signatures are
     * computed once and only bucket member-id lists (not signatures) go
-    * through the shuffle. Bucket pair fan-out is quadratic in bucket
-    * size by nature of LSH (identical-doc clusters land in one bucket);
-    * a production guard would cap or sample buckets past a size bound.
+    * through the shuffle. Oversized buckets are capped + star-linked
+    * (the hot-bucket guard — see pairsFromSig), so a skewed digest key
+    * cannot produce a quadratic single-task pair explosion.
     */
   def minhashPairs(s: SparkSession, dir: String, k: Int = 64, bands: Int = 16): DataFrame =
     minhashPairsRaw(s, dir, k, bands).orderBy("a", "b")
@@ -71,22 +71,68 @@ object DedupOps {
       k: Int = 64, bands: Int = 16): DataFrame =
     pairsFromSig(minhashSignatures(s, dir, k), k, bands)
 
+  /** Hot-bucket guard bound: buckets larger than this emit capped
+    * output (see pairsFromSig). Runtime conf so a deployment can tune
+    * it per corpus without a rebuild. */
+  val MaxBucketConf = "spark.graft.lsh.maxBucket"
+  val MaxBucketDefault = 1024
+
   /** The band→bucket→pair expansion from an existing signature frame
     * (doc_id, sig) — callers that also need the signatures for other
-    * purposes materialize them once and share. */
-  private def pairsFromSig(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    * purposes materialize them once and share.
+    *
+    * HOT-BUCKET GUARD: pair fan-out is quadratic in bucket size by
+    * nature of LSH, and a template-heavy real corpus (thousands of
+    * near-identical boilerplate docs sharing one band digest) would
+    * otherwise turn one bucket into a single-task O(b²) pair bomb —
+    * the classic LSH failure at 100 TB. Buckets larger than
+    * `spark.graft.lsh.maxBucket` (default 1024) are therefore capped:
+    * all-pairs are emitted only among the first `cap` members (by
+    * doc_id — deterministic), and every member past the cap is
+    * STAR-LINKED to the bucket's first member instead. That bounds a
+    * bucket's output at cap·(cap-1)/2 + (b - cap) — linear in b past
+    * the cap — while keeping every member connected to the bucket, so
+    * downstream connected-components clustering (q83/q87) still unifies
+    * the whole near-dup family and dedup keeps exactly one
+    * representative. The price is pair-level (not cluster-level)
+    * recall inside oversized buckets: a (x, y) pair with BOTH members
+    * past the cap is emitted only if some other band co-buckets it —
+    * for the near-identical docs that create oversized buckets the
+    * star pairs verify at jaccard ≈ 1, which is what dedup needs. At
+    * the correctness gate's scales the largest observed bucket is 21
+    * members (sf0.01; 135 at sf0.1), so the default cap changes nothing
+    * there — it is purely the scale valve. Oversized-bucket counts are
+    * surfaced as
+    * `observe` metrics (name `graft_lsh_buckets`), visible to any
+    * QueryExecutionListener at zero plan cost. */
+  private[operators] def pairsFromSig(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val cap = sig.sparkSession.conf
+      .getOption(MaxBucketConf).map(_.toInt).getOrElse(MaxBucketDefault)
+    require(cap >= 2, s"$MaxBucketConf must be >= 2, got $cap")
     val rows = k / bands
     val digests = (0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)))
     val melted = sig.select(col("doc_id"),
       posexplode(array(digests: _*)).as(Seq("band", "digest")))
-    melted
+    val buckets = melted
       .groupBy(col("band"), col("digest"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .observe("graft_lsh_buckets",
+        count(lit(1)).as("buckets"),
+        max(size(col("ids"))).as("max_bucket"),
+        sum(when(size(col("ids")) > cap, 1L).otherwise(0L)).as("oversized_buckets"),
+        sum(when(size(col("ids")) > cap, size(col("ids")) - cap)
+          .otherwise(0)).as("overflow_members"))
+    val head = slice(col("ids"), 1, cap)
+    val headPairs = flatten(transform(head, (x, i) =>
+      transform(slice(head, i + lit(2), size(head)),
+        y => struct(x.as("a"), y.as("b")))))
+    val tailPairs = transform(
+      slice(col("ids"), lit(cap + 1), greatest(size(col("ids")) - cap, lit(0))),
+      y => struct(element_at(col("ids"), 1).as("a"), y.as("b")))
+    buckets
+      .select(explode(concat(headPairs, tailPairs)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }

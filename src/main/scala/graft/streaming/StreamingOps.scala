@@ -108,22 +108,45 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Wrap a batch-apply callback with a seen-batchId replay guard: a
+    * redelivered batchId is a no-op, so at-least-once delivery (Spark
+    * re-invoking foreachBatch for a batch whose commit didn't land in
+    * the checkpoint) cannot double-count. The guard is in-process —
+    * it covers redelivery within one query run, which is the case the
+    * streaming engine actually produces; across a RESTART the
+    * checkpoint replays at most the last uncommitted batch, and a
+    * durable target must persist the max applied batchId alongside the
+    * data (the transactional `txnVersion` pattern of lakehouse MERGE
+    * sinks) — that half necessarily lives with the store. */
+  def replayGuarded[T](applyBatch: (Long, T) => Unit): (Long, T) => Unit = {
+    val applied = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    (batchId: Long, payload: T) =>
+      if (applied.add(batchId)) applyBatch(batchId, payload)
+  }
+
   /** Stream a keyed aggregate into an external table with foreachBatch
     * MERGE semantics — the production sink pattern for everything that
     * is not an append-only log: each micro-batch's per-key partials
     * upsert into the target keyed on `keyCol` (insert new keys, fold
-    * into existing ones), and because the fold is idempotent per
-    * (batchId, key) an at-least-once redelivery of a batch must not
-    * double-count. The upsert itself is the same full-outer-join MERGE
-    * shape as CdcOps.cdcMerge — here applied per micro-batch, keyed by
-    * batchId for replay detection, which is exactly what a
+    * into existing ones). Idempotence per batchId is owned HERE:
+    * `applyBatch` is wrapped with [[replayGuarded]] before the sink
+    * ever calls it, so a caller cannot forget the replay check and
+    * silently double-count on at-least-once redelivery (see
+    * replayGuarded's scaladoc for the restart caveat). The upsert
+    * itself is the same full-outer-join MERGE shape as CdcOps.cdcMerge
+    * — here applied per micro-batch, which is exactly what a
     * Delta/Iceberg `MERGE INTO` inside foreachBatch does at cluster
     * scale. The target is pluggable (a function) so tests can use an
-    * in-memory map and production a parquet/lakehouse writer. */
+    * in-memory map and production a parquet/lakehouse writer.
+    *
+    * Returns the guarded apply function the sink used, so callers can
+    * feed it simulated redeliveries and observe the no-op. */
   def foreachBatchUpsert(
       events: DataFrame,
-      applyBatch: (Long, Seq[(Long, Long, Double)]) => Unit): Unit = {
+      applyBatch: (Long, Seq[(Long, Long, Double)]) => Unit
+  ): (Long, Seq[(Long, Long, Double)]) => Unit = {
     import org.apache.spark.sql.streaming.Trigger
+    val guarded = replayGuarded(applyBatch)
     val q = events
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -136,11 +159,12 @@ object StreamingOps {
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
           .toSeq
-        applyBatch(batchId, partials)
+        guarded(batchId, partials)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    guarded
   }
 
   /** Running per-user spend with mapGroupsWithState (update-mode

@@ -163,14 +163,18 @@ object GraftPlans {
     val rp = right.queryExecution.analyzed
     require(lp.outputSet.intersect(rp.outputSet).isEmpty,
       "as-of join sides must not share attributes — re-alias one side")
-    val shared = lp.output.map(_.name).toSet.intersect(rp.output.map(_.name).toSet)
+    // honor the session's resolution mode (default case-INSENSITIVE,
+    // like every other column lookup in Spark) — BOTH in the column
+    // lookups below and in the disjointness check here: 'TS' vs 'ts'
+    // are distinct names but one ambiguous column under insensitive
+    // resolution, so they must be rejected the same way
+    val caseSensitive = left.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    def canon(n: String): String = if (caseSensitive) n else n.toLowerCase
+    val shared = lp.output.map(a => canon(a.name)).toSet
+      .intersect(rp.output.map(a => canon(a.name)).toSet)
     require(shared.isEmpty,
       s"as-of join sides must not share column NAMES (got $shared) — " +
         "the combined output would be ambiguous to resolve; rename one side")
-    // honor the session's resolution mode (default case-INSENSITIVE,
-    // like every other column lookup in Spark), and refuse ambiguity
-    // instead of silently taking the first duplicate
-    val caseSensitive = left.sparkSession.sessionState.conf.caseSensitiveAnalysis
     def attr(p: LogicalPlan, n: String): Attribute = {
       val hits = p.output.filter(a =>
         if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))

@@ -35,13 +35,13 @@ class ForeachBatchSpec extends SparkSpec {
         .forEach(f => { Files.deleteIfExists(f); () })
     }
 
-    // the keyed target: user_id -> (n_events, total_value_cents-exact)
+    // the keyed target: user_id -> (n_events, total_value_cents-exact).
+    // NO replay guard here — idempotence is the SINK's contract
+    // (foreachBatchUpsert wraps applyBatch with replayGuarded), so the
+    // callback is the naive fold a caller would actually write
     val target = scala.collection.mutable.Map[Long, (Long, Double)]()
-    val applied = scala.collection.mutable.Set[Long]()
     var batches = 0
     def applyBatch(batchId: Long, partials: Seq[(Long, Long, Double)]): Unit = {
-      // idempotence: a redelivered batchId must be a no-op
-      if (!applied.add(batchId)) return
       batches += 1
       partials.foreach { case (user, n, v) =>
         val (n0, v0) = target.getOrElse(user, (0L, 0.0))
@@ -53,12 +53,13 @@ class ForeachBatchSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    StreamingOps.foreachBatchUpsert(stream, applyBatch)
+    val guarded = StreamingOps.foreachBatchUpsert(stream, applyBatch)
     assert(batches >= 3, s"expected one micro-batch per staged file, got $batches")
 
-    // replay every batch (at-least-once): the guard must make it a no-op
+    // redeliver every batch through the sink's own guard (at-least-once
+    // delivery): each replayed batchId must be a no-op
     val before = target.toMap
-    (0L until batches.toLong).foreach(id => applyBatch(id, Seq((0L, 99L, 9.9))))
+    (0L until batches.toLong).foreach(id => guarded(id, Seq((0L, 99L, 9.9))))
     assert(target.toMap === before, "replayed batches must not change the target")
 
     // converged state equals the batch truth
