@@ -323,6 +323,59 @@ object RelationalQueries {
       .agg(revenueExact.as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** Run `sql` with the named tables registered as per-call unique temp
+    * views (placeholders `${name}` in the text), dropped as soon as the
+    * frame is built — spark.sql resolves views at analysis time, so the
+    * returned frame stays executable and the session catalog is left
+    * exactly as found (same pattern as SimilarityOps.sqlCosineTopK). */
+  private def sqlOn(s: SparkSession, dir: String, tables: Seq[String])(
+      sql: Map[String, String] => String): DataFrame = {
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val views = tables.map(n => n -> s"graft_${n}_$sfx").toMap
+    views.foreach { case (n, v) => t(s, dir, n).createOrReplaceTempView(v) }
+    try s.sql(sql(views))
+    finally views.values.foreach(s.catalog.dropTempView)
+  }
+
+  /** TPC-H Q17 shape — a CORRELATED SCALAR SUBQUERY: lineitem rows
+    * whose quantity is below 0.2× their own part's average quantity
+    * (small-order revenue analysis). The naive reading is a per-row
+    * re-aggregation of lineitem; Catalyst's decorrelation rewrites it
+    * into ONE per-part aggregate joined back to the fact table — the
+    * plan a human would hand-write, pinned by PlanSpec (no subquery
+    * expression survives into the physical plan). Money exact via
+    * integer cents; the /700.0 division is one IEEE op from an exact
+    * integer so the output is engine-exact. The threshold compare is
+    * double (0.2·avg) against integral quantities — a last-bit avg
+    * difference across engines cannot flip any row. */
+  def correlatedScalarSubquery(s: SparkSession, dir: String): DataFrame =
+    sqlOn(s, dir, Seq("lineitem", "part")) { v =>
+      s"""SELECT p_brand, count(*) AS n_small,
+         | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/700.0 AS avg_yearly
+         |FROM ${v("lineitem")} JOIN ${v("part")} ON p_partkey = l_partkey
+         |WHERE l_quantity < (
+         |  SELECT 0.2 * avg(l2.l_quantity)
+         |  FROM ${v("lineitem")} l2 WHERE l2.l_partkey = p_partkey)
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+    }
+
+  /** TPC-H Q4 shape — EXISTS decorrelation: orders in a quarter having
+    * at least one returned line. Catalyst rewrites the correlated
+    * EXISTS into a LEFT SEMI join on the order key (pinned by
+    * PlanSpec), so the subquery costs one co-partitioned join at any
+    * scale — never a per-row probe. */
+  def existsSubquery(s: SparkSession, dir: String): DataFrame =
+    sqlOn(s, dir, Seq("orders", "lineitem")) { v =>
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM ${v("orders")}
+         |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+         |  AND EXISTS (
+         |    SELECT 1 FROM ${v("lineitem")}
+         |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    }
+
   /** Exact interpolated percentiles per group, plus a sample standard
     * deviation computed from exact integer sums (Σx, Σx² in cents) so the
     * value is order-independent — stddev_samp's streaming merge is not. */
@@ -658,6 +711,8 @@ object RelationalQueries {
     "q22_multi_join" -> (multiJoin _),
     "q106_tpch_q5" -> (tpchQ5 _),
     "q109_basket_pairs" -> ((s: SparkSession, d: String) => basketPairs(s, d)),
+    "q110_scalar_subquery" -> (correlatedScalarSubquery _),
+    "q111_exists_subquery" -> (existsSubquery _),
     "q23_window_leadlag" -> (windowLeadLag _),
     "q24_percentiles" -> (percentiles _),
     "q69_approx_percentiles" -> (approxPercentiles _),
@@ -883,6 +938,25 @@ object RelationalQueries {
         |SELECT a.p AS pa, b.p AS pb, count(*) AS n_orders
         |FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
         |GROUP BY 1, 2 ORDER BY n_orders DESC, pa, pb LIMIT 20""".stripMargin,
+    // same subquery text as the Spark side: the POINT of q110/q111 is
+    // that both engines decorrelate the same declarative form
+    "q110_scalar_subquery" ->
+      """SELECT p_brand, count(*) AS n_small,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/700.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (
+        |  SELECT 0.2 * avg(l2.l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q111_exists_subquery" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q106_tpch_q5" ->
       """SELECT n_name,
         | sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue

@@ -117,6 +117,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
   }
 
+  test("q110: correlated scalar subquery decorrelates to one aggregate + join") {
+    val df = SparkEntry.queries("q110_scalar_subquery")(spark, sf)
+    // no subquery expression survives optimization: the per-part avg is
+    // computed ONCE and joined back, not re-run per probe row
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"), s"subquery not decorrelated:\n$opt")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Subquery"), s"per-row subquery in physical plan:\n$p")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")), p)
+  }
+
+  test("q111: EXISTS decorrelates to a left semi join") {
+    val df = SparkEntry.queries("q111_exists_subquery")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"EXISTS not rewritten to semi join:\n$p")
+    assert(!p.contains("Subquery"), p)
+    // the quarter predicate pushes into the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
+
   test("q01: aggregation is two-phase (partial before shuffle)") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
