@@ -106,14 +106,21 @@ object DedupOps {
     * `observe` metrics (name `graft_lsh_buckets`), visible to any
     * QueryExecutionListener at zero plan cost. */
   private[operators] def pairsFromSig(sig: DataFrame, k: Int, bands: Int): DataFrame = {
-    val cap = sig.sparkSession.conf
-      .getOption(MaxBucketConf).map(_.toInt).getOrElse(MaxBucketDefault)
-    require(cap >= 2, s"$MaxBucketConf must be >= 2, got $cap")
     val rows = k / bands
     val digests = (0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)))
-    val melted = sig.select(col("doc_id"),
-      posexplode(array(digests: _*)).as(Seq("band", "digest")))
+    pairsFromDigests(sig.select(col("doc_id"),
+      posexplode(array(digests: _*)).as(Seq("band", "digest"))))
+  }
+
+  /** Bucket→pair expansion from a melted (doc_id, band, digest) frame —
+    * the guard and pair generation shared by the native (q58/q83) and
+    * portable (q56) LSH variants. See pairsFromSig for the hot-bucket
+    * guard contract. */
+  private[operators] def pairsFromDigests(melted: DataFrame): DataFrame = {
+    val cap = melted.sparkSession.conf
+      .getOption(MaxBucketConf).map(_.toInt).getOrElse(MaxBucketDefault)
+    require(cap >= 2, s"$MaxBucketConf must be >= 2, got $cap")
     val buckets = melted
       .groupBy(col("band"), col("digest"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -135,6 +142,57 @@ object DedupOps {
       .select(explode(concat(headPairs, tailPairs)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+  }
+
+  /** Hash-PORTABLE MinHash LSH candidate pairs — the q56 declared
+    * query. The native kernel (minhash_sig) uses an engine-specific
+    * rolling hash for speed, so its pair set can only be rows-only
+    * checked by the driver; this variant derives every slot hash from
+    * md5 (standardized), so ANY engine reproduces the identical
+    * signatures, band digests, buckets, and therefore the identical
+    * candidate-pair set — the DuckDB oracle recomputes the whole
+    * pipeline and the driver gets a full rows+schema+hash row for the
+    * LSH path (same portability move as q78's SimHash). The native
+    * kernel remains the 100 TB performance path and keeps full oracle
+    * coverage downstream, where exact gram-Jaccard verification makes
+    * its outputs hash-free (q58/q83); its candidate recall is pinned
+    * in DedupSimilaritySpec.
+    *
+    * Shape: char 5-grams of normalized text (portable across engines —
+    * both substring by CODE POINT) → ONE md5 per gram, split into two
+    * 32-bit halves (a, b), slot i's hash = (a + i·b) mod 2³² — the
+    * Kirsch-Mitzenmacher double-hashing construction, so k slots cost
+    * one digest instead of k (16 md5s per gram benched 13.6 s at
+    * sf0.1; this form is ~1 digest + 16 integer ops). All arithmetic
+    * stays below 2³⁷ in signed 64-bit — no overflow in either engine.
+    * k=16 slot minima → 4 bands × 4 rows, band digest = the
+    * ':'-joined slot values (separator because decimal widths vary) →
+    * the shared bucket→pair expansion with the hot-bucket guard. One
+    * gram-explode + one groupBy(doc_id) + one (band, digest) shuffle:
+    * same scale shape as the native path. */
+  def minhashPortablePairs(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), norm(col("text")).as("t"))
+      .filter(length(col("t")) >= 5)
+    // array_distinct before the explode: the slot MIN is set-based, so
+    // hashing a repeated gram again is pure waste (~proportional to the
+    // corpus's repetition rate)
+    val grams = docs.select(col("doc_id"), explode(array_distinct(
+      transform(sequence(lit(1), length(col("t")) - 4),
+        i => col("t").substr(i, lit(5))))).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("ha"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("hb"))
+    val slotMins = (0 until k).map(i =>
+      min((col("ha") + lit(i.toLong) * col("hb")) % lit(4294967296L)).as(s"s$i"))
+    val sig = grams.groupBy(col("doc_id")).agg(slotMins.head, slotMins.tail: _*)
+    val bandDigests = (0 until 4).map(b =>
+      concat_ws(":", (0 until 4).map(r => col(s"s${4 * b + r}")): _*))
+    pairsFromDigests(sig.select(col("doc_id"),
+      posexplode(array(bandDigests: _*)).as(Seq("band", "digest"))))
+      .orderBy("a", "b")
   }
 
   /** MinHash summary: small stable output for the rows-only check. */
@@ -254,15 +312,53 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_neardup_clusters" -> ((s: SparkSession, d: String) => neardupClusters(s, d)),
-    "q56_minhash_pairs" -> ((s: SparkSession, d: String) => minhashPairs(s, d)),
+    "q56_minhash_pairs" -> ((s: SparkSession, d: String) => minhashPortablePairs(s, d)),
     "q57_simhash" -> ((s: SparkSession, d: String) => simhash(s, d)),
     "q58_neardup_verified" -> ((s: SparkSession, d: String) => neardupVerified(s, d)),
   )
 
-  /** q56/q57 hashes are engine-specific → rows-only. q58's output is
-    * exact 5-gram Jaccard, recomputed brute-force by DuckDB (feasible at
-    * the verify gate's sf0.01: 500 docs = 124,750 pairs). */
+  /** q56 is the portable-hash LSH pipeline, so DuckDB replays it
+    * end-to-end (signatures → bands → buckets → pairs) and the row is
+    * fully hash-checked. q57 stays rows-only BY DESIGN: its value IS
+    * the native engine-specific SimHash kernel (the portable variant
+    * is separately oracle-checked as q78) — same reasoning keeps
+    * q61's native-LSH ANN rows-only, with recall pinned in ScalaTest.
+    * q58's output is exact 5-gram Jaccard, recomputed brute-force by
+    * DuckDB (feasible at the verify gate's sf0.01: 500 docs = 124,750
+    * pairs). */
   val oracle: Map[String, String] = Map(
+    "q56_minhash_pairs" -> {
+      // mechanical mirror of the Spark expressions: same md5 on the
+      // same grams, same (a + i*b) mod 2^32 slot derivation
+      val slotMins = (0 until 16).map(i =>
+        s"min((ha + $i * hb) % 4294967296) AS s$i").mkString(",\n        |    ")
+      val bandRows = (0 until 4).map { b =>
+        val digest = (0 until 4).map(r => s"CAST(s${4 * b + r} AS VARCHAR)")
+          .mkString(" || ':' || ")
+        s"SELECT doc_id, $b AS band, $digest AS digest FROM sig"
+      }.mkString("\n        |  UNION ALL ")
+      s"""WITH d AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |   CAST(('0x' || substr(h, 1, 8)) AS BIGINT) AS ha,
+        |   CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS hb
+        |  FROM (
+        |   SELECT doc_id, md5(substr(t, CAST(i AS INTEGER), 5)) AS h
+        |   FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i
+        |         FROM d WHERE length(t) >= 5))),
+        |sig AS (
+        |  SELECT doc_id,
+        |    $slotMins
+        |  FROM g GROUP BY doc_id),
+        |m AS (
+        |  $bandRows)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |FROM m x JOIN m y ON x.band = y.band AND x.digest = y.digest
+        |  AND x.doc_id < y.doc_id
+        |ORDER BY a, b""".stripMargin
+    },
     "q83_neardup_clusters" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, hex(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS h,

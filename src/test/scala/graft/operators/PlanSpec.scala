@@ -46,11 +46,22 @@ class PlanSpec extends SparkSpec {
     assert(countOf(plan("q13_window_cumsum"), "Exchange") <= 3)
   }
 
-  test("q56: minhash signature generation adds no shuffle before the band join") {
-    val p = plan("q56_minhash_pairs")
+  test("native minhash signature generation adds no shuffle before the band join") {
+    // the native-kernel LSH path (q58/q83's candidate stage; q56 itself
+    // is the portable-hash variant since round 4)
+    val p = DedupOps.minhashPairs(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(p.contains("minhash_sig"))
     // band self-join + distinct + sort: bounded exchanges
     assert(countOf(p, "Exchange") <= 6)
+  }
+
+  test("q56: portable LSH keeps the gram explode map-side and bounded shuffles") {
+    val p = plan("q56_minhash_pairs")
+    // gram explode + slot mins fold in ONE doc_id aggregation; then the
+    // (band, digest) bucket shuffle, distinct, and presentation sort
+    assert(countOf(p, "Exchange") <= 6, s"shuffle explosion:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("q66: pair generation joins on the cell key, never a cartesian product") {
