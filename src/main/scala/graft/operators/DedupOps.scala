@@ -248,7 +248,7 @@ object DedupOps {
     val k = 64
     // signatures materialized ONCE and shared by band-bucketing and the
     // estimate prefilter below
-    val sig = minhashSignatures(s, dir, k).localCheckpoint()
+    val sig = graft.util.Checkpoints.truncate(minhashSignatures(s, dir, k))
     val rawPairs = pairsFromSig(sig, k, bands = 16)
     // Signature-estimate prefilter: on a template-heavy corpus the
     // band buckets admit a quadratic mass of moderate-jaccard pairs
@@ -274,7 +274,7 @@ object DedupOps {
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
       .filter(estMatches >= minMatches)
       .select(col("a"), col("b"))
-      .localCheckpoint()
+      .transform(graft.util.Checkpoints.truncate)
     val candIds = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id")))
       .distinct()

@@ -73,7 +73,10 @@ object Ops {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint() // edge generation must not re-run per iteration
+      // edge generation must not re-run per iteration (reliable
+      // checkpoint when spark.graft.checkpointDir is set — see
+      // graft.util.Checkpoints)
+      .transform(graft.util.Checkpoints.truncate)
     var labels = edges
       .groupBy(col("a"))
       .agg(min(least(col("a"), col("b"))).as("label"))
@@ -86,7 +89,7 @@ object Ops {
         .select(col("a").as("id"), col("label"))
       val next = labels.union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint() // truncate the growing iteration lineage
+        .transform(graft.util.Checkpoints.truncate) // cut the growing iteration lineage
       converged = next.join(labels,
         next("id") === labels("id") && next("label") === labels("label"),
         "left_anti").isEmpty

@@ -536,7 +536,7 @@ object TextQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // consumed three times below; the token
+      .transform(graft.util.Checkpoints.truncate) // consumed three times below; the token
     // explosion (the query's largest intermediate) must shuffle ONCE —
     // df and nDocs both derive from the reduced tf frame, not the raw
     // token stream
