@@ -65,12 +65,17 @@ object Ops {
     * join, and for the near-clique components dedup graphs produce
     * that alone is usually the fixpoint. Components of similarity
     * graphs are tiny by construction, so the diameter — and the number
-    * of shuffle rounds — stays small at any corpus size; a pathological
-    * giant component would call for the large-star/small-star rewrite,
-    * the same dataflow primitives with balanced fan-out. Returns
-    * (id, label = min id of the component) for every node appearing in
-    * at least one edge. */
+    * of shuffle rounds — stays small at any corpus size. For graphs
+    * that may carry a HIGH-DIAMETER or giant component (event graphs,
+    * follower graphs), [[connectedComponentsStar]] gives the same
+    * answer in O(log n) rounds instead of O(diameter) — select it
+    * per-deployment with `spark.graft.cc.impl=star` (routes every
+    * caller, including the declared cluster queries q83/q87, without a
+    * code change). Returns (id, label = min id of the component) for
+    * every node appearing in at least one edge. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    if (pairs.sparkSession.conf.getOption("spark.graft.cc.impl").contains("star"))
+      return connectedComponentsStar(pairs, math.max(maxIters, 50))
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       // edge generation must not re-run per iteration (reliable
@@ -97,6 +102,74 @@ object Ops {
       i += 1
     }
     labels
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the giant-component-safe variant. Min-label
+    * propagation pays one shuffle round per unit of component DIAMETER,
+    * so a 10⁵-node chain needs 10⁵ rounds; the star rewrites contract
+    * every component onto its minimum node in O(log n) rounds
+    * regardless of shape, and each step is expressed as groupBy(min) +
+    * join — per-node output is bounded by the node's degree, never a
+    * collected neighbor list, so fan-out stays balanced even when one
+    * component holds most of the graph.
+    *
+    *   large-star: every node u links each STRICTLY LARGER neighbor to
+    *     min(u, neighbors of u) — long chains fold toward small ids
+    *     without ever increasing edge count by more than the input's.
+    *   small-star: every node u links its smaller-or-equal neighbors
+    *     (and itself) to their minimum — consolidating the partial
+    *     stars into flatter ones.
+    *
+    * Both preserve connectivity exactly; the fixpoint is every
+    * component a star rooted at its min id. Per-round lineage is cut
+    * via Checkpoints.truncate (reliable under
+    * spark.graft.checkpointDir — same contract as everything
+    * iterative here). Returns (id, label) for every node appearing in
+    * at least one edge, identical to [[connectedComponents]] (pinned
+    * by OpsSpec on random graphs). */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val input = pairs.select(col("a"), col("b"))
+    // canonical directed form: src > dst, self-loops dropped (isolated
+    // self-loop nodes are re-attached at the label step)
+    var edges = input.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .distinct()
+      .transform(graft.util.Checkpoints.truncate)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star over BOTH orientations: m(u) = min(u, Γ(u)); emit
+      // (v, m(u)) for v ∈ Γ(u), v > u. Output keeps src > dst.
+      val nbrs = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMins = nbrs.groupBy(col("src"))
+        .agg(min(least(col("dst"), col("src"))).as("m"))
+      val ls = nbrs.filter(col("dst") > col("src"))
+        .join(lsMins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star on the downward edges: m(u) = min(Γ<(u)); emit
+      // (v, m(u)) for the smaller neighbors v ≠ m, plus (u, m(u)).
+      val ssMins = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val withM = ls.join(ssMins, "src")
+      val next = withM.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(ssMins.select(col("src"), col("m").as("dst")))
+        .distinct()
+        .transform(graft.util.Checkpoints.truncate)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("src", "dst"), "left_anti").isEmpty
+      edges = next
+      i += 1
+    }
+    // fixpoint edges are (node → component min); roots and isolated
+    // self-loop nodes label themselves
+    val nodes = input.select(col("a").as("id"))
+      .union(input.select(col("b").as("id"))).distinct()
+    nodes.join(edges.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dst"), col("id")).as("label"))
   }
 
   /** As-of join (an operator Spark lacks natively): for every left row,

@@ -62,4 +62,59 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
     assert(got === exp)
   }
+
+  test("connectedComponentsStar matches min-label on random graphs and edge shapes") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 200 nodes, 150 edges via a
+    // fixed LCG — several components of mixed shape
+    var seed = 12345L
+    def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); (seed >>> 33) % 200 }
+    val rand = (1 to 150).map(_ => (next(), next()))
+    for (edges <- Seq(
+        rand.toDF("a", "b"),
+        Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+          (10L, 12L), (21L, 20L), (7L, 7L)).toDF("a", "b"))) {
+      val star = Ops.connectedComponentsStar(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val minLabel = Ops.connectedComponents(edges, maxIters = 300)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === minLabel)
+    }
+  }
+
+  test("spark.graft.cc.impl=star routes connectedComponents, labels unchanged") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L)).toDF("a", "b")
+    val baseline = Ops.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.impl", "star")
+    try {
+      val routed = Ops.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(routed === baseline)
+    } finally spark.conf.unset("spark.graft.cc.impl")
+  }
+
+  test("connectedComponentsStar converges on a 100k-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // the giant-component worst case: ONE component of diameter 1e5.
+    // Min-label would need 1e5 shuffle rounds; the star rewrites must
+    // collapse it inside the 50-round cap (actual: ~log2(n) doubled
+    // rounds), labeling every node 0
+    val n = 100000L
+    val edges = spark.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val labels = Ops.connectedComponentsStar(edges)
+    assert(labels.filter(col("label") =!= 0L).isEmpty,
+      "every chain node must collapse to component min 0")
+    assert(labels.count() === n)
+  }
+
+  test("connectedComponentsStar on a 100k-node star converges immediately") {
+    import spark.implicits._
+    val n = 100000L
+    val edges = spark.range(1, n).select(lit(0L).as("a"), col("id").as("b"))
+    val labels = Ops.connectedComponentsStar(edges)
+    assert(labels.filter(col("label") =!= 0L).isEmpty)
+    assert(labels.count() === n)
+  }
 }
