@@ -137,6 +137,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The registered-function surface as a DECLARED query: exact
+    * 5-byte-gram Jaccard of every document against doc 0, written as a
+    * pure SQL STRING over the native kernels (gram_set,
+    * sorted_intersect_size, minhash_sig) — the path a SQL-only user
+    * takes through GraftExtensions' FunctionRegistry. q94 pins
+    * cosine_sim/SQL; this pins the gram/minhash kernels, so a
+    * registration regression (name, arity, return type) fails the
+    * driver gate instead of only a unit test. `sig_k` (the size of a
+    * k=16 minhash signature) is constant by construction — the oracle
+    * checks it as a literal; the jaccard values are exact int/int IEEE
+    * divisions recomputed brute-force by DuckDB (q58's gram machinery
+    * restricted to pairs with doc 0). The whitespace class is built
+    * from chr() calls because a regex-escape literal would be mangled
+    * by SQL string escape processing. */
+  def sqlGramKernels(s: SparkSession, dir: String): DataFrame = {
+    // per-call unique view, dropped once the frame is built (see
+    // SimilarityOps.sqlCosineTopK for the pattern's rationale)
+    val view = s"graft_documents_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(s, dir, "documents").createOrReplaceTempView(view)
+    try s.sql(
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    lower(regexp_replace(text,
+         |      concat('[ ', chr(9), chr(10), chr(11), chr(12), chr(13), ']+'), ' ')) AS t
+         |  FROM $view WHERE length(text) >= 5),
+         |g AS (SELECT doc_id, t, gram_set(t, 5) AS gs FROM n),
+         |gg AS (SELECT doc_id, t, gs FROM g WHERE size(gs) > 0),
+         |r AS (SELECT gs AS rg FROM gg WHERE doc_id = 0)
+         |SELECT gg.doc_id,
+         |  size(minhash_sig(t, 16, 5)) AS sig_k,
+         |  sorted_intersect_size(gs, rg) AS intersect_size,
+         |  size(gs) AS n_grams,
+         |  CAST(sorted_intersect_size(gs, rg) AS DOUBLE)
+         |    / (size(gs) + size(rg) - sorted_intersect_size(gs, rg)) AS jaccard
+         |FROM gg CROSS JOIN r
+         |ORDER BY doc_id""".stripMargin)
+    finally s.catalog.dropTempView(view)
+  }
+
   /** Repetition ratio — the share of repeated character 3-grams
     * (1 − distinct/total), a standard low-quality-text signal
     * (boilerplate and spam repeat heavily). */
@@ -630,6 +669,7 @@ object TextQueries {
     "q53_token_count" -> (tokenCount _),
     "q54_fingerprint" -> (fingerprint _),
     "q55_ngram_jaccard" -> (ngramJaccard _),
+    "q112_sql_gram_kernels" -> (sqlGramKernels _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -965,6 +1005,29 @@ object TextQueries {
     "q54_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q58's byte-gram machinery restricted to pairs against doc 0;
+    // sig_k is 16 by construction (size of a k=16 signature)
+    "q112_sql_gram_kernels" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS h,
+        |   octet_length(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS nb
+        |  FROM documents WHERE length(text) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substring(h, CAST(i*2+1 AS INT), 10) AS gram
+        |  FROM (SELECT doc_id, h, unnest(range(0, nb - 4)) AS i FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |ref AS (SELECT gram FROM grams WHERE doc_id = 0),
+        |rs AS (SELECT count(*) AS rsz FROM ref),
+        |inter AS (
+        |  SELECT g.doc_id, count(*) AS isz
+        |  FROM grams g JOIN ref r ON g.gram = r.gram GROUP BY 1)
+        |SELECT s.doc_id AS doc_id, CAST(16 AS INT) AS sig_k,
+        | CAST(coalesce(i.isz, 0) AS INT) AS intersect_size,
+        | CAST(s.sz AS INT) AS n_grams,
+        | CAST(coalesce(i.isz, 0) AS DOUBLE)
+        |   / (s.sz + r.rsz - coalesce(i.isz, 0)) AS jaccard
+        |FROM sizes s CROSS JOIN rs r LEFT JOIN inter i ON i.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "q55_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -60,6 +60,18 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("q112: the declared SQL-string query reaches the gram/minhash kernels") {
+    // the registry surface as a user sees it: SparkEntry -> spark.sql
+    // text -> GraftExtensions-registered functions, no Column API
+    val rows = graft.SparkEntry.queries("q112_sql_gram_kernels")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(1) === 16), "minhash_sig must yield k=16 slots")
+    val self = rows.find(_.getLong(0) === 0L).get
+    assert(self.getDouble(4) === 1.0, "doc 0 vs itself must have jaccard 1")
+    assert(self.getInt(2) === self.getInt(3), "self intersect = own gram count")
+  }
+
   test("expressions evaluate identically interpreted vs codegen") {
     // force both paths: the Column API plan normally codegens; a
     // literal-only eager eval goes through nullSafeEval
