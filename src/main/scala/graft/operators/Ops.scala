@@ -191,7 +191,26 @@ object Ops {
     * precedes).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame =
+    asofJoinImpl(left, right, key, leftTime, rightTime, rightCols, forward = false)
+
+  /** FORWARD as-of join: for every left row, attach the EARLIEST right
+    * row with rightTime >= leftTime within the same key (nulls when
+    * nothing follows) — the "next event at or after" direction
+    * (next maintenance after a failure, next order after a page view).
+    * Same union-then-window formulation as [[asofJoin]] with the
+    * merged timeline scanned DESCENDING, so the carried payload is the
+    * smallest rightTime at-or-after each left row; a
+    * [currentRow, unboundedFollowing] frame would express the same
+    * thing directly but re-aggregates per row (O(n²) per partition in
+    * Spark) — the descending running window is one pass. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightCols: Seq[String]): DataFrame =
+    asofJoinImpl(left, right, key, leftTime, rightTime, rightCols, forward = true)
+
+  private def asofJoinImpl(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val payload = struct(rightCols.map(col): _*)
     val payloadType = org.apache.spark.sql.types.StructType(
@@ -205,8 +224,10 @@ object Ops {
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         col(rightTime).as("__t") :+ lit(0).as("__side")) :+
         payload.as("__payload"): _*)
+    // ties (rightTime == leftTime) match in both directions: the right
+    // row sorts before the left row at equal __t, in scan order
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(if (forward) col("__t").desc else col("__t").asc, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .select((leftCols.map(col) :+ col("__side")) :+

@@ -376,6 +376,27 @@ object RelationalQueries {
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
     }
 
+  /** NOT EXISTS — the anti-join half of decorrelation (q111 covers the
+    * semi half): customers in a market segment who went QUIET for a
+    * quarter (no order in 1996-Q3), per nation — the churn-candidate
+    * query every retention pipeline runs. Catalyst rewrites the
+    * correlated NOT EXISTS into a LEFT ANTI join on the customer key
+    * (pinned by PlanSpec) — one co-partitioned join at any scale,
+    * never a per-row probe. */
+  def notExistsSubquery(s: SparkSession, dir: String): DataFrame =
+    sqlOn(s, dir, Seq("customer", "orders")) { v =>
+      s"""SELECT c_nationkey, count(*) AS n_quiet_customers,
+         | CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_acctbal
+         |FROM ${v("customer")}
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM ${v("orders")}
+         |    WHERE o_custkey = c_custkey
+         |      AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+         |      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+    }
+
   /** Exact interpolated percentiles per group, plus a sample standard
     * deviation computed from exact integer sums (Σx, Σx² in cents) so the
     * value is order-independent — stddev_samp's streaming merge is not. */
@@ -590,6 +611,19 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join (Ops.asofJoinForward): each event picks up the
+    * user's EARLIEST order at-or-after the event time — "what did this
+    * session lead to". Same oracle machinery as q36 with the ASOF
+    * inequality flipped. */
+  def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val orders = ordersAsofRollup(s, dir)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+    Ops.asofJoinForward(events, orders, "user_id", "ts", "o_orderdate", Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("next_order"))
+      .orderBy("event_id")
+  }
+
   /** Interval range join, bucketed: events falling in each order's
     * 7-day window for the same customer. The naive form is an
     * inequality join (cross-product per key); bucketing by day turns
@@ -713,6 +747,8 @@ object RelationalQueries {
     "q109_basket_pairs" -> ((s: SparkSession, d: String) => basketPairs(s, d)),
     "q110_scalar_subquery" -> (correlatedScalarSubquery _),
     "q111_exists_subquery" -> (existsSubquery _),
+    "q113_not_exists_subquery" -> (notExistsSubquery _),
+    "q114_asof_forward" -> (asofJoinForward _),
     "q23_window_leadlag" -> (windowLeadLag _),
     "q24_percentiles" -> (percentiles _),
     "q69_approx_percentiles" -> (approxPercentiles _),
@@ -752,6 +788,16 @@ object RelationalQueries {
         |SELECT e.event_id, e.user_id, r.o_orderkey AS last_order
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    // the forward direction: DuckDB's ASOF with <= picks the NEAREST
+    // following right row — exactly asofJoinForward's contract
+    "q114_asof_forward" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, r.o_orderkey AS next_order
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts <= r.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
     // q93 = q36's semantics through the custom physical operator; the
     // oracle is intentionally identical
@@ -957,6 +1003,17 @@ object RelationalQueries {
         |    SELECT 1 FROM lineitem
         |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q113_not_exists_subquery" ->
+      """SELECT c_nationkey, count(*) AS n_quiet_customers,
+        | CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_acctbal
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q106_tpch_q5" ->
       """SELECT n_name,
         | sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue

@@ -40,6 +40,46 @@ class AsofJoinSpec extends SparkSpec {
     assert(row.getInt(row.fieldIndex("rval")) === 2)
   }
 
+  test("asofJoinForward attaches earliest following right row per key") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 50L, "c"))
+      .toDF("k", "lt", "lv")
+    val right = Seq((1L, 10L, "r10", 100), (1L, 20L, "r20", 200),
+        (2L, 9L, "r9", 900))
+      .toDF("k", "rt", "rname", "rval")
+    val out = Ops.asofJoinForward(left, right, "k", "lt", "rt", Seq("rname", "rval"))
+      .orderBy("k", "lt")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.toString).orNull,
+        Option(r.get(4)).map(_.toString).orNull))
+      .toSeq
+    // exact-time match included (lt=10 → rt=10, not rt=20); k=2 left at
+    // t=50 follows every right row → nulls
+    assert(out === Seq(
+      (1L, 10L, "a", "r10", "100"),
+      (1L, 25L, "b", null, null),
+      (2L, 50L, "c", null, null)))
+  }
+
+  test("forward and backward agree with a brute-force formulation on a random timeline") {
+    import spark.implicits._
+    var seed = 777L
+    def next(n: Long): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; (seed >>> 33) % n }
+    val left = (1 to 300).map(i => (next(5), next(1000), i.toLong)).toDF("k", "lt", "lid")
+    val right = (1 to 200).map(i => (next(5), next(1000), i.toLong))
+      .distinct.groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq // unique per (k, rt)
+      .toDF("k", "rt", "rid")
+    val fwd = Ops.asofJoinForward(left, right, "k", "lt", "rt", Seq("rid"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.toString.toLong)).toMap
+    val brute = left.as[(Long, Long, Long)].collect().map { case (k, lt, lid) =>
+      val cands = right.as[(Long, Long, Long)].collect()
+        .filter(r => r._1 == k && r._2 >= lt)
+      lid -> (if (cands.isEmpty) None else Some(cands.minBy(r => (r._2, -r._3))._3))
+    }.toMap
+    assert(fwd === brute)
+  }
+
   test("saltedJoin rejects join types that would duplicate small-side rows") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("k", "v")

@@ -149,6 +149,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
   }
 
+  test("q113: NOT EXISTS decorrelates to a left anti join") {
+    val df = SparkEntry.queries("q113_not_exists_subquery")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not rewritten to anti join:\n$p")
+    assert(!p.contains("Subquery"), p)
+  }
+
   test("q01: aggregation is two-phase (partial before shuffle)") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
