@@ -169,20 +169,26 @@ object StreamingOps {
 
   /** Running per-user spend with mapGroupsWithState (update-mode
     * analytics state machine: emits the latest cumulative value per
-    * user per batch). */
+    * user per batch). State accumulates EXACT INTEGER CENTS — a
+    * streaming engine gives no fold-order guarantees across
+    * micro-batches, so a double accumulator would drift by arrival
+    * order; integer cents make every emission order-independent and
+    * engine-exact (the same Exact.cents stance as the batch
+    * aggregates), which is what lets q115 gate this operator against
+    * a batch DuckDB oracle. */
   def runningUserTotals(events: DataFrame): Dataset[(Long, Double, Long)] = {
     import events.sparkSession.implicits._
     events.select(col("user_id").cast("long"), col("value").cast("double"))
       .as[(Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[(Double, Long), (Long, Double, Long)](
+      .mapGroupsWithState[(Long, Long), (Long, Double, Long)](
         GroupStateTimeout.NoTimeout()) {
-        (user: Long, batch: Iterator[(Long, Double)], state: GroupState[(Double, Long)]) =>
-          val (prevSum, prevN) = state.getOption.getOrElse((0.0, 0L))
-          var s = prevSum; var n = prevN
-          batch.foreach { case (_, v) => s += v; n += 1 }
-          state.update((s, n))
-          (user, math.round(s * 100.0) / 100.0, n)
+        (user: Long, batch: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) =>
+          val (prevCents, prevN) = state.getOption.getOrElse((0L, 0L))
+          var c = prevCents; var n = prevN
+          batch.foreach { case (_, v) => c += math.round(v * 100.0); n += 1 }
+          state.update((c, n))
+          (user, c / 100.0, n)
       }
   }
 }

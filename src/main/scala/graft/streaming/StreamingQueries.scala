@@ -259,11 +259,73 @@ object StreamingQueries {
     }
   }
 
+  /** Staging dir holding events.parquet split into THREE files so
+    * maxFilesPerTrigger=1 produces multiple micro-batches — the
+    * fixture that actually exercises state CARRY between batches
+    * (a single-file source would fold everything in batch 0 and the
+    * state machine would never resume). Split by event_id mod 3, each
+    * slice coalesced to one file. */
+  private def stageDirSplit(s: SparkSession, dir: String): String =
+    staged.computeIfAbsent(dir + "#split3", { _ =>
+      val p = graft.util.TempDirs.create("graft_stream_events_3")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      (0 until 3).foreach { i =>
+        val part = graft.util.TempDirs.create(s"graft_stream_part$i")
+        ev.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(part.toString)
+        val f = Files.list(part).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(f, Paths.get(s"$p/events_$i.parquet"))
+      }
+      p.toString
+    })
+
+  /** Running per-user totals through mapGroupsWithState — the fifth
+    * streaming pillar: an UPDATE-mode state machine whose state
+    * (exact integer cents + count) carries across micro-batches. The
+    * source is staged as three files with maxFilesPerTrigger=1, so
+    * the final emission per user is genuinely the product of state
+    * resumption, not a single-batch fold; the memory sink's last
+    * update per user (selected by max event count — the count is
+    * strictly monotone per user) must equal the batch per-user
+    * aggregate, which is the DuckDB oracle. */
+  def streamingRunningTotals(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = stageDirSplit(s, dir)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    withStatePartitions(s, 8) {
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val totals = StreamingOps.runningUserTotals(stream)
+      .toDF("user_id", "total_value", "n_events")
+    val name = s"graft_stream_totals_${runId.incrementAndGet()}"
+    val q = totals.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = s.table(name)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("total_value"), col("n_events")).as("total_value"),
+        max(col("n_events")).as("n_events"))
+      .select(col("user_id"), col("n_events"), col("total_value"))
+      .orderBy("user_id")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_streaming_daily" -> (streamingDaily _),
     "q92_streaming_dedup" -> (streamingDedup _),
     "q95_streaming_sessions" -> (streamingSessions _),
-    "q96_stream_stream_join" -> (streamingPairJoin _))
+    "q96_stream_stream_join" -> (streamingPairJoin _),
+    "q115_streaming_running_totals" -> (streamingRunningTotals _))
 
   val oracle: Map[String, String] = Map(
     "q71_streaming_daily" ->
@@ -291,5 +353,11 @@ object StreamingQueries {
         |FROM events a JOIN events b ON a.user_id = b.user_id
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
         | AND a.event_id < b.event_id
-        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    // cumulative state must converge to the plain batch aggregate;
+    // cents-exact accumulation makes the double engine-exact
+    "q115_streaming_running_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
