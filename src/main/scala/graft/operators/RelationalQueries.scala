@@ -397,6 +397,38 @@ object RelationalQueries {
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
     }
 
+  /** Semi-structured extraction: events.props is a JSON string column
+    * (the shape every event pipeline carries); parse it with a TYPED
+    * from_json schema — codegen'd, null-safe on malformed input — and
+    * aggregate the extracted field per event type. At scale the parse
+    * is per-row map work and the aggregate is the only shuffle;
+    * declaring a schema (vs schemaless get_json_object per field) also
+    * parses the document once however many fields are read. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Unpivot/melt (Dataset.unpivot — wide→long reshaping, the inverse
+    * of q29's pivot): per-nation metrics melted to (id, metric, value)
+    * rows. Map-only reshape; the oracle is the UNION ALL expansion. */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).cast("double").as("n_customers"),
+        (sum(Exact.cents(col("c_acctbal"))) / 100.0).as("sum_acctbal"))
+      .unpivot(Array(col("c_nationkey")),
+        Array(col("n_customers"), col("sum_acctbal")), "metric", "value")
+      .orderBy("c_nationkey", "metric")
+
   /** Exact interpolated percentiles per group, plus a sample standard
     * deviation computed from exact integer sums (Σx, Σx² in cents) so the
     * value is order-independent — stddev_samp's streaming merge is not. */
@@ -749,6 +781,8 @@ object RelationalQueries {
     "q111_exists_subquery" -> (existsSubquery _),
     "q113_not_exists_subquery" -> (notExistsSubquery _),
     "q114_asof_forward" -> (asofJoinForward _),
+    "q116_json_extract" -> (jsonExtract _),
+    "q117_unpivot" -> (unpivotMetrics _),
     "q23_window_leadlag" -> (windowLeadLag _),
     "q24_percentiles" -> (percentiles _),
     "q69_approx_percentiles" -> (approxPercentiles _),
@@ -1014,6 +1048,21 @@ object RelationalQueries {
         |      AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
         |      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q116_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        | CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+        | CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q117_unpivot" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS n_customers,
+        |   CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_acctbal
+        |  FROM customer GROUP BY 1)
+        |SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM base
+        |UNION ALL
+        |SELECT c_nationkey, 'sum_acctbal' AS metric, sum_acctbal AS value FROM base
+        |ORDER BY c_nationkey, metric""".stripMargin,
     "q106_tpch_q5" ->
       """SELECT n_name,
         | sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue
