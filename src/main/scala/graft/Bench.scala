@@ -163,7 +163,8 @@ object Bench {
     step(SparkEntry.queries("q92_streaming_dedup")(spark, sfDir).count())
     step(SparkEntry.queries("q95_streaming_sessions")(spark, sfDir).count())
     step(SparkEntry.queries("q96_stream_stream_join")(spark, sfDir).count())
-    // q115 stages its split-3 source copy once per JVM
+    // q115/q118 share one split-3 staged source copy per JVM
     step(SparkEntry.queries("q115_streaming_running_totals")(spark, sfDir).count())
+    step(SparkEntry.queries("q118_streaming_foreachbatch")(spark, sfDir).count())
   }
 }

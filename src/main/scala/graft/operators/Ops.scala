@@ -225,9 +225,16 @@ object Ops {
         col(rightTime).as("__t") :+ lit(0).as("__side")) :+
         payload.as("__payload"): _*)
     // ties (rightTime == leftTime) match in both directions: the right
-    // row sorts before the left row at equal __t, in scan order
+    // row sorts before the left row at equal __t, in scan order.
+    // NULL times must scan BEFORE any right row (so they carry null =
+    // no match): that's nulls-first in ascending order (Spark's asc
+    // default) but needs desc_nulls_first in the descending forward
+    // scan — plain desc puts nulls last, where a null-time left row
+    // would wrongly pick up the partition's earliest right row.
     val w = Window.partitionBy(col(key))
-      .orderBy(if (forward) col("__t").desc else col("__t").asc, col("__side"))
+      .orderBy(
+        if (forward) col("__t").desc_nulls_first else col("__t").asc_nulls_first,
+        col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .select((leftCols.map(col) :+ col("__side")) :+

@@ -320,12 +320,45 @@ object StreamingQueries {
     }
   }
 
+  /** The foreachBatch MERGE sink as a declared query — the sixth
+    * streaming pillar (the SINK side: everything else gates
+    * transformations). Per-micro-batch keyed partials upsert into an
+    * external keyed target through StreamingOps.foreachBatchUpsert
+    * (batchId replay guard included); the converged target must equal
+    * the batch per-user aggregate. The target fold reconstructs exact
+    * integer cents from each partial (round(v·100) is exact for cent
+    * values below 2^52), so accumulation order — which a streaming
+    * sink never guarantees — cannot move the result. */
+  def streamingForeachBatch(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = stageDirSplit(s, dir)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    withStatePartitions(s, 8) {
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val target = new ConcurrentHashMap[Long, (Long, Long)]() // user -> (n, cents)
+    StreamingOps.foreachBatchUpsert(stream, (_: Long, partials) =>
+      partials.foreach { case (user, n, v) =>
+        target.merge(user, (n, math.round(v * 100)),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+      })
+    import scala.jdk.CollectionConverters._
+    import s.implicits._
+    target.asScala.toSeq
+      .map { case (u, (n, cents)) => (u, n, cents / 100.0) }
+      .sortBy(_._1)
+      .toDF("user_id", "n_events", "total_value")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_streaming_daily" -> (streamingDaily _),
     "q92_streaming_dedup" -> (streamingDedup _),
     "q95_streaming_sessions" -> (streamingSessions _),
     "q96_stream_stream_join" -> (streamingPairJoin _),
-    "q115_streaming_running_totals" -> (streamingRunningTotals _))
+    "q115_streaming_running_totals" -> (streamingRunningTotals _),
+    "q118_streaming_foreachbatch" -> (streamingForeachBatch _))
 
   val oracle: Map[String, String] = Map(
     "q71_streaming_daily" ->
@@ -357,6 +390,11 @@ object StreamingQueries {
     // cumulative state must converge to the plain batch aggregate;
     // cents-exact accumulation makes the double engine-exact
     "q115_streaming_running_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the sink's converged target = the same batch truth as q115
+    "q118_streaming_foreachbatch" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)

@@ -62,6 +62,19 @@ class AsofJoinSpec extends SparkSpec {
       (2L, 50L, "c", null, null)))
   }
 
+  test("null left time matches nothing in either direction") {
+    import spark.implicits._
+    val left = Seq((1L, Option(15L), "t15"), (1L, None: Option[Long], "tnull"))
+      .toDF("k", "lt", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 20L, "r20")).toDF("k", "rt", "rname")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, String, Seq[String]) => org.apache.spark.sql.DataFrame) =
+      f(left, right, "k", "lt", "rt", Seq("rname"))
+        .collect().map(r => r.getString(2) -> Option(r.get(3)).map(_.toString)).toMap
+    assert(run(Ops.asofJoin) === Map("t15" -> Some("r10"), "tnull" -> None))
+    assert(run(Ops.asofJoinForward) === Map("t15" -> Some("r20"), "tnull" -> None))
+  }
+
   test("forward and backward agree with a brute-force formulation on a random timeline") {
     import spark.implicits._
     var seed = 777L

@@ -97,7 +97,7 @@ class InvariantSpec extends SparkSpec {
     // their own suites; skipping them here keeps this sweep fast.
     val skip = Set("q71_streaming_daily", "q92_streaming_dedup",
       "q95_streaming_sessions", "q96_stream_stream_join",
-      "q115_streaming_running_totals")
+      "q115_streaming_running_totals", "q118_streaming_foreachbatch")
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !skip(name) && fn(spark, sf).limit(1).count() == 0 => name
     }
