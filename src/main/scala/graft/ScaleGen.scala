@@ -56,8 +56,24 @@ object ScaleGen {
 
   def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     def read(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
-    def write(df: DataFrame, n: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
+    // write each table as ONE parquet FILE, exactly like the driver's
+    // testdata layout — consumers (notably the streaming staging
+    // helpers) treat $dir/$name.parquet as a file path, and a Spark
+    // output DIRECTORY of that name silently staged as empty. A single
+    // file still scans in parallel (row-group splits).
+    def write(df: DataFrame, n: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("scalegen_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        try s.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally s.close()
+      }
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dst/$n.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
     def span(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).collect().head.getLong(0) + 1
     def replicate(df: DataFrame)(tx: Int => DataFrame => DataFrame): DataFrame =

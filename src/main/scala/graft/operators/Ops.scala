@@ -218,7 +218,16 @@ object Ops {
     val l = left.select(
       leftCols.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
         lit(null).cast(payloadType).as("__payload"): _*)
-    val r = right.select(
+    // right rows with a null key or time can never be "the latest/
+    // earliest row at t" for any left row (SQL join semantics: null
+    // keys match nothing) — and MUST be dropped here: a null __t right
+    // row would sort nulls-first into the scan ahead of every real
+    // row, and last(ignoreNulls) would carry its (non-null) payload
+    // into left rows that should have no match. Same contract as the
+    // physical AsofJoinExec's advanceRight skip.
+    val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
       (Seq(col(key)) ++
         leftCols.filterNot(_ == key)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+

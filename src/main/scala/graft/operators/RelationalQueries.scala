@@ -328,7 +328,7 @@ object RelationalQueries {
     * frame is built — spark.sql resolves views at analysis time, so the
     * returned frame stays executable and the session catalog is left
     * exactly as found (same pattern as SimilarityOps.sqlCosineTopK). */
-  private def sqlOn(s: SparkSession, dir: String, tables: Seq[String])(
+  private[operators] def sqlOn(s: SparkSession, dir: String, tables: Seq[String])(
       sql: Map[String, String] => String): DataFrame = {
     val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
     val views = tables.map(n => n -> s"graft_${n}_$sfx").toMap

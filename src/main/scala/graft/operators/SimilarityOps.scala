@@ -23,6 +23,15 @@ object SimilarityOps {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Corpus size per source dir, memoized: the adaptive-nlist sizing
+    * needs it on every neardupIvfBlockedRaw call, and a parquet count
+    * is metadata-cheap but still one Spark job per call without the
+    * cache (the source tables are immutable for a JVM's lifetime —
+    * same assumption as the staged-layout caches elsewhere). */
+  private val embCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embCount(s: SparkSession, dir: String): Long =
+    embCounts.computeIfAbsent(dir, d => t(s, d, "embeddings").count())
+
   /** Cosine via the native CosineSimF expression: one codegen'd pass
     * over the float arrays with double accumulation, fold order
     * identical to the DuckDB oracle's list_transform/list_sum. */
@@ -143,7 +152,7 @@ object SimilarityOps {
     // scale lands exactly on the floor (2000/125 = 16), so declared
     // results at sf ≤ 0.1 are bit-identical to the fixed-nlist form
     // and the DuckDB oracle's hardcoded 16 centroids stay in parity.
-    val effNlist = math.max(nlist, (emb.count() / 125L).toInt)
+    val effNlist = math.max(nlist, (embCount(s, dir) / 125L).toInt)
     val cents = emb.filter(col("vec_id").between(1, effNlist))
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val scored = emb.crossJoin(broadcast(cents))

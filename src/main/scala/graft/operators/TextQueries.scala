@@ -151,17 +151,13 @@ object TextQueries {
     * restricted to pairs with doc 0). The whitespace class is built
     * from chr() calls because a regex-escape literal would be mangled
     * by SQL string escape processing. */
-  def sqlGramKernels(s: SparkSession, dir: String): DataFrame = {
-    // per-call unique view, dropped once the frame is built (see
-    // SimilarityOps.sqlCosineTopK for the pattern's rationale)
-    val view = s"graft_documents_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    t(s, dir, "documents").createOrReplaceTempView(view)
-    try s.sql(
+  def sqlGramKernels(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.sqlOn(s, dir, Seq("documents")) { v =>
       s"""WITH n AS (
          |  SELECT doc_id,
          |    lower(regexp_replace(text,
          |      concat('[ ', chr(9), chr(10), chr(11), chr(12), chr(13), ']+'), ' ')) AS t
-         |  FROM $view WHERE length(text) >= 5),
+         |  FROM ${v("documents")} WHERE length(text) >= 5),
          |g AS (SELECT doc_id, t, gram_set(t, 5) AS gs FROM n),
          |gg AS (SELECT doc_id, t, gs FROM g WHERE size(gs) > 0),
          |r AS (SELECT gs AS rg FROM gg WHERE doc_id = 0)
@@ -172,9 +168,8 @@ object TextQueries {
          |  CAST(sorted_intersect_size(gs, rg) AS DOUBLE)
          |    / (size(gs) + size(rg) - sorted_intersect_size(gs, rg)) AS jaccard
          |FROM gg CROSS JOIN r
-         |ORDER BY doc_id""".stripMargin)
-    finally s.catalog.dropTempView(view)
-  }
+         |ORDER BY doc_id""".stripMargin
+    }
 
   /** Repetition ratio — the share of repeated character 3-grams
     * (1 − distinct/total), a standard low-quality-text signal

@@ -89,18 +89,20 @@ object ZOrderQueries {
       df.write.mode("overwrite").parquet(path)
       return df.sparkSession.read.parquet(path)
     }
-    // span computed in double space (hi - lo + 1 as a Long overflows for
-    // extreme ranges), and the normalized value clamped to 2^bits - 1:
-    // (hi-lo)/(span) can round to 1.0 for ranges near 2^53, which would
-    // set a bit zvalueN drops and silently wrap max-key rows into
-    // z-bucket 0 (answers stay oracle-correct; only skipping quality
-    // would degrade)
+    // span AND the numerator computed in double space (both hi-lo+1
+    // and c-lo overflow Long for extreme ranges like lo near MinValue),
+    // and the normalized value clamped into [0, 2^bits - 1]: the ratio
+    // can round to 1.0 for ranges near 2^53, which would set a bit
+    // zvalueN drops and silently wrap max-key rows into z-bucket 0
+    // (answers stay oracle-correct; only skipping quality degrades)
     def norm(c: Column, lo: Long, hi: Long): Column = {
       val span = hi.toDouble - lo.toDouble + 1.0
-      least(
-        ((c.cast("long") - lit(lo)).cast("double") / lit(span)
-          * lit((1L << bits).toDouble)).cast("long"),
-        lit((1L << bits) - 1L))
+      greatest(
+        least(
+          ((c.cast("double") - lit(lo.toDouble)) / lit(span)
+            * lit((1L << bits).toDouble)).cast("long"),
+          lit((1L << bits) - 1L)),
+        lit(0L))
     }
     val z = df.withColumn("__z", zvalue(
         norm(a, mm.getLong(1), mm.getLong(2)),

@@ -25,10 +25,33 @@ object StreamingQueries {
   private val staged = new ConcurrentHashMap[String, String]()
   private val runId = new AtomicInteger()
 
+  /** Copy $dir/events.parquet into a staging dir under `prefix` —
+    * handling BOTH layouts: the driver testdata's single file, and a
+    * parquet DIRECTORY (what a generic Spark writer produces). A naive
+    * Files.copy of a directory copies it EMPTY, and a file stream over
+    * the result silently drains zero rows — the streaming queries
+    * would "pass" on nothing. Directory streams are closed (they hold
+    * an fd until GC otherwise). */
+  private def copyEvents(dir: String, dst: java.nio.file.Path, prefix: String): Unit = {
+    val src = Paths.get(s"$dir/events.parquet")
+    if (Files.isDirectory(src)) {
+      val s = Files.list(src)
+      try {
+        val parts = s.filter(_.toString.endsWith(".parquet")).iterator()
+        var i = 0
+        while (parts.hasNext) {
+          Files.copy(parts.next(), dst.resolve(f"${prefix}_part$i%04d.parquet"))
+          i += 1
+        }
+        require(i > 0, s"no parquet part files under $src")
+      } finally s.close()
+    } else Files.copy(src, dst.resolve(s"$prefix.parquet"))
+  }
+
   private def stageDir(dir: String): String =
     staged.computeIfAbsent(dir, { d =>
       val p = graft.util.TempDirs.create("graft_stream_events")
-      Files.copy(Paths.get(s"$d/events.parquet"), p.resolve("events.parquet"))
+      copyEvents(d, p, "events")
       p.toString
     })
 
@@ -59,8 +82,8 @@ object StreamingQueries {
   private def stageDirDuplicated(dir: String): String =
     staged.computeIfAbsent(dir + "#dup", { _ =>
       val p = graft.util.TempDirs.create("graft_stream_events_dup")
-      Files.copy(Paths.get(s"$dir/events.parquet"), p.resolve("events.parquet"))
-      Files.copy(Paths.get(s"$dir/events.parquet"), p.resolve("events_redelivered.parquet"))
+      copyEvents(dir, p, "events")
+      copyEvents(dir, p, "events_redelivered")
       p.toString
     })
 
@@ -115,7 +138,7 @@ object StreamingQueries {
   private def stageDirWithSentinel(s: SparkSession, dir: String): String =
     staged.computeIfAbsent(dir + "#sentinel", { _ =>
       val p = graft.util.TempDirs.create("graft_stream_events_sn")
-      Files.copy(Paths.get(s"$dir/events.parquet"), p.resolve("events.parquet"))
+      copyEvents(dir, p, "events")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = s.read.parquet(s"$dir/events.parquet")
       val maxTsNanos = ev.agg(max(col("ts"))).collect().head.getLong(0)
@@ -128,11 +151,16 @@ object StreamingQueries {
         .withColumn("event_type", lit("sentinel"))
       val tmp = Files.createTempDirectory("graft_sentinel_write")
       row.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(f => f.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val part = {
+        val l = Files.list(tmp)
+        try l.filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+        finally l.close()
+      }
       Files.copy(part, p.resolve("zz_sentinel.parquet"))
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      val w = Files.walk(tmp)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => { Files.deleteIfExists(f); () })
+      finally w.close()
       p.toString
     })
 
@@ -274,8 +302,11 @@ object StreamingQueries {
         val part = graft.util.TempDirs.create(s"graft_stream_part$i")
         ev.filter(col("event_id") % 3 === i).coalesce(1)
           .write.mode("overwrite").parquet(part.toString)
-        val f = Files.list(part).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
+        val f = {
+          val l = Files.list(part)
+          try l.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close()
+        }
         Files.move(f, Paths.get(s"$p/events_$i.parquet"))
       }
       p.toString

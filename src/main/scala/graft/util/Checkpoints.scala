@@ -32,10 +32,19 @@ object Checkpoints {
     val s = df.sparkSession
     s.conf.getOption(DirConf) match {
       case Some(dir) if dir.nonEmpty =>
-        // SparkContext owns one checkpoint dir (it appends a per-app
-        // UUID subdir); align it with the conf only when it drifts
+        // SparkContext owns one checkpoint dir (setCheckpointDir
+        // appends a per-app UUID subdir under the given path); align
+        // it with the conf only when it drifts. Prefix-match on a
+        // separator boundary — a bare contains() would accept
+        // /data/ckpt2 when the conf says /data/ckpt and leave
+        // checkpoints in the wrong directory.
         val sc = s.sparkContext
-        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        val want = dir.stripSuffix("/")
+        val aligned = sc.getCheckpointDir.exists { cur =>
+          val p = cur.stripSuffix("/")
+          p == want || p.startsWith(want + "/")
+        }
+        if (!aligned) sc.setCheckpointDir(dir)
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

@@ -75,6 +75,26 @@ class AsofJoinSpec extends SparkSpec {
     assert(run(Ops.asofJoinForward) === Map("t15" -> Some("r20"), "tnull" -> None))
   }
 
+  test("null right time/key rows can never fabricate a match") {
+    import spark.implicits._
+    // the null-rt right row would sort nulls-first into the scan and
+    // last(ignoreNulls) would carry its payload into unmatched left
+    // rows if it were not dropped; null-key rows must also never match
+    val left = Seq((1L, 100L, "l"), (2L, 1L, "early")).toDF("k", "lt", "lv")
+    val right = Seq(
+      (Option(1L), None: Option[Long], "poison"),
+      (None: Option[Long], Option(1L), "nullkey"),
+      (Option(1L), Option(5L), "r5")).toDF("k", "rt", "rname")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, String, Seq[String]) => org.apache.spark.sql.DataFrame) =
+      f(left, right, "k", "lt", "rt", Seq("rname"))
+        .collect().map(r => r.getString(2) -> Option(r.get(3)).map(_.toString)).toMap
+    // backward: k=1@100 matches r5 (5 <= 100); k=2@1 has no right rows
+    assert(run(Ops.asofJoin) === Map("l" -> Some("r5"), "early" -> None))
+    // forward: k=1@100 has nothing at-or-after; poison must NOT appear
+    assert(run(Ops.asofJoinForward) === Map("l" -> None, "early" -> None))
+  }
+
   test("forward and backward agree with a brute-force formulation on a random timeline") {
     import spark.implicits._
     var seed = 777L

@@ -33,12 +33,17 @@ class CheckpointSpec extends SparkSpec {
     } finally spark.conf.unset(Checkpoints.DirConf)
   }
 
-  test("conf unset: no checkpoint directory is touched") {
+  test("conf unset: truncate takes the localCheckpoint path, not reliable files") {
     import spark.implicits._
+    // point the CONTEXT at a fresh checkpoint dir: if truncate wrongly
+    // used reliable checkpoint() with the conf unset, files would land
+    // here — an unused-dir assertion alone would pass vacuously
     val dir = graft.util.TempDirs.create("graft_ckpt_unset_").toString
+    spark.sparkContext.setCheckpointDir(dir)
     val out = Checkpoints.truncate((1L to 10L).toDF("x"))
     assert(out.count() === 10)
-    assert(filesUnder(dir).isEmpty)
+    assert(filesUnder(dir).isEmpty,
+      "conf unset must localCheckpoint — no reliable checkpoint files")
   }
 
   test("connectedComponents under a reliable checkpoint dir: same labels, files written") {
