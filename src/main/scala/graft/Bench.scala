@@ -10,6 +10,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the fixture layout is ONE parquet file per table (the driver's
+      // testdata shape, which ScaleGen mirrors); under the 128 MB
+      // default every table ≤128 MB scans as a single task no matter
+      // how many row groups it has, serializing the scan-stage CPU
+      // (MinHash/gram kernels over documents) on one core. 1 MB splits
+      // keep those stages parallel at every fixture scale; the only
+      // cost is a few empty splits per scan where row groups are
+      // coarser than 1 MB (footer-read, ~ms). A real deployment has
+      // many files per table and keeps the default.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.ui.enabled", "false")
       // the engine's native kernels as SQL functions (static conf —
       // must be set where the SparkContext is created)

@@ -60,10 +60,21 @@ object ScaleGen {
     // testdata layout — consumers (notably the streaming staging
     // helpers) treat $dir/$name.parquet as a file path, and a Spark
     // output DIRECTORY of that name silently staged as empty. A single
-    // file still scans in parallel (row-group splits).
+    // file can only scan in parallel if it has MANY ROW GROUPS — the
+    // first cut of this generator inherited the 128 MB default and
+    // produced one row group per table, which serialized every sf1
+    // scan onto one task (q12 27 s, q56 29 s). Small row groups are
+    // the fix: 512 KB buffered (≈250 KB on disk) gives the CPU-dense
+    // narrow tables (documents: 6 MB of text but the corpus-wide
+    // MinHash cost) enough splits to spread, and the wide tables
+    // hundreds. Real 100 TB data arrives as thousands of files and
+    // never needs this; it is purely the single-file fixture's valve.
     def write(df: DataFrame, n: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("scalegen_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write
+        .option("parquet.block.size", (512 * 1024).toString)
+        .option("parquet.page.size", (128 * 1024).toString)
+        .mode("overwrite").parquet(tmp)
       val part = {
         val s = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
         try s.filter(_.toString.endsWith(".parquet")).findFirst().get()
@@ -91,12 +102,22 @@ object ScaleGen {
     write(replicate(read("lineitem"))(i => df =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oSpan))), "lineitem")
 
-    // events: ts read as raw nanos long (see scaladoc)
+    // events: ts read as raw nanos long (see scaladoc). user_id is
+    // shifted per copy along with event_id: every event query keys on
+    // user (windows, sessions, cohorts, the q96 stream-stream time
+    // join) and no table joins events to an external user dimension,
+    // so "10× data" must mean 10× USERS at the fixture's per-user
+    // density — the realistic growth shape. Leaving user_id unshifted
+    // would interleave 10 copies of each user's history over the SAME
+    // time range, growing q96's per-user 10-minute pair count ~100×
+    // per decade: a quadratic replication artifact, not a workload.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = read("events")
     val eSpan = span(events, "event_id")
+    val uSpan = span(events, "user_id")
     write(replicate(events)(i => df =>
-      df.withColumn("event_id", col("event_id") + lit(i * eSpan))), "events")
+      df.withColumn("event_id", col("event_id") + lit(i * eSpan))
+        .withColumn("user_id", col("user_id") + lit(i * uSpan))), "events")
 
     val docs = read("documents")
     val dSpan = span(docs, "doc_id")
