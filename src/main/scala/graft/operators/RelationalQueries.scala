@@ -738,6 +738,64 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Fuzzy duplicate detection over a DIMENSION column's distinct
+    * values — the record-linkage / category-cleanup primitive: find
+    * near-identical spellings ("cold anvil" vs "old anvil") before
+    * they fragment a groupBy or train a model on split categories.
+    * Shape matters at 100 TB: the quadratic pairing runs over the
+    * DISTINCT value set (bounded by the column's category cardinality
+    * — thousands, not the fact row count) after ONE distinct
+    * aggregation of the raw column; the distinct set is broadcast and
+    * the pair + edit-distance verify is map-side, with Spark's 3-arg
+    * `levenshtein` abandoning each cell's DP loop as soon as the
+    * running distance exceeds `maxDist` (it returns -1 past the
+    * threshold — the O(len·maxDist) banded form, not O(len²)). For an
+    * unbounded-cardinality column this shape does not apply — block
+    * first (q56/q66's LSH machinery is the same pattern at document
+    * scale). */
+  def fuzzyDimPairs(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val d = t(s, dir, "part").select(col("p_name")).distinct()
+    val a = d.select(col("p_name").as("name_a"))
+    val b = d.select(col("p_name").as("name_b"))
+    a.join(broadcast(b), col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Per-group statistical profile — Pearson correlation, sample
+    * covariance, sample standard deviation — computed from EXACT
+    * integral moments (n, Σx, Σy, Σx², Σy², Σxy in integer units /
+    * cents, product sums widened to decimal) instead of the built-in
+    * corr/covar_samp/stddev_samp, whose double partial-merge is
+    * order-dependent across partitions (different last bits per run
+    * and per engine). Integer moment sums are exact and order-
+    * independent, and the closing formula is then ONE deterministic
+    * IEEE expression evaluated identically by Spark and the oracle —
+    * the q24 stddev trick extended to two variables. The moments are
+    * also the MERGEABLE form: partial aggregation applies, and a
+    * 100 TB rollup ships six numbers per group, not the values. */
+  def statsProfile(s: SparkSession, dir: String): DataFrame = {
+    val x = round(col("l_quantity")).cast("long") // integral in the data contract
+    val y = Exact.cents(col("l_extendedprice"))
+    def d(c: Column): Column = c.cast("double")
+    val n = count(lit(1)).cast("double")
+    val sx = d(sum(x))
+    val sy = d(sum(y))
+    val sxx = d(sum((x * x).cast(DecimalType(38, 0))))
+    val syy = d(sum((y * y).cast(DecimalType(38, 0))))
+    val sxy = d(sum((x * y).cast(DecimalType(38, 0))))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr_qty_price"),
+        round((sxy - sx * sy / n) / (n - lit(1.0)) / 100.0, 4).as("covar_qty_price"),
+        round(sqrt((syy - sy * sy / n) / (n - lit(1.0))) / 100.0, 4).as("sd_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_asof_physical" -> (asofJoinPhysical _),
     "q88_range_join_auto" -> (rangeJoinAuto _),
@@ -787,9 +845,36 @@ object RelationalQueries {
     "q24_percentiles" -> (percentiles _),
     "q69_approx_percentiles" -> (approxPercentiles _),
     "q70_skew_salted_join" -> (skewSaltedJoin _),
+    "q119_fuzzy_dim_pairs" -> ((s: SparkSession, d: String) => fuzzyDimPairs(s, d)),
+    "q120_stats_profile" -> (statsProfile _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q119_fuzzy_dim_pairs" ->
+      """WITH d AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM d a JOIN d b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q120_stats_profile" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+        |   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS sy,
+        |   CAST(sum(CAST(round(l_quantity) AS BIGINT)
+        |          * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+        |   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |          * CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS syy,
+        |   CAST(sum(CAST(round(l_quantity) AS BIGINT)
+        |          * CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | round((nd*sxy - sx*sy) / sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy)), 6)
+        |  AS corr_qty_price,
+        | round((sxy - sx*sy/nd) / (nd-1.0) / 100.0, 4) AS covar_qty_price,
+        | round(sqrt((syy - sy*sy/nd) / (nd-1.0)) / 100.0, 4) AS sd_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q32_bag_ops" ->
       """SELECT op, id, count(*) AS n FROM (
         |  SELECT 'intersect_all' AS op, id FROM (

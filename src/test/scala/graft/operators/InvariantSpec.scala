@@ -89,6 +89,45 @@ class InvariantSpec extends SparkSpec {
       s"unexpected rows-only queries: ${qs -- os}")
   }
 
+  test("fuzzy dim pairs: thresholded levenshtein equals the unbounded filter") {
+    // the 3-arg early-exit levenshtein is the scale move; its output
+    // must be EXACTLY the unbounded distance filtered post-hoc — the
+    // -1 sentinel only ever replaces distances past the threshold
+    val fast = q("q119_fuzzy_dim_pairs").collect()
+    val d = Tables(spark, sf, "part").select(col("p_name")).distinct()
+    val slow = d.select(col("p_name").as("name_a"))
+      .crossJoin(d.select(col("p_name").as("name_b")))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .orderBy("name_a", "name_b").collect()
+    assert(fast.toSeq === slow.toSeq)
+    assert(fast.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 2))
+  }
+
+  test("stats profile: exact-moment corr/covar/sd match the builtin aggregates") {
+    // the builtins are order-dependent in their last bits (why q120
+    // does not use them for the hash-compared values) but must agree
+    // with the exact-moment formulas to far beyond the rounding the
+    // query applies
+    val exact = q("q120_stats_profile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val builtin = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        stddev_samp(col("l_extendedprice")).as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(exact.keySet === builtin.keySet)
+    exact.foreach { case (k, (c, cv, sd)) =>
+      val (bc, bcv, bsd) = builtin(k)
+      assert(math.abs(c - bc) < 1e-6, s"corr mismatch for $k: $c vs $bc")
+      assert(math.abs(cv - bcv) < 1e-4 * math.max(1.0, math.abs(bcv)), s"covar mismatch for $k")
+      assert(math.abs(sd - bsd) < 1e-4 * math.max(1.0, bsd), s"sd mismatch for $k")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
   test("every declared query yields at least one row at sf0.001") {
     // a 0-row result passes rows/schema/hash comparison trivially — a
     // query whose predicate selects nothing at the gate's scale factor
