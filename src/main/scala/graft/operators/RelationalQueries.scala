@@ -796,6 +796,36 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Time-series densification: resample each user's event stream to a
+    * contiguous DAILY grid over their observed [first, last] day and
+    * forward-fill the days with no activity — the standard step before
+    * any per-day feature extraction, trend fit, or retention metric
+    * that assumes a gapless series (the Forecaster's daily frame is
+    * exactly this shape). Plan: one partial-aggregated rollup to
+    * (user, day) in exact cents, a per-user min/max, the grid as a
+    * `sequence` explode (bounded by the date SPAN, never the event
+    * count — a year is 365 rows per user no matter how many events),
+    * a left join back, and one per-user window for the carry-forward
+    * (`last(_, ignoreNulls)` over a running frame — O(n) per
+    * partition). Every shuffle keys on user_id or (user_id, day); no
+    * stage depends on per-user event volume beyond the initial
+    * rollup. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(sum(Exact.cents(col("value"))).as("cents"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        (last(col("cents"), ignoreNulls = true).over(w) / 100.0).as("daily_value"),
+        col("cents").isNull.as("was_filled"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_asof_physical" -> (asofJoinPhysical _),
     "q88_range_join_auto" -> (rangeJoinAuto _),
@@ -847,6 +877,7 @@ object RelationalQueries {
     "q70_skew_salted_join" -> (skewSaltedJoin _),
     "q119_fuzzy_dim_pairs" -> ((s: SparkSession, d: String) => fuzzyDimPairs(s, d)),
     "q120_stats_profile" -> (statsProfile _),
+    "q121_gap_fill" -> (gapFill _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -875,6 +906,23 @@ object RelationalQueries {
         | round((sxy - sx*sy/nd) / (nd-1.0) / 100.0, 4) AS covar_qty_price,
         | round(sqrt((syy - sy*sy/nd) / (nd-1.0)) / 100.0, 4) AS sd_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q121_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |   sum(CAST(round(value*100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id,
+        |   CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1)),
+        |j AS (SELECT g.user_id, g.day, d.cents
+        |      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day,
+        | CAST(last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+        |  AS daily_value,
+        | cents IS NULL AS was_filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
     "q32_bag_ops" ->
       """SELECT op, id, count(*) AS n FROM (
         |  SELECT 'intersect_all' AS op, id FROM (

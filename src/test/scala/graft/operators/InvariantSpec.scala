@@ -128,6 +128,29 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("gap fill: per-user grid is contiguous, starts observed, and fills carry the prior value") {
+    val byUser = q("q121_gap_fill").collect().groupBy(_.getLong(0))
+    assert(byUser.nonEmpty)
+    var filled = 0
+    byUser.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      val days = sorted.map(_.getDate(1).toLocalDate.toEpochDay)
+      assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 },
+        "grid must be gapless per user")
+      assert(!sorted.head.getBoolean(3), "first grid day is the first OBSERVED day")
+      sorted.sliding(2).foreach {
+        case Array(p, c) =>
+          if (c.getBoolean(3)) {
+            assert(c.getDouble(2) == p.getDouble(2),
+              "a filled day must carry the previous day's value verbatim")
+            filled += 1
+          }
+        case _ => ()
+      }
+    }
+    assert(filled > 0, "fixture must actually exercise the fill path")
+  }
+
   test("every declared query yields at least one row at sf0.001") {
     // a 0-row result passes rows/schema/hash comparison trivially — a
     // query whose predicate selects nothing at the gate's scale factor
