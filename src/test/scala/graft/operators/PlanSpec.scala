@@ -161,4 +161,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
     assert(countOf(p, "HashAggregate") >= 2) // partial + final
   }
+
+  test("q119: fuzzy pairing broadcasts the distinct set — no shuffled join of values") {
+    val p = plan("q119_fuzzy_dim_pairs")
+    // the inequality pairing must be a broadcast nested loop over the
+    // dim-sized distinct sets, never a SortMergeJoin (which would
+    // shuffle) or a plain CartesianProduct (which would partition both
+    // sides without a broadcast)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q120: moment aggregation is two-phase and reads only the two columns") {
+    val p = plan("q120_stats_profile")
+    assert(countOf(p, "HashAggregate") >= 2, p) // partial + final (mergeable moments)
+    assert(p.contains("l_quantity") && p.contains("l_extendedprice"), p)
+    assert(!p.contains("l_shipdate") && !p.contains("l_orderkey"), p) // column pruning
+  }
+
+  test("q121: gap fill keeps bounded shuffles, all keyed on user") {
+    // rollup agg + grid agg + grid⋈daily join + fill window + final
+    // sort — every exchange keys on user_id/(user_id, day); nothing
+    // scales with per-user event volume past the first rollup
+    assert(countOf(plan("q121_gap_fill"), "Exchange") <= 7)
+  }
 }
