@@ -185,4 +185,46 @@ class PlanSpec extends SparkSpec {
     // scales with per-user event volume past the first rollup
     assert(countOf(plan("q121_gap_fill"), "Exchange") <= 7)
   }
+
+  test("q122: recursion executes as a distributed UnionLoop, not a driver loop") {
+    val p = plan("q122_recursive_hierarchy")
+    assert(p.contains("UnionLoop"), p)
+    // the step body filters before recursing (pushdown inside the loop)
+    assert(p.contains("UnionLoopRef"), p)
+  }
+
+  test("q123: bloom probe filters the fact scan BEFORE the join") {
+    val p = plan("q123_bloom_pruned_join")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("bloom_filter_agg"), p)
+    // the probe must sit on the lineitem (application) side below the
+    // join: the Filter line carrying might_contain references l_orderkey
+    val probeLine = p.linesIterator.find(l =>
+      l.contains("might_contain") && l.contains("l_orderkey"))
+    assert(probeLine.isDefined, p)
+  }
+
+  test("q125: sliding window is one aggregation shuffle over the exploded windows") {
+    // Expand(2 windows/row) → partial agg → exchange → final agg → sort
+    val p = plan("q125_sliding_window")
+    assert(countOf(p, "Exchange") <= 3, p)
+    assert(countOf(p, "HashAggregate") >= 2, p) // partial + final
+  }
+
+  test("q126: profiler is a single scan of orders") {
+    val p = plan("q126_column_profile")
+    assert(countOf(p, "FileScan") == 1, p)
+  }
+
+  test("q127: lateral limit decorrelates to a group-limit window, no nested loop") {
+    val p = plan("q127_lateral_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q128: moments aggregate two-phase; probe side joins the broadcast stats") {
+    val p = plan("q128_zscore_outliers")
+    assert(countOf(p, "HashAggregate") >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
