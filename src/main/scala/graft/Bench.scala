@@ -110,9 +110,13 @@ object Bench {
     spark.stop()
     // Locale.ROOT, not an f-interpolator: f"" formats through the JVM's
     // default locale, and a comma decimal separator would make the one
-    // line the recorder parses unparseable JSON
+    // line the recorder parses unparseable JSON. %.2f, not %.3f: at 126
+    // queries the ms-precision line is ~1850 chars — inside the
+    // recorder's ~2000-char tail window but with no slack left; 10 ms
+    // per-query granularity buys ~130 chars of margin (the sidecar and
+    // the first full line keep full precision)
     println(line(shortKey,
-      d => String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))))
+      d => String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))))
   }
 
   /** Untimed warmup: first-touch costs (JIT of the native expression

@@ -172,6 +172,177 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** PageRank over the nation-level trade graph — the iterative-
+    * analytics flagship: the graph is built by the engine (lineitem ⋈
+    * orders ⋈ customer ⋈ supplier rolled up to (customer nation →
+    * supplier nation, weight = line count) — one fact-fact shuffle,
+    * dims broadcast), then 10 power-method rounds run as chained
+    * declarative join+aggregate plans over the DIMENSION-SIZED graph
+    * rollup, re-grounded as a local relation first (the KMeansLite
+    * pattern: the driver holds state ∝ #nations — ≤650 edge rows —
+    * never data; without the re-grounding each round's plan would
+    * re-derive the fact join). Zero-weight self-loops (outw pinned to
+    * 1 where a node has no out-edges) keep every node flowing through
+    * the join, so no per-round union with the node list is needed.
+    * Simplified PageRank (no dangling-mass redistribution — the
+    * GraphX-example formulation). Each round closes with round(·, 9):
+    * contributions are double products summed in partition order, so
+    * the re-round at every iteration is what makes the fixpoint
+    * engine-exact and keeps drift from accumulating. Spark's recursive
+    * CTE cannot host this (aggregates over the recursive reference are
+    * rejected — q122 covers the UnionLoop engine); the DuckDB oracle
+    * runs the identical recursion, where it IS legal SQL. */
+  def pagerankNations(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val nodes = t(s, dir, "nation").select(col("n_nationkey").as("src"))
+    val selfLoops = nodes.join(outw, Seq("src"), "left")
+      .select(col("src"), col("src").as("dst"), lit(0.0).as("w"),
+        coalesce(col("outw"), lit(1.0)).as("outw"))
+    val aug = edges.join(outw, Seq("src")).unionByName(selfLoops)
+    // re-ground: one distributed edge build, collected at dimension
+    // size, becomes the local relation every iteration joins against
+    import s.implicits._
+    val augL = aug.as[(Int, Int, Double, Double)].collect().toSeq
+      .toDF("src", "dst", "w", "outw")
+    var pr = augL.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1.0 / 25))
+    for (_ <- 1 to 10) {
+      pr = augL.join(pr, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(round(lit(0.15 / 25) + lit(0.85) * sum(col("r") * col("w") / col("outw")), 9)
+          .as("r"))
+        .withColumnRenamed("dst", "node")
+    }
+    pr.select(col("node").as("nationkey"), col("r").as("pagerank"))
+      .orderBy(col("pagerank").desc, col("nationkey"))
+  }
+
+  /** Curriculum binning — the training-data scheduling primitive: rank
+    * every document by an exact difficulty proxy (n_chars), cut the
+    * corpus into 10 equal-frequency bins (ntile with a doc_id
+    * tie-break for total order), and report each bin's boundaries and
+    * mass. The ntile is ONE global sort — at 100 TB the same statement
+    * runs on range-partitioned sort (Spark's global Window with empty
+    * PARTITION BY is the known single-task bottleneck; the scalable
+    * form pre-computes approx quantile cuts — documented here, and the
+    * declared shape keeps the single window because bin CUTS must be
+    * exact-frequency by contract). */
+  def curriculumBins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bin", ntile(10).over(w))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("bin")
+  }
+
+  /** BM25 full-text ranking (Robertson k1=1.2, b=0.75) for a fixed
+    * 3-term query over the documents corpus — the search-engine scoring
+    * primitive TF-IDF (q89) feeds. Every input is an exact integer
+    * (tf, dl, df, N) except avgdl (one double division of exact sums),
+    * each (doc, term) partial is one IEEE expression, and the per-doc
+    * sum folds ≤3 partials before a round(6) — engine-exact by the
+    * same argument as q120. Plan: ONE corpus scan — non-query tokens
+    * collapse to a sentinel inside the first groupBy, so the token
+    * stream shuffles once as combined (doc, ≤|terms|+1) partials and
+    * dl/tf/df/avgdl all derive from that dimension-sized rollup;
+    * broadcast term stats (3 rows) + single-row corpus stats join in.
+    * Top-50 by rounded score with doc_id tie-break. */
+  def bm25Search(s: SparkSession, dir: String,
+      terms: Seq[String] = Seq("hash", "join", "stream")): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    // ≤ |terms|+1 rows per doc out of the map-side combine — the one
+    // pass over the token stream everything below reuses. Four
+    // consumers derive from it (dl, corpus, tf, df) and Spark's
+    // exchange reuse does not collapse the re-derived subtrees, so
+    // without the truncate the corpus would be SCANNED once per
+    // consumer — the dominant cost at 100 TB. Checkpoints.truncate
+    // materializes the rollup once (reliable under
+    // spark.graft.checkpointDir, localCheckpoint otherwise).
+    val grp = graft.util.Checkpoints.truncate(
+      toks.groupBy(col("doc_id"),
+          when(col("tok").isin(terms: _*), col("tok")).otherwise(lit("")).as("qtok"))
+        .agg(count(lit(1)).as("cnt")))
+    val dl = grp.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
+    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = grp.filter(col("qtok") =!= "")
+      .select(col("doc_id"), col("qtok").as("tok"), col("cnt").as("tf"))
+    val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("partial", // k1 = 1.2, b = 0.75 (folded: k1+1 = 2.2, 1-b = 0.25)
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("partial")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** Gaps-and-islands — longest consecutive-day activity streak per
+    * user: distinct active days, the classic day-number minus
+    * row_number island label (constant within a consecutive run,
+    * strictly monotone across gaps), then two keyed rollups. The whole
+    * computation is (user)-keyed — one window shuffle + two
+    * aggregations, nothing global. The retention primitive next to
+    * q107's cohorts and q121's gap fill (which MATERIALIZES the gaps
+    * this query measures). */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .withColumn("island",
+        datediff(col("day"), lit("1970-01-01").cast("date")) - row_number().over(w))
+      .groupBy(col("user_id"), col("island")).agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"), count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  /** Winsorization — per-group outlier clamping at the exact 5th/95th
+    * percentiles: the robust-statistics companion to q128's z-score
+    * DETECTION (this one repairs). Percentiles interpolate exact
+    * integer cents (Spark `percentile`, DuckDB `quantile_cont` — the
+    * same (n−1)·p linear interpolation), clamp bounds then round to
+    * integer cents so the winsorized sum is an exact integer fold —
+    * order-independent, unlike summing clamped doubles. Output: clamp
+    * bounds, clamped-row counts, winsorized mean. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val cents = Exact.cents(col("value"))
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(cast(round(value * 100) as bigint), 0.05)")).as("lo_c"),
+        round(expr("percentile(cast(round(value * 100) as bigint), 0.95)")).as("hi_c"))
+      .join(t(s, dir, "events"), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("lo_c"), col("hi_c"))
+      .agg(
+        sum(when(cents < col("lo_c"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(cents > col("hi_c"), 1L).otherwise(0L)).as("n_above"),
+        sum(least(greatest(cents, col("lo_c")), col("hi_c"))).as("wsum_c"))
+      .select(col("event_type"), col("n"),
+        round(col("lo_c") / 100.0, 2).as("p05"),
+        round(col("hi_c") / 100.0, 2).as("p95"),
+        col("n_below"), col("n_above"),
+        round(col("wsum_c") / col("n") / 100.0, 6).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_recursive_hierarchy" -> (recursiveHierarchy _),
     "q123_bloom_pruned_join" -> (bloomPrunedJoin _),
@@ -180,6 +351,11 @@ object AnalyticsQueries {
     "q126_column_profile" -> (columnProfile _),
     "q127_lateral_topk" -> (lateralTopPerGroup _),
     "q128_zscore_outliers" -> (zscoreOutliers _),
+    "q129_pagerank_nations" -> (pagerankNations _),
+    "q130_curriculum_bins" -> (curriculumBins _),
+    "q132_bm25_search" -> ((s: SparkSession, d: String) => bm25Search(s, d)),
+    "q133_activity_streaks" -> (activityStreaks _),
+    "q134_winsorize" -> (winsorize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -265,5 +441,75 @@ object AnalyticsQueries {
         |FROM events e JOIN stats s ON e.event_type = s.event_type
         |WHERE abs((CAST(round(e.value*100) AS BIGINT) - s.mean_c) / s.sd_c) > 3.0
         |ORDER BY e.event_id""".stripMargin,
+    // identical recursion text; the graph build mirrored as CTEs
+    "q129_pagerank_nations" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst, CAST(count(*) AS DOUBLE) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src),
+        |aug AS (
+        |  SELECT e.src, e.dst, e.w, o.outw FROM edges e JOIN outw o ON e.src = o.src
+        |  UNION ALL
+        |  SELECT n.n_nationkey, n.n_nationkey, 0.0, coalesce(o.outw, 1.0)
+        |  FROM nation n LEFT JOIN outw o ON n.n_nationkey = o.src),
+        |pr(it, node, r) AS (
+        |  SELECT 0, src, CAST(1.0/25 AS DOUBLE) FROM (SELECT DISTINCT src FROM aug)
+        |  UNION ALL
+        |  SELECT pr.it + 1, e.dst, round(0.15/25 + 0.85 * sum(pr.r * e.w / e.outw), 9)
+        |  FROM pr JOIN aug e ON e.src = pr.node
+        |  WHERE pr.it < 10
+        |  GROUP BY pr.it + 1, e.dst)
+        |SELECT node AS nationkey, r AS pagerank FROM pr WHERE it = 10
+        |ORDER BY pagerank DESC, nationkey""".stripMargin,
+    "q130_curriculum_bins" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars, ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+        |  FROM documents)
+        |SELECT bin, count(*) AS n_docs, min(n_chars) AS min_chars,
+        | max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q132_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+        |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks2
+        |       WHERE tok IN ('hash', 'join', 'stream') GROUP BY doc_id, tok),
+        |idf AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |        FROM tf GROUP BY tok)
+        |SELECT doc_id,
+        | round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        |FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok) CROSS JOIN corpus
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "q133_activity_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (SELECT user_id, day,
+        |  datediff('day', DATE '1970-01-01', day)
+        |   - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        | FROM days),
+        |st AS (SELECT user_id, island, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q134_winsorize" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |   round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.05)) AS lo_c,
+        |   round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.95)) AS hi_c
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, st.n,
+        | round(lo_c/100.0, 2) AS p05, round(hi_c/100.0, 2) AS p95,
+        | count(*) FILTER (WHERE CAST(round(value*100) AS BIGINT) < lo_c) AS n_below,
+        | count(*) FILTER (WHERE CAST(round(value*100) AS BIGINT) > hi_c) AS n_above,
+        | round(sum(least(greatest(CAST(round(value*100) AS BIGINT), lo_c), hi_c))
+        |   / st.n / 100.0, 6) AS winsorized_mean
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |GROUP BY e.event_type, st.n, lo_c, hi_c ORDER BY e.event_type""".stripMargin,
   )
 }

@@ -383,7 +383,44 @@ object StreamingQueries {
     }
   }
 
+  /** Stream-static enrichment join — the most common production
+    * streaming topology: an unbounded fact stream joined to a bounded
+    * dimension table (here: events ⋈ customer on user key, rolled up
+    * to market segment). The static side is a plain batch DataFrame;
+    * Spark re-plans it into every micro-batch (picking up dimension
+    * updates between batches on a real deployment) and broadcasts it,
+    * so the stream side never shuffles for the join — state exists
+    * only for the downstream aggregation. Inner join keeps the
+    * unmatched-stream-row semantics identical to the batch oracle. */
+  def streamingStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    withStatePartitions(s, 8) {
+    val stream = s.readStream.schema(schema).parquet(stageDir(dir))
+    val dim = broadcast(graft.Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = stream
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Exact.cents(col("value"))) / 100.0).cast("double").as("total_value"))
+    val name = s"graft_stream_static_${runId.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = s.table(name).orderBy("c_mktsegment")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_stream_static_join" -> (streamingStaticJoin _),
     "q71_streaming_daily" -> (streamingDaily _),
     "q92_streaming_dedup" -> (streamingDedup _),
     "q95_streaming_sessions" -> (streamingSessions _),
@@ -392,6 +429,12 @@ object StreamingQueries {
     "q118_streaming_foreachbatch" -> (streamingForeachBatch _))
 
   val oracle: Map[String, String] = Map(
+    // the static-join stream must converge to the plain batch join
+    "q131_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q71_streaming_daily" ->
       """SELECT CAST(ts AS DATE) AS event_date, count(*) AS num_events,
         | sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value

@@ -14,10 +14,15 @@ object PlanDump {
       .withExtensions(new org.apache.spark.sql.graft.GraftExtensions().apply(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.tail.foreach { n =>
+    val (flags, names) = args.tail.partition(_.startsWith("--"))
+    val exec = flags.contains("--exec")
+    names.foreach { n =>
       println(s"===== $n =====")
-      try println(graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString)
-      catch { case e: Throwable => println("FAIL: " + e.getMessage) }
+      try {
+        val df = graft.SparkEntry.queries(n)(spark, dir)
+        if (exec) df.collect() // AQE-final plan (exchange reuse visible)
+        println(df.queryExecution.executedPlan.toString)
+      } catch { case e: Throwable => println("FAIL: " + e.getMessage) }
     }
     spark.stop()
   }

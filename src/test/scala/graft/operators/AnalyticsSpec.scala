@@ -98,6 +98,118 @@ class AnalyticsSpec extends SparkSpec {
     assert(lateral == direct)
   }
 
+  test("q129: pagerank matches an independent local power iteration") {
+    val declared = AnalyticsQueries.pagerankNations(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // reference: rebuild the graph relationally, then iterate in plain Scala
+    val li = Tables(spark, sf, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(spark, sf, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables(spark, sf, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables(spark, sf, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey"), col("s_nationkey")).count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2).toDouble))
+    val nodes = Tables(spark, sf, "nation").select(col("n_nationkey"))
+      .collect().map(_.getInt(0)).toSeq
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1.0 / 25).toMap
+    for (_ <- 1 to 10) {
+      val inc = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s0, _, w) => r(s0) * w / outw(s0) }.sum).toMap
+      r = nodes.map(n => n ->
+        BigDecimal(0.15 / 25 + 0.85 * inc.getOrElse(n, 0.0))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    }
+    assert(declared.keySet == nodes.toSet)
+    declared.foreach { case (n, v) =>
+      assert(math.abs(v - r(n)) < 2e-9, s"nation $n: $v vs ${r(n)}")
+    }
+    // a rank vector: positive, sums below 1 (dangling mass leaks by design)
+    assert(declared.values.forall(_ > 0))
+    assert(declared.values.sum <= 1.0 + 1e-6)
+  }
+
+  test("q130: curriculum bins are equal-frequency and ordered") {
+    val bins = AnalyticsQueries.curriculumBins(spark, sf).collect()
+    assert(bins.map(_.getInt(0)).toSeq == (1 to 10))
+    val total = Tables(spark, sf, "documents").count()
+    assert(bins.map(_.getLong(1)).sum == total)
+    assert(bins.map(_.getLong(1)).max - bins.map(_.getLong(1)).min <= 1)
+    bins.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) >= a.getLong(3), "bin boundaries out of order")
+      case _ => ()
+    }
+  }
+
+  test("q132: BM25 scores match an independent local computation") {
+    val declared = AnalyticsQueries.bm25Search(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(declared.nonEmpty && declared.length <= 50)
+    // local truth: tokenize every doc on the driver and fold the
+    // Robertson formula directly (500 docs at sf0.001)
+    val terms = Set("hash", "join", "stream")
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val dl = docs.map { case (id, ts) => id -> ts.length }.toMap
+    val n = docs.length.toDouble
+    val avgdl = dl.values.sum.toDouble / n
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.filter(terms).groupBy(identity).view.mapValues(_.length).toMap
+    }.toMap
+    val df = terms.map(t => t -> tf.count(_._2.contains(t)).toDouble).toMap
+    val scores = tf.collect { case (id, m) if m.nonEmpty =>
+      val s = m.map { case (t, f) =>
+        math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))
+      }.sum
+      id -> BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toSeq
+    val expect = scores.sortBy { case (id, sc) => (-sc, id) }.take(50)
+    assert(declared.toSeq == expect)
+  }
+
+  test("q133: streaks match a per-user local recomputation") {
+    val declared = AnalyticsQueries.activityStreaks(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val byUser = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toLocalDate)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.toEpochDay)).toMap
+    assert(declared.keySet == byUser.keySet)
+    byUser.foreach { case (u, days) =>
+      // split the sorted distinct days into consecutive runs
+      val runs = days.foldLeft(List.empty[List[Long]]) { (acc, d) =>
+        val e = d.toEpochDay
+        acc match {
+          case (h :: t) :: rest if h == e - 1 => (e :: h :: t) :: rest
+          case _ => List(e) :: acc
+        }
+      }
+      val (longest, n) = (runs.map(_.length.toLong).max, runs.length.toLong)
+      assert(declared(u) == ((longest, n)), s"user $u")
+    }
+  }
+
+  test("q134: winsorized stats are internally consistent") {
+    val rows = AnalyticsQueries.winsorize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p05, p95) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val (below, above, wmean) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(p05 <= p95)
+      // clamping pulls the mean inside the clamp bounds
+      assert(wmean >= p05 - 1e-9 && wmean <= p95 + 1e-9)
+      // ~5% tails by construction of the exact percentiles
+      assert(below <= n * 6 / 100 + 1, s"below=$below n=$n")
+      assert(above <= n * 6 / 100 + 1, s"above=$above n=$n")
+      assert(below + above < n)
+    }
+  }
+
   test("q128: z-scores agree with the built-in avg/stddev_samp formulation") {
     val declared = AnalyticsQueries.zscoreOutliers(spark, sf).collect()
     val cents = Exact.cents(col("value"))

@@ -227,4 +227,41 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "HashAggregate") >= 2, p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q129: iteration plan is fully re-grounded — no fact re-scan per round") {
+    // the distributed edge build runs once at construction; the 10
+    // chained rounds join only the collected dimension-sized local
+    // relation, so the returned plan must contain no file scan at all
+    val p = plan("q129_pagerank_nations")
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("LocalTableScan"), p)
+  }
+
+  test("q130: curriculum ntile is one scan and bounded shuffles") {
+    val p = plan("q130_curriculum_bins")
+    assert(countOf(p, "FileScan") == 1, p)
+    assert(countOf(p, "Exchange") <= 3, p)
+  }
+
+  test("q132: BM25 consumers share the materialized token rollup — no corpus re-scan") {
+    // the corpus is scanned exactly once, at rollup materialization
+    // (Checkpoints.truncate) BEFORE this plan; the four derived stats
+    // (dl/tf/df/corpus) all read the checkpointed RDD, and every stats
+    // side joins in broadcast
+    val p = plan("q132_bm25_search")
+    assert(!p.contains("FileScan"), p)
+    assert(countOf(p, "Scan ExistingRDD") >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q133: streaks are user-keyed — one pruned scan, no global window") {
+    val p = plan("q133_activity_streaks")
+    assert(countOf(p, "FileScan") == 1, p)
+    // scan pruned to (ts, user_id) — no value/event_type read
+    assert(!p.contains("event_type"), p)
+    // the island window is partitioned by user, never empty-PARTITION global
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(countOf(p, "Exchange") <= 3, p)
+  }
 }
