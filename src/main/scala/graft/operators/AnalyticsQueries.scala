@@ -343,6 +343,32 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Point-in-time (SCD2 lookup) join — the warehouse enrichment q124
+    * builds its dimension FOR: every event is joined to the regime
+    * (the SCD2 interval) valid at its timestamp. The join is an
+    * EQUI-join on the user key with the interval containment as a
+    * residual condition — per-user interval counts are bounded by the
+    * key's change-point count, so the match set stays key-bounded and
+    * no nested-loop/cartesian shape ever appears (pinned in PlanSpec).
+    * Intervals are half-open [valid_from, valid_to) and partition each
+    * user's timeline from their first event, so the join preserves row
+    * count exactly — every event matches exactly one regime (ties at
+    * identical timestamps fall into the later interval on both
+    * engines, since the predicate uses only ts). */
+  def pitJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Build(s, dir)
+      .select(col("user_id").as("d_user"), col("event_type").as("regime"),
+        col("valid_from"), col("valid_to"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("regime"), col("valid_from"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_recursive_hierarchy" -> (recursiveHierarchy _),
     "q123_bloom_pruned_join" -> (bloomPrunedJoin _),
@@ -356,6 +382,7 @@ object AnalyticsQueries {
     "q132_bm25_search" -> ((s: SparkSession, d: String) => bm25Search(s, d)),
     "q133_activity_streaks" -> (activityStreaks _),
     "q134_winsorize" -> (winsorize _),
+    "q135_pit_join" -> (pitJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -511,5 +538,21 @@ object AnalyticsQueries {
         |   / st.n / 100.0, 6) AS winsorized_mean
         |FROM events e JOIN st ON e.event_type = st.event_type
         |GROUP BY e.event_type, st.n, lo_c, hi_c ORDER BY e.event_type""".stripMargin,
+    // the q124 SCD2 build mirrored as CTEs, then the interval lookup
+    "q135_pit_join" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_type
+        |  FROM events),
+        |scd AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM marked WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+        | s.event_type AS regime, s.valid_from
+        |FROM events e JOIN scd s ON e.user_id = s.user_id
+        | AND e.ts >= s.valid_from AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

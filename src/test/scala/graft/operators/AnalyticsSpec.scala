@@ -194,6 +194,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q135: PIT join preserves row count and change points map to themselves") {
+    val out = AnalyticsQueries.pitJoin(spark, sf).cache()
+    try {
+      val ev = Tables(spark, sf, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // intervals partition each user's timeline — exactly one regime per event
+      assert(out.count() == ev.count())
+      assert(out.select(col("event_id")).distinct().count() == ev.count())
+      // an event that uniquely owns its (user, ts) and starts a regime
+      // (valid_from == its ts) must be that regime's change point, so it
+      // maps to itself (events tied on (user, ts) can legitimately land
+      // in the regime their tie-mate opened — excluded via anti-join)
+      val ties = ev.groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("k")).filter(col("k") > 1)
+        .select(col("user_id"), col("ts"))
+      val untied = out.join(ties, Seq("user_id", "ts"), "left_anti")
+      assert(untied.filter(col("valid_from") === col("ts"))
+        .filter(col("regime") =!= col("event_type")).count() == 0)
+      // regimes genuinely persist: some events inherit an older regime
+      assert(out.filter(col("valid_from") < col("ts")).count() > 0)
+    } finally out.unpersist()
+  }
+
   test("q134: winsorized stats are internally consistent") {
     val rows = AnalyticsQueries.winsorize(spark, sf).collect()
     assert(rows.nonEmpty)

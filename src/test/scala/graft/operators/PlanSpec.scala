@@ -264,4 +264,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(user_id"), p)
     assert(countOf(p, "Exchange") <= 3, p)
   }
+
+  test("q135: PIT join is an equi-join on the user key — never a nested loop") {
+    // the interval-containment conditions must ride the user-key hash
+    // join as residual predicates; a nested-loop/cartesian here would be
+    // the classic interval-join scale failure
+    val p = plan("q135_pit_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
 }
