@@ -1,0 +1,458 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Round-4 surface extensions, part 2: TPC-H-depth decorrelation
+  * (Q21/Q13/Q20 shapes), robust statistics (MAD outliers, chi-square
+  * contingency, grouped OLS trend), sequence analytics (Markov
+  * transitions, inter-event gaps, last-touch attribution), and the
+  * operational primitives every warehouse runs (deterministic sampling,
+  * FK integrity audit, month-over-month growth). Reference analog:
+  * none (the reference's only filter is main.py:110) — these are
+  * capability extensions per SURVEY §2's "what a real user hits next".
+  *
+  * Every query keeps the repo's exactness contract: money and values
+  * sum as integer cents (Exact.cents), medians/quantiles interpolate
+  * exact integers, each double is produced by ONE closing IEEE
+  * expression evaluated identically by Spark and DuckDB, and every
+  * output carries a total-order ORDER BY.
+  */
+object Analytics2Queries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** TPC-H Q21 shape — the hardest decorrelation pattern in the
+    * benchmark: EXISTS and NOT EXISTS correlated against the SAME fact
+    * table. "Lone returner" suppliers: finished orders where this
+    * supplier's line came back RETURNED while every OTHER supplier on
+    * the (multi-supplier) order shipped clean. Catalyst rewrites the
+    * EXISTS into a left-semi and the NOT EXISTS into a left-anti join
+    * on the order key with the supplier-inequality as a residual
+    * condition (pinned in PlanSpec: no subquery survives to the
+    * physical plan) — three co-partitioned joins on l_orderkey at any
+    * scale, never per-row probes. */
+  def loneReturnerSuppliers(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.sqlOn(s, dir, Seq("supplier", "lineitem", "orders")) { v =>
+      s"""SELECT s_name, count(*) AS numwait
+         |FROM ${v("supplier")} JOIN ${v("lineitem")} l1 ON s_suppkey = l1.l_suppkey
+         |JOIN ${v("orders")} ON o_orderkey = l1.l_orderkey
+         |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+         |  AND EXISTS (
+         |    SELECT 1 FROM ${v("lineitem")} l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM ${v("lineitem")} l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+         |      AND l3.l_returnflag = 'R')
+         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+    }
+
+  /** TPC-H Q13 shape — customer order-count distribution INCLUDING the
+    * zero bucket: the left outer join with a predicate in the ON clause
+    * (not WHERE — the filter must not turn the outer join inner), a
+    * per-customer count of the nullable side, then the count-of-counts
+    * rollup. Two keyed shuffles; the histogram is dimension-sized. */
+  def orderCountDistribution(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.sqlOn(s, dir, Seq("customer", "orders")) { v =>
+      s"""SELECT c_count, count(*) AS custdist FROM (
+         |  SELECT c_custkey, count(o_orderkey) AS c_count
+         |  FROM ${v("customer")} LEFT OUTER JOIN ${v("orders")}
+         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         |  GROUP BY c_custkey) cc
+         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+    }
+
+  /** TPC-H Q20 shape — NESTED IN subqueries with a grouped HAVING
+    * inside: suppliers who moved serious volume (> 2500 units since
+    * 1997) of large parts (p_size ≥ 40). The inner IN prunes lineitem
+    * against the part dimension (a semi join Catalyst can broadcast),
+    * the HAVING aggregates per supplier, and the outer IN is another
+    * semi join — the whole pyramid decorrelates to joins + one
+    * aggregate, no row-at-a-time evaluation (pinned in PlanSpec). */
+  def bigVolumeSuppliers(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.sqlOn(s, dir, Seq("supplier", "lineitem", "part")) { v =>
+      s"""SELECT s_name, s_acctbal FROM ${v("supplier")}
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey FROM ${v("lineitem")}
+         |  WHERE l_partkey IN (
+         |      SELECT p_partkey FROM ${v("part")} WHERE p_size >= 40)
+         |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  GROUP BY l_suppkey HAVING sum(l_quantity) > 2500)
+         |ORDER BY s_name""".stripMargin
+    }
+
+  /** Robust outlier detection via Median Absolute Deviation — the
+    * companion to q128's z-score that survives the outliers it hunts
+    * (mean/stddev are themselves corrupted by heavy tails; the median
+    * pair is not). Modified z-score 0.6745·|x−med|/MAD > 3.5 (the
+    * standard Iglewicz-Hoban gate, folded to |x−med| > (3.5/0.6745)·MAD
+    * so each row is one compare). Median and MAD interpolate EXACT
+    * integer cents — both engines' (n−1)·p rule lands on an integer or
+    * a .5 midpoint, exact in doubles — so the gate compares identical
+    * doubles and cannot flake on a boundary. Two grouped percentile
+    * passes + one broadcast joinback probe; the percentile state is
+    * per-group sorted cents — at 100 TB swap in approx_percentile and
+    * keep the same closing gate. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val cents = Exact.cents(col("value"))
+    val c = t(s, dir, "events").select(col("event_type"), cents.as("c"))
+    val med = c.groupBy(col("event_type"))
+      .agg(expr("percentile(c, 0.5)").as("med_c"))
+    val mad = c.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), col("med_c"))
+      .agg(expr("percentile(abs(c - med_c), 0.5)").as("mad_c"))
+    c.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med_c"), col("mad_c"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("c") - col("med_c")) > (lit(3.5) / lit(0.6745)) * col("mad_c"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        round(col("med_c") / 100.0, 3).as("median_value"),
+        round(col("mad_c") / 100.0, 3).as("mad_value"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** Chi-square contingency analysis — event_type × ISO weekday: the
+    * independence test every experimentation/seasonality pipeline runs.
+    * Observed cell counts come from ONE groupBy over the fact table;
+    * row/column/grand totals are window sums over the DIMENSION-SIZED
+    * cell rollup (35 rows — the windows cost nothing and the fact table
+    * shuffles once). Expected count rt·ct/n and the per-cell chi²
+    * contribution are each one IEEE closing expression over exact
+    * integer counts; contributions are reported PER CELL (ordered, not
+    * summed) so no cross-cell float accumulation order exists to
+    * disagree on. Spark's weekday() and DuckDB's isodow()−1 both map
+    * Monday→0. */
+  def chisqWeekday(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .groupBy(col("event_type"), expr("weekday(ts)").cast("long").as("dow"))
+      .agg(count(lit(1)).as("obs"))
+    val rt = Window.partitionBy(col("event_type"))
+    val ct = Window.partitionBy(col("dow"))
+    val all = Window.partitionBy()
+    val exp_ = sum(col("obs")).over(rt).cast("double") * sum(col("obs")).over(ct) /
+      sum(col("obs")).over(all)
+    cells
+      .select(col("event_type"), col("dow"), col("obs"),
+        round(exp_, 6).as("expected"),
+        round(pow(col("obs") - exp_, 2) / exp_, 6).as("chi2_part"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** Grouped OLS trend — per-nation daily-revenue slope by the closed
+    * form b = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²). x is the epoch-day
+    * index, y the day's revenue in EXACT integer cents; all five
+    * regression sums are integer aggregations (decimal(38,0) guards the
+    * cross products past Long range at high sf), the two closing
+    * products stay below 2^53, and the slope is ONE IEEE division —
+    * engine-exact with no iterative fitting. Shape: fact shuffle to
+    * (nation, day) rollup, then a nation-sized aggregate — the
+    * distributed-regression pattern that needs no ML runtime. The
+    * engine's own Forecaster (forecast/Forecaster.scala) uses the same
+    * normal-equation algebra driver-side; this is its fully-distributed
+    * grouped form. */
+  def groupOlsTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("x"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("y"))
+    val d38 = DecimalType(38, 0)
+    daily.groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("nationkey"), col("n").as("n_days"),
+        round((col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy")).cast("double") /
+          (col("n").cast(d38) * col("sxx").cast(d38) - col("sx").cast(d38) * col("sx")).cast("double") /
+          lit(100.0), 6).as("slope_per_day"))
+      .orderBy("nationkey")
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the session-modeling primitive (what follows what, and
+    * how often). lead() over (user, time) gives each event its
+    * successor in ONE window shuffle keyed by user; the (src,dst)
+    * rollup is |types|² rows, and the per-src row-normalization window
+    * runs over that dimension-sized matrix for free. prob = n/Σn is
+    * one IEEE division of exact counts. */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cnt = t(s, dir, "events")
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(byUser).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    cnt
+      .withColumn("prob",
+        round(col("n").cast("double") / sum(col("n")).over(Window.partitionBy(col("src"))), 6))
+      .orderBy("src", "dst")
+  }
+
+  /** Inter-event gap statistics — time-to-next-event per event type:
+    * the latency/engagement primitive behind retention curves and
+    * anomaly alerts. Gaps are EXACT integer microseconds (unix_micros /
+    * epoch_us on both engines) from the same one-window-shuffle lead()
+    * as q142; avg and max close with one IEEE division each. A null
+    * lead (each user's last event) drops out of count/sum/max
+    * uniformly on both engines. */
+  def interEventGaps(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_type"),
+        (lead(unix_micros(col("ts")), 1).over(byUser) - unix_micros(col("ts"))).as("gap"))
+      .groupBy(col("event_type"))
+      .agg(count(col("gap")).as("n_gaps"),
+        round(sum(col("gap")).cast("double") / count(col("gap")) / lit(1e6), 6).as("avg_gap_s"),
+        round(max(col("gap")).cast("double") / lit(1e6), 6).as("max_gap_s"))
+      .orderBy("event_type")
+  }
+
+  /** Last-touch attribution — every purchase's value credited to the
+    * DAY of the user's most recent preceding click: the marketing
+    * attribution join, done as one running window max (frame ends at
+    * 1 PRECEDING, so a purchase can never attribute to itself even if
+    * event taxonomies later overlap) instead of a self-join. One
+    * window shuffle on user; purchases with no prior click land in the
+    * NULL bucket — reported, not dropped, because unattributed revenue
+    * is the number marketing actually argues about. */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts"))).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("last_click").cast("date").as("touch_day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(Exact.cents(col("value"))) / lit(100.0)).as("attributed_revenue"))
+      .orderBy(asc_nulls_first("touch_day"))
+  }
+
+  /** Deterministic per-group sampling — top-3 rows per event type by
+    * md5(event_id‖salt): the reproducible-sample primitive (code
+    * review, eyeballing, golden fixtures) that rand() cannot give —
+    * every engine, every run, every partitioning draws the SAME
+    * sample, and the md5 rank is uniform over the group. Same portable
+    * md5-bucket device as q39/q75; one window shuffle keyed by type.
+    * At 100 TB the rank-3 cut runs as a streaming window top-k —
+    * nothing accumulates beyond the frame. */
+  def deterministicSample(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("event_id").cast("string"), lit(":s145")))
+    val w = Window.partitionBy(col("event_type")).orderBy(h, col("event_id"))
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      // filter on the raw rank (keeps Catalyst's WindowGroupLimit
+      // pattern-match intact), widen to long only in the projection
+      .filter(col("rn") <= 3)
+      .select(col("event_type"), col("rn").cast("long").as("rn"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_type", "rn")
+  }
+
+  /** Referential-integrity audit — orphan counts for every FK edge of
+    * the star schema in one report: the data-quality gate run before
+    * any pipeline promotes a batch. Each edge is a left-anti join
+    * (dimension side broadcast where it is dimension-sized); the five
+    * single-row aggregates union into the report. A clean batch reads
+    * all zeros — the AUDIT is the product, the zero is the evidence.
+    * At 100 TB each fact-fact edge (lineitem→orders) is one
+    * co-partitioned anti join; nothing is collected. */
+  def fkOrphanAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(fk: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String, bcast: Boolean): DataFrame = {
+      val p = parent.select(col(parentKey))
+      val orphans = child.join(if (bcast) broadcast(p) else p,
+        col(childKey) === col(parentKey), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(fk).as("fk"), col("n_child"), col("n_orphans"))
+    }
+    val li = t(s, dir, "lineitem")
+    edge("lineitem->orders", li, "l_orderkey", t(s, dir, "orders"), "o_orderkey", bcast = false)
+      .unionByName(edge("lineitem->part", li, "l_partkey", t(s, dir, "part"), "p_partkey", bcast = true))
+      .unionByName(edge("lineitem->supplier", li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey", bcast = true))
+      .unionByName(edge("orders->customer", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey", bcast = true))
+      .unionByName(edge("customer->nation", t(s, dir, "customer"), "c_nationkey",
+        t(s, dir, "nation"), "n_nationkey", bcast = true))
+      .orderBy("fk")
+  }
+
+  /** Month-over-month growth — the first chart on every revenue
+    * dashboard: monthly rollup (exact cents), then lag() for absolute
+    * and relative deltas. The monthly series is dimension-sized, so
+    * the unpartitioned lag window is free; delta is exact integer
+    * subtraction and pct is ONE IEEE division of exact cents. First
+    * month reports NULL deltas (no prior) — both engines agree. */
+  def momGrowth(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("rev_c"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month"))
+    m.withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .select(col("month"), col("n_orders"),
+        (col("rev_c") / lit(100.0)).as("revenue"),
+        ((col("rev_c") - col("prev_c")) / lit(100.0)).as("mom_delta"),
+        round((col("rev_c") - col("prev_c")).cast("double") / col("prev_c"), 6).as("mom_pct"))
+      .orderBy("month")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_lone_returner_suppliers" -> (loneReturnerSuppliers _),
+    "q137_order_count_distribution" -> (orderCountDistribution _),
+    "q138_big_volume_suppliers" -> (bigVolumeSuppliers _),
+    "q139_mad_outliers" -> (madOutliers _),
+    "q140_chisq_weekday" -> (chisqWeekday _),
+    "q141_group_ols_trend" -> (groupOlsTrend _),
+    "q142_markov_transitions" -> (markovTransitions _),
+    "q143_interevent_gaps" -> (interEventGaps _),
+    "q144_last_touch_attribution" -> (lastTouchAttribution _),
+    "q145_deterministic_sample" -> (deterministicSample _),
+    "q146_fk_orphan_audit" -> (fkOrphanAudit _),
+    "q147_mom_growth" -> (momGrowth _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q136_lone_returner_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q137_order_count_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q138_big_volume_suppliers" ->
+      """SELECT s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 2500)
+        |ORDER BY s_name""".stripMargin,
+    "q139_mad_outliers" ->
+      """WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
+        |med AS (SELECT event_type, quantile_cont(c, 0.5) AS med_c FROM c GROUP BY event_type),
+        |mad AS (SELECT c.event_type AS event_type, med_c,
+        |         quantile_cont(abs(c - med_c), 0.5) AS mad_c
+        |        FROM c JOIN med USING (event_type) GROUP BY c.event_type, med_c)
+        |SELECT m.event_type AS event_type, count(*) AS n,
+        | round(med_c/100.0, 3) AS median_value,
+        | round(mad_c/100.0, 3) AS mad_value,
+        | count(*) FILTER (WHERE abs(c - med_c) > (3.5/0.6745) * mad_c) AS n_outliers
+        |FROM c JOIN mad m ON c.event_type = m.event_type
+        |GROUP BY m.event_type, med_c, mad_c ORDER BY event_type""".stripMargin,
+    "q140_chisq_weekday" ->
+      """WITH cells AS (
+        |  SELECT event_type, isodow(ts) - 1 AS dow, count(*) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, dow, obs,
+        |   sum(obs) OVER (PARTITION BY event_type) AS rt,
+        |   sum(obs) OVER (PARTITION BY dow) AS ct,
+        |   sum(obs) OVER () AS n FROM cells)
+        |SELECT event_type, dow, obs,
+        | round(CAST(rt AS DOUBLE) * ct / n, 6) AS expected,
+        | round((obs - CAST(rt AS DOUBLE) * ct / n) ** 2
+        |   / (CAST(rt AS DOUBLE) * ct / n), 6) AS chi2_part
+        |FROM tot ORDER BY event_type, dow""".stripMargin,
+    "q141_group_ols_trend" ->
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey,
+        |   datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+        |   sum(CAST(round(o_totalprice*100) AS BIGINT)) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |s AS (
+        |  SELECT nationkey, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |   sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM daily GROUP BY nationkey)
+        |SELECT nationkey, n AS n_days,
+        | round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |   / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6) AS slope_per_day
+        |FROM s ORDER BY nationkey""".stripMargin,
+    "q142_markov_transitions" ->
+      """WITH nx AS (
+        |  SELECT event_type AS src,
+        |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |cnt AS (SELECT src, dst, count(*) AS n FROM nx WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        | round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS prob
+        |FROM cnt ORDER BY src, dst""".stripMargin,
+    "q143_interevent_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |   lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     - epoch_us(ts) AS gap
+        |  FROM events)
+        |SELECT event_type, count(gap) AS n_gaps,
+        | round(CAST(sum(gap) AS DOUBLE) / count(gap) / 1e6, 6) AS avg_gap_s,
+        | round(CAST(max(gap) AS DOUBLE) / 1e6, 6) AS max_gap_s
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q144_last_touch_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |   max(CASE WHEN event_type = 'click' THEN ts END)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+        |  FROM events)
+        |SELECT CAST(last_click AS DATE) AS touch_day, count(*) AS n_purchases,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS attributed_revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY touch_day ORDER BY touch_day NULLS FIRST""".stripMargin,
+    "q145_deterministic_sample" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY md5(CAST(event_id AS VARCHAR) || ':s145'), event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, rn, event_id, round(value, 2) AS value
+        |FROM r WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "q146_fk_orphan_audit" ->
+      """SELECT * FROM (
+        |SELECT 'lineitem->orders' AS fk, (SELECT count(*) FROM lineitem) AS n_child,
+        | (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+        |   ON l.l_orderkey = o.o_orderkey) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part', (SELECT count(*) FROM lineitem),
+        | (SELECT count(*) FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey)
+        |UNION ALL
+        |SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem),
+        | (SELECT count(*) FROM lineitem l ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+        |UNION ALL
+        |SELECT 'orders->customer', (SELECT count(*) FROM orders),
+        | (SELECT count(*) FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'customer->nation', (SELECT count(*) FROM customer),
+        | (SELECT count(*) FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |) ORDER BY fk""".stripMargin,
+    "q147_mom_growth" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |   sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_c, count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_orders, CAST(rev_c AS DOUBLE)/100.0 AS revenue,
+        | CAST(rev_c - lag(rev_c) OVER (ORDER BY month) AS DOUBLE)/100.0 AS mom_delta,
+        | round(CAST(rev_c - lag(rev_c) OVER (ORDER BY month) AS DOUBLE)
+        |   / CAST(lag(rev_c) OVER (ORDER BY month) AS DOUBLE), 6) AS mom_pct
+        |FROM m ORDER BY month""".stripMargin,
+  )
+}

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the q136–q147 surface — properties the
+  * DuckDB oracle can't see: equivalence to independently-computed
+  * local truths, conservation laws (row/mass accounting), and
+  * determinism of the sampled surfaces.
+  */
+class Analytics2Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q136: lone-returner set equals a driver-side brute-force recomputation") {
+    val got = Analytics2Queries.loneReturnerSuppliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // independent truth: collect the tiny fixture and replay the
+    // definition imperatively
+    val lines = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val fOrders = Tables(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val sName = Tables(spark, sf, "supplier")
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byOrder = lines.groupBy(_._1)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for {
+      (ok, ls) <- byOrder if fOrders(ok)
+      (_, supp, flag) <- ls if flag == "R"
+      others = ls.filter(_._2 != supp)
+      if others.nonEmpty && !others.exists(_._3 == "R")
+    } counts(sName(supp)) = counts.getOrElse(sName(supp), 0L) + 1
+    val want = counts.toSeq.sortBy { case (n, c) => (-c, n) }.take(20)
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+  }
+
+  test("q137: distribution masses account for every customer and every counted order") {
+    val rows = Analytics2Queries.orderCountDistribution(spark, sf).collect()
+    val nCust = Tables(spark, sf, "customer").count()
+    val nOrders = Tables(spark, sf, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == nOrders)
+  }
+
+  test("q138: qualifying suppliers match the independently-aggregated volume rule") {
+    val got = Analytics2Queries.bigVolumeSuppliers(spark, sf).collect().map(_.getString(0))
+    val bigParts = Tables(spark, sf, "part")
+      .filter(col("p_size") >= 40).select(col("p_partkey"))
+    val vol = Tables(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .join(bigParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey")).agg(sum(col("l_quantity")).as("q"))
+      .filter(col("q") > 2500).select(col("l_suppkey"))
+    val want = Tables(spark, sf, "supplier")
+      .join(vol, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_name")).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q139: median/MAD equal an exact driver-side computation per type") {
+    val got = Analytics2Queries.madOutliers(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val vals = Tables(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * 0.5
+      val lo = s(h.toInt)
+      val hi = s(math.ceil(h).toInt)
+      lo + (hi - lo) * (h - h.toInt)
+    }
+    vals.groupBy(_._1).foreach { case (tpe, xs) =>
+      val cs = xs.map(_._2.toDouble)
+      val med = medianOf(cs)
+      val mad = medianOf(cs.map(c => math.abs(c - med)))
+      val row = got(tpe)
+      assert(row.getLong(1) == cs.length.toLong)
+      assert(row.getDouble(2) == math.rint(med / 100.0 * 1000) / 1000.0 ||
+        math.abs(row.getDouble(2) - med / 100.0) < 5e-4, s"$tpe median")
+      assert(math.abs(row.getDouble(3) - mad / 100.0) < 5e-4, s"$tpe mad")
+      val thr = 3.5 / 0.6745 * mad
+      val nOut = cs.count(c => math.abs(c - med) > thr).toLong
+      assert(row.getLong(4) == nOut, s"$tpe outliers")
+    }
+  }
+
+  test("q140: contingency cells conserve the event count and expected mass") {
+    val rows = Analytics2Queries.chisqWeekday(spark, sf).collect()
+    val n = Tables(spark, sf, "events").count()
+    assert(rows.map(_.getLong(2)).sum == n)
+    // expected counts sum back to ~N (each cell rounded to 1e-6)
+    val expSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(expSum - n.toDouble) < 1e-3, s"expected mass $expSum vs $n")
+    // chi2 contributions are non-negative and finite
+    rows.foreach(r => assert(r.getDouble(4) >= 0 && !r.getDouble(4).isNaN))
+  }
+
+  test("q141: per-nation slope equals a local least-squares fit") {
+    val got = Analytics2Queries.groupOlsTrend(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val daily = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getInt(0), r.getInt(1).toLong, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (nk, pts) =>
+      val n = pts.length.toDouble
+      val sx = pts.map(_._2.toDouble).sum
+      val sy = pts.map(_._3.toDouble).sum
+      val sxy = pts.map(p => p._2.toDouble * p._3).sum
+      val sxx = pts.map(p => p._2.toDouble * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0
+      val (gn, gs) = got(nk)
+      assert(gn == pts.length.toLong)
+      assert(math.abs(gs - slope) < 1e-4, s"nation $nk slope $gs vs $slope")
+    }
+  }
+
+  test("q142: transition counts conserve successors; rows normalize per source") {
+    val rows = Analytics2Queries.markovTransitions(spark, sf).collect()
+    val ev = Tables(spark, sf, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    // every event except each user's last has exactly one successor
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"src $src probs sum to $p")
+    }
+  }
+
+  test("q143: gap count conserves (events - users); max >= avg > 0") {
+    val rows = Analytics2Queries.interEventGaps(spark, sf).collect()
+    val ev = Tables(spark, sf, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nEvents - nUsers)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(3) >= r.getDouble(2),
+        s"${r.getString(0)} avg/max")
+    }
+  }
+
+  test("q144: attribution conserves purchase count and revenue") {
+    val rows = Analytics2Queries.lastTouchAttribution(spark, sf).collect()
+    val purchases = Tables(spark, sf, "events").filter(col("event_type") === "purchase")
+    assert(rows.map(_.getLong(1)).sum == purchases.count())
+    val cents = purchases.select(sum(round(col("value") * 100).cast("long")))
+      .head.getLong(0)
+    val got = rows.map(_.getDouble(2)).sum
+    assert(math.abs(got - cents / 100.0) < 1e-6 * math.max(1.0, math.abs(got)))
+    // attribution days can never precede the fixture's first click
+    val firstClick = Tables(spark, sf, "events")
+      .filter(col("event_type") === "click")
+      .select(min(col("ts").cast("date"))).head.getDate(0)
+    rows.filter(!_.isNullAt(0)).foreach(r =>
+      assert(!r.getDate(0).before(firstClick)))
+  }
+
+  test("q145: sample is exactly 3 per type and identical across runs") {
+    val a = Analytics2Queries.deterministicSample(spark, sf).collect()
+    val b = Analytics2Queries.deterministicSample(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    a.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L), s"type $tpe ranks")
+    }
+  }
+
+  test("q146: audit reports zero orphans on the clean fixture with true child counts") {
+    val rows = Analytics2Queries.fkOrphanAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 5)
+    rows.values.foreach { case (_, orphans) => assert(orphans == 0L) }
+    assert(rows("lineitem->orders")._1 == Tables(spark, sf, "lineitem").count())
+    assert(rows("orders->customer")._1 == Tables(spark, sf, "orders").count())
+    assert(rows("customer->nation")._1 == Tables(spark, sf, "customer").count())
+  }
+
+  test("q147: monthly revenue conserves the order total; deltas telescope") {
+    val rows = Analytics2Queries.momGrowth(spark, sf).collect()
+    val cents = Tables(spark, sf, "orders")
+      .select(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+    val revSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(revSum - cents / 100.0) < 1e-6 * revSum)
+    // telescoping: sum of deltas = last month - first month
+    val deltas = rows.drop(1).map(_.getDouble(3)).sum
+    val diff = rows.last.getDouble(2) - rows.head.getDouble(2)
+    assert(math.abs(deltas - diff) < 1e-6 * math.max(1.0, math.abs(diff)))
+    assert(rows.head.isNullAt(3) && rows.head.isNullAt(4))
+  }
+}

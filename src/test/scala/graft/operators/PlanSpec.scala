@@ -265,6 +265,46 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Exchange") <= 3, p)
   }
 
+  test("q136: double correlation decorrelates to semi + anti joins, no per-row subquery") {
+    val df = SparkEntry.queries("q136_lone_returner_suppliers")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"EXISTS not a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$p")
+    assert(!p.contains("Subquery"), s"row-at-a-time subquery survived:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q138: nested IN pyramid decorrelates; part prune joins broadcast") {
+    val df = SparkEntry.queries("q138_big_volume_suppliers")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"IN not a semi join:\n$p")
+    assert(!p.contains("Subquery"), p)
+    // the shipdate predicate pushes into the lineitem scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("q141: regression sums are two-phase; the customer dim joins broadcast") {
+    val p = plan("q141_group_ols_trend")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(countOf(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q142/q143: sequence analytics share one user-keyed window shuffle") {
+    for (q <- Seq("q142_markov_transitions", "q143_interevent_gaps")) {
+      val p = plan(q)
+      assert(p.contains("windowspecdefinition(user_id"), s"$q window not user-keyed:\n$p")
+      assert(countOf(p, "Exchange") <= 4, s"$q shuffle explosion:\n$p")
+    }
+  }
+
+  test("q145: deterministic sample prunes the rank-3 cut inside the window") {
+    val p = plan("q145_deterministic_sample")
+    // Spark's WindowGroupLimit pushes rn<=3 below the full window sort
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("windowspecdefinition(event_type"), p)
+  }
+
   test("q135: PIT join is an equi-join on the user key — never a nested loop") {
     // the interval-containment conditions must ride the user-key hash
     // join as residual predicates; a nested-loop/cartesian here would be
