@@ -304,6 +304,106 @@ object Analytics2Queries {
       .orderBy("month")
   }
 
+  /** Time-hierarchy ROLLUP — year → quarter → month drill-down totals
+    * in one statement: the BI cube primitive over the natural calendar
+    * hierarchy (q10/q11/q25 cover flat rollup/cube/grouping-sets over
+    * attributes; this is the time axis every dashboard drills).
+    * grouping() bits disambiguate subtotal rows from genuine NULL
+    * keys; Spark plans the rollup as ONE expand + aggregate — the
+    * fact table shuffles once, and each row expands to its 4
+    * hierarchy levels map-side. */
+  def timeRollup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      year(col("o_orderdate")).cast("long").as("yr"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      month(col("o_orderdate")).cast("long").as("mon"),
+      Exact.cents(col("o_totalprice")).as("cents"))
+    base.rollup(col("yr"), col("qtr"), col("mon"))
+      .agg(
+        // grouping() must live inside the Aggregate that owns the rollup
+        (grouping(col("yr")) + grouping(col("qtr")) * 2 + grouping(col("mon")) * 4)
+          .cast("long").as("gid"),
+        count(lit(1)).as("n_orders"), (sum(col("cents")) / lit(100.0)).as("revenue"))
+      .select(col("gid"), col("yr"), col("qtr"), col("mon"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("gid"), asc_nulls_first("yr"), asc_nulls_first("qtr"),
+        asc_nulls_first("mon"))
+  }
+
+  /** Spearman rank correlation per group — quantity vs price monotonic
+    * association per brand. Ties take AVERAGE ranks (the standard
+    * definition), computed exactly as INTEGER double-ranks
+    * 2·rank + tiecount − 1 (Pearson is scale-invariant, so doubling
+    * clears the .5s); all five correlation sums are integer
+    * aggregations in decimal(38,0) and rho closes with one
+    * multiply/sqrt/divide chain over their exact double images —
+    * engine-identical. Shape: two rank windows per axis keyed on
+    * brand; rank statistics are inherently sort-based, and every sort
+    * here is partitioned by the group key, never global. */
+  def spearmanCorr(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    def dblRank(v: String) =
+      (rank().over(Window.partitionBy(col("p_brand")).orderBy(col(v))).cast("long") * 2 +
+        count(lit(1)).over(Window.partitionBy(col("p_brand"), col(v))) - 1)
+    val d38 = DecimalType(38, 0)
+    j.select(col("p_brand"), dblRank("x").as("rx"), dblRank("y").as("ry"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx").cast(d38)).as("sx"), sum(col("ry").cast(d38)).as("sy"),
+        sum((col("rx") * col("ry")).cast(d38)).as("sxy"),
+        sum((col("rx") * col("rx")).cast(d38)).as("sxx"),
+        sum((col("ry") * col("ry")).cast(d38)).as("syy"))
+      .select(col("p_brand"), col("n"),
+        round((col("n").cast(d38) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n").cast(d38) * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n").cast(d38) * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("spearman_rho"))
+      .orderBy("p_brand")
+  }
+
+  /** Key-distribution skew audit — the diagnostic run BEFORE a big
+    * join to decide broadcast/salt/AQE strategy (the 100 TB
+    * operational primitive behind q70's salted join): per candidate
+    * join key, the cardinality, hottest-key frequency, median
+    * frequency, and the max/median skew ratio. One groupBy per key
+    * column (each a map-side-combined count), then a dimension-sized
+    * percentile over the frequency table. All counts exact; the two
+    * ratios are single IEEE divisions. */
+  def skewAudit(s: SparkSession, dir: String): DataFrame = {
+    def freqs(keyCol: String): DataFrame =
+      t(s, dir, "lineitem").groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(keyCol).as("col"), col("cnt"))
+    freqs("l_partkey").unionByName(freqs("l_suppkey")).unionByName(freqs("l_orderkey"))
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_freq"),
+        round(expr("percentile(cnt, 0.5)"), 1).as("p50_freq"))
+      .select(col("col"), col("n_keys"), col("n_rows"), col("max_freq"), col("p50_freq"),
+        round(col("max_freq").cast("double") / col("n_rows"), 6).as("top1_share"),
+        round(col("max_freq").cast("double") / col("p50_freq"), 6).as("skew_ratio"))
+      .orderBy("col")
+  }
+
+  /** Fixed-width value histogram — 20 decade-wide bins over the event
+    * value, top bin open (clamped): the distribution sketch behind
+    * every metrics dashboard. Binning is INTEGER division of exact
+    * cents (cents div 1000 — no float boundary can flake a count into
+    * the wrong bin, unlike floor(value/10) on doubles); one map-side
+    * combined groupBy, 20 output rows. */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(least(expr(s"${Exact.centsSql("value")} div 1000"), lit(19L)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (col("bin") * 10.0).as("lo"),
+        when(col("bin") === 19, lit(null).cast("double"))
+          .otherwise(col("bin") * 10.0 + 10.0).as("hi"),
+        col("n"))
+      .orderBy("bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_lone_returner_suppliers" -> (loneReturnerSuppliers _),
     "q137_order_count_distribution" -> (orderCountDistribution _),
@@ -317,6 +417,10 @@ object Analytics2Queries {
     "q145_deterministic_sample" -> (deterministicSample _),
     "q146_fk_orphan_audit" -> (fkOrphanAudit _),
     "q147_mom_growth" -> (momGrowth _),
+    "q148_time_rollup" -> (timeRollup _),
+    "q149_spearman_corr" -> (spearmanCorr _),
+    "q150_skew_audit" -> (skewAudit _),
+    "q151_value_histogram" -> (valueHistogram _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -454,5 +558,53 @@ object Analytics2Queries {
         | round(CAST(rev_c - lag(rev_c) OVER (ORDER BY month) AS DOUBLE)
         |   / CAST(lag(rev_c) OVER (ORDER BY month) AS DOUBLE), 6) AS mom_pct
         |FROM m ORDER BY month""".stripMargin,
+    "q148_time_rollup" ->
+      """SELECT grouping(yr) + grouping(qtr)*2 + grouping(mon)*4 AS gid,
+        | yr, qtr, mon, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |FROM (SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+        |      month(o_orderdate) AS mon, o_totalprice FROM orders) t
+        |GROUP BY ROLLUP(yr, qtr, mon)
+        |ORDER BY gid, yr NULLS FIRST, qtr NULLS FIRST, mon NULLS FIRST""".stripMargin,
+    "q149_spearman_corr" ->
+      """WITH j AS (
+        |  SELECT p_brand, l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |rk AS (
+        |  SELECT p_brand,
+        |   2*rank() OVER (PARTITION BY p_brand ORDER BY x)
+        |     + count(*) OVER (PARTITION BY p_brand, x) - 1 AS rx,
+        |   2*rank() OVER (PARTITION BY p_brand ORDER BY y)
+        |     + count(*) OVER (PARTITION BY p_brand, y) - 1 AS ry
+        |  FROM j),
+        |s AS (
+        |  SELECT p_brand, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+        |   sum(rx*ry) AS sxy, sum(rx*rx) AS sxx, sum(ry*ry) AS syy
+        |  FROM rk GROUP BY p_brand)
+        |SELECT p_brand, n,
+        | round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |  / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+        |  AS spearman_rho
+        |FROM s ORDER BY p_brand""".stripMargin,
+    "q150_skew_audit" ->
+      """WITH f AS (
+        |  SELECT col, cnt FROM (
+        |    SELECT 'l_partkey' AS col, l_partkey AS k, count(*) AS cnt
+        |    FROM lineitem GROUP BY 2
+        |    UNION ALL SELECT 'l_suppkey', l_suppkey, count(*) FROM lineitem GROUP BY 2
+        |    UNION ALL SELECT 'l_orderkey', l_orderkey, count(*) FROM lineitem GROUP BY 2) u)
+        |SELECT col, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        | max(cnt) AS max_freq,
+        | round(quantile_cont(cnt, 0.5), 1) AS p50_freq,
+        | round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top1_share,
+        | round(CAST(max(cnt) AS DOUBLE) / quantile_cont(cnt, 0.5), 6) AS skew_ratio
+        |FROM f GROUP BY col ORDER BY col""".stripMargin,
+    "q151_value_histogram" ->
+      """WITH b AS (
+        |  SELECT least(CAST(round(value*100) AS BIGINT) // 1000, 19) AS bin FROM events)
+        |SELECT bin, CAST(bin*10.0 AS DOUBLE) AS lo,
+        | CASE WHEN bin = 19 THEN NULL ELSE CAST(bin*10.0+10 AS DOUBLE) END AS hi,
+        | count(*) AS n
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
   )
 }

@@ -183,6 +183,85 @@ class Analytics2Spec extends SparkSpec {
     assert(rows("customer->nation")._1 == Tables(spark, sf, "customer").count())
   }
 
+  test("q148: rollup levels each conserve the grand total") {
+    val rows = Analytics2Queries.timeRollup(spark, sf).collect()
+    val nOrders = Tables(spark, sf, "orders").count()
+    val cents = Tables(spark, sf, "orders")
+      .select(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+    // four hierarchy levels: month (gid 0), quarter subtotal (4),
+    // year subtotal (6), grand total (7) — each a full partition of
+    // the order set
+    for (gid <- Seq(0L, 4L, 6L, 7L)) {
+      val level = rows.filter(_.getLong(0) == gid)
+      assert(level.map(_.getLong(4)).sum == nOrders, s"gid $gid order count")
+      val rev = level.map(_.getDouble(5)).sum
+      assert(math.abs(rev - cents / 100.0) < 1e-6 * rev, s"gid $gid revenue")
+    }
+    assert(rows.count(_.getLong(0) == 7L) == 1)
+  }
+
+  test("q149: rho is within [-1,1], rows conserve the join, self-correlation sanity") {
+    val rows = Analytics2Queries.spearmanCorr(spark, sf).collect()
+    val n = Tables(spark, sf, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.foreach { r =>
+      val rho = r.getDouble(2)
+      assert(rho >= -1.0 && rho <= 1.0, s"${r.getString(0)} rho $rho")
+    }
+    // independent truth for one brand: average-rank Spearman computed
+    // driver-side from first principles
+    val pts = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === "Brand#1")
+      .select(col("l_quantity"), col("l_extendedprice")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    def avgRanks(vs: Array[Double]): Array[Double] = {
+      val sorted = vs.sorted
+      vs.map { v =>
+        val first = sorted.indexWhere(_ == v) + 1
+        val ties = sorted.count(_ == v)
+        first + (ties - 1) / 2.0
+      }
+    }
+    val rx = avgRanks(pts.map(_._1))
+    val ry = avgRanks(pts.map(_._2))
+    val nn = rx.length.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val sxx = rx.map(v => v * v).sum
+    val syy = ry.map(v => v * v).sum
+    val want = (nn * sxy - sx * sy) / math.sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+    val got = rows.find(_.getString(0) == "Brand#1").get.getDouble(2)
+    assert(math.abs(got - want) < 1e-5, s"Brand#1 rho $got vs $want")
+  }
+
+  test("q150: audit accounts every lineitem row under each key column") {
+    val rows = Analytics2Queries.skewAudit(spark, sf).collect()
+    val n = Tables(spark, sf, "lineitem").count()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(2) == n, s"${r.getString(0)} n_rows")
+      assert(r.getLong(3) >= 1L && r.getDouble(4) <= r.getLong(3).toDouble,
+        s"${r.getString(0)} max/p50 ordering")
+      assert(r.getDouble(6) >= 1.0, s"${r.getString(0)} skew ratio < 1")
+    }
+  }
+
+  test("q151: histogram conserves the event count with contiguous decade bins") {
+    val rows = Analytics2Queries.valueHistogram(spark, sf).collect()
+    val n = Tables(spark, sf, "events").count()
+    assert(rows.map(_.getLong(3)).sum == n)
+    rows.foreach { r =>
+      val bin = r.getLong(0)
+      assert(r.getDouble(1) == bin * 10.0)
+      if (bin == 19L) assert(r.isNullAt(2)) else assert(r.getDouble(2) == bin * 10.0 + 10.0)
+    }
+    // independent recount of one bin
+    val bin3 = Tables(spark, sf, "events")
+      .filter(col("value") >= 30.0 && col("value") < 40.0).count()
+    assert(rows.find(_.getLong(0) == 3L).map(_.getLong(3)).contains(bin3))
+  }
+
   test("q147: monthly revenue conserves the order total; deltas telescope") {
     val rows = Analytics2Queries.momGrowth(spark, sf).collect()
     val cents = Tables(spark, sf, "orders")
