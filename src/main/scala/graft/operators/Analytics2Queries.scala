@@ -404,6 +404,90 @@ object Analytics2Queries {
         col("n"))
       .orderBy("bin")
 
+  /** Higher-order array kernels — per-vector L2 norm, positive-count,
+    * max-|x| and mean computed entirely with Spark's codegen'd array
+    * HOFs (transform / filter / aggregate / array_max): the declared
+    * surface for lambda-function array work next to the engine's
+    * native Catalyst kernels (cosine_sim etc. — functions/
+    * VectorKernels.scala). Folds run in array order on both engines
+    * (Spark aggregate() and DuckDB list_sum are sequential), so the
+    * float→double sums are bit-identical. Per-row map work, no
+    * shuffle except the top-100 sort. */
+  def arrayHof(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        round(sqrt(expr(
+          "aggregate(transform(embedding, x -> cast(x as double) * x), 0D, (a, x) -> a + x)")), 6)
+          .as("l2_norm"),
+        expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
+        round(expr("array_max(transform(embedding, x -> abs(cast(x as double))))"), 6)
+          .as("max_abs"),
+        round(expr("aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, x) -> a + x)") /
+          size(col("embedding")), 6).as("mean"))
+      .orderBy("vec_id")
+      .limit(100)
+
+  /** Regex token mining — regexp_extract_all + explode over the corpus:
+    * the pattern-extraction primitive (log mining, PII-shaped token
+    * pulls, URL/domain harvesting — q79 scrubs with the same machinery,
+    * this one MINES). All matches per document (not just the first),
+    * exploded and rolled up to global and per-doc frequencies. One
+    * corpus scan, one aggregation shuffle; the regex runs codegen'd
+    * per row. */
+  def regexTokenMine(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '\\\\bs[a-z]+', 0)")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("tok"))
+
+  /** Windowed deduplication (throttle) — keep the FIRST event per
+    * (user, type) inside each 10-minute tumbling window, report
+    * kept/dropped mass per type: the rate-limiting primitive every
+    * event pipeline runs before fan-out (q92 is its streaming
+    * at-least-once sibling). Window id is INTEGER division of exact
+    * epoch microseconds — no float boundary, identical on both
+    * engines; one window shuffle keyed (user, type, win). */
+  def windowedDedup(s: SparkSession, dir: String): DataFrame = {
+    val win = expr("unix_micros(ts) div 600000000")
+    val w = Window.partitionBy(col("user_id"), col("event_type"), col("win"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("win", win)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("event_type")
+  }
+
+  /** Time-bounded conversion — clicks that led to a purchase by the
+    * same user within 30 minutes, as a correlated EXISTS with a RANGE
+    * predicate: the attribution-funnel metric (q144 assigns revenue;
+    * this measures the conversion window). Catalyst decorrelates the
+    * range-EXISTS into a left-semi join equi-keyed on user with the
+    * time bounds as residual conditions — per-user match sets stay
+    * key-bounded exactly like the q135 PIT join, never a nested-loop
+    * probe. */
+  def conversionWindow(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.sqlOn(s, dir, Seq("events")) { v =>
+      s"""WITH clicks AS (
+         |  SELECT event_id, user_id, ts FROM ${v("events")} WHERE event_type = 'click'),
+         |conv AS (
+         |  SELECT c.event_id, CAST(c.ts AS DATE) AS day,
+         |   EXISTS (SELECT 1 FROM ${v("events")} p WHERE p.event_type = 'purchase'
+         |           AND p.user_id = c.user_id AND p.ts > c.ts
+         |           AND unix_micros(p.ts) - unix_micros(c.ts) <= 1800000000) AS converted
+         |  FROM clicks c)
+         |SELECT day, count(*) AS n_clicks,
+         | sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted,
+         | round(CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |  AS conv_rate
+         |FROM conv GROUP BY day ORDER BY day""".stripMargin
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_lone_returner_suppliers" -> (loneReturnerSuppliers _),
     "q137_order_count_distribution" -> (orderCountDistribution _),
@@ -421,6 +505,10 @@ object Analytics2Queries {
     "q149_spearman_corr" -> (spearmanCorr _),
     "q150_skew_audit" -> (skewAudit _),
     "q151_value_histogram" -> (valueHistogram _),
+    "q152_array_hof" -> (arrayHof _),
+    "q153_regex_token_mine" -> (regexTokenMine _),
+    "q154_windowed_dedup" -> (windowedDedup _),
+    "q155_conversion_window" -> (conversionWindow _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -606,5 +694,45 @@ object Analytics2Queries {
         | CASE WHEN bin = 19 THEN NULL ELSE CAST(bin*10.0+10 AS DOUBLE) END AS hi,
         | count(*) AS n
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q152_array_hof" ->
+      """SELECT vec_id,
+        | round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 6)
+        |  AS l2_norm,
+        | len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        | round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6)
+        |  AS max_abs,
+        | round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |   / len(embedding), 6) AS mean
+        |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin,
+    "q153_regex_token_mine" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\bs[a-z]+')) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM e GROUP BY tok ORDER BY n DESC, tok""".stripMargin,
+    "q154_windowed_dedup" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |   row_number() OVER (PARTITION BY user_id, event_type, epoch_us(ts) // 600000000
+        |                      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        | count(*) FILTER (WHERE rn = 1) AS n_kept,
+        | count(*) FILTER (WHERE rn > 1) AS n_dropped
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q155_conversion_window" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |conv AS (
+        |  SELECT c.event_id, CAST(c.ts AS DATE) AS day,
+        |   EXISTS (SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+        |           AND p.user_id = c.user_id AND p.ts > c.ts
+        |           AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000) AS converted
+        |  FROM clicks c)
+        |SELECT day, count(*) AS n_clicks,
+        | count(*) FILTER (WHERE converted) AS n_converted,
+        | round(CAST(count(*) FILTER (WHERE converted) AS DOUBLE) / count(*), 6)
+        |  AS conv_rate
+        |FROM conv GROUP BY day ORDER BY day""".stripMargin,
   )
 }

@@ -262,6 +262,69 @@ class Analytics2Spec extends SparkSpec {
     assert(rows.find(_.getLong(0) == 3L).map(_.getLong(3)).contains(bin3))
   }
 
+  test("q152: HOF kernels agree with a driver-side fold over the raw vectors") {
+    val rows = Analytics2Queries.arrayHof(spark, sf).collect()
+    assert(rows.length == 100)
+    val raw = Tables(spark, sf, "embeddings").orderBy("vec_id").limit(3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.take(3).foreach { r =>
+      val v = raw(r.getLong(0)).map(_.toDouble)
+      val l2 = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      assert(math.abs(r.getDouble(1) - l2) < 1e-6)
+      assert(r.getLong(2) == v.count(_ > 0).toLong)
+      assert(math.abs(r.getDouble(3) - v.map(math.abs).max) < 1e-6)
+      assert(math.abs(r.getDouble(4) - v.sum / v.length) < 1e-6)
+    }
+  }
+
+  test("q153: mined tokens are exactly the s-words of the fixture vocabulary") {
+    val rows = Analytics2Queries.regexTokenMine(spark, sf).collect()
+    val toks = rows.map(_.getString(0)).toSet
+    // every token starts with s and is a real word of the corpus
+    assert(toks.nonEmpty && toks.forall(_.startsWith("s")))
+    // global count >= per-doc count for each token
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(2)))
+    // independent recount for one token via plain string ops
+    val want = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") === rows.head.getString(0)).count()
+    assert(rows.head.getLong(1) == want)
+  }
+
+  test("q154: throttle conserves events; kept = distinct (user,type,window) count") {
+    val rows = Analytics2Queries.windowedDedup(spark, sf).collect()
+    val n = Tables(spark, sf, "events").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
+    val kept = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 600000000").as("win"))
+      .distinct().groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) == kept(r.getString(0)),
+      s"${r.getString(0)} kept"))
+  }
+
+  test("q155: conversion accounts every click; converted set matches a direct join") {
+    val rows = Analytics2Queries.conversionWindow(spark, sf).collect()
+    val clicks = Tables(spark, sf, "events").filter(col("event_type") === "click")
+    assert(rows.map(_.getLong(1)).sum == clicks.count())
+    // independent truth: semi join with the same range condition
+    val purchases = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val nConv = clicks.join(purchases,
+        col("user_id") === col("p_user") && col("p_ts") > col("ts") &&
+          unix_micros(col("p_ts")) - unix_micros(col("ts")) <= 1800000000L,
+        "left_semi").count()
+    assert(rows.map(_.getLong(2)).sum == nConv)
+    rows.foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0 &&
+        math.abs(rate - r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+    }
+  }
+
   test("q147: monthly revenue conserves the order total; deltas telescope") {
     val rows = Analytics2Queries.momGrowth(spark, sf).collect()
     val cents = Tables(spark, sf, "orders")

@@ -305,6 +305,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(event_type"), p)
   }
 
+  test("q155: range-EXISTS decorrelates to a user-keyed existence join, no nested loop") {
+    val df = SparkEntry.queries("q155_conversion_window")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the projected EXISTS becomes an ExistenceJoin riding a hash join
+    // equi-keyed on user_id, with the time bounds as residual conditions
+    assert(p.contains("ExistenceJoin"), s"EXISTS not an existence join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // both scans push the event_type predicate down
+    assert(p.contains("EqualTo(event_type,click)") &&
+      p.contains("EqualTo(event_type,purchase)"), p)
+  }
+
   test("q135: PIT join is an equi-join on the user key — never a nested loop") {
     // the interval-containment conditions must ride the user-key hash
     // join as residual predicates; a nested-loop/cartesian here would be
