@@ -67,7 +67,7 @@ object Analytics2Queries {
     }
 
   /** TPC-H Q20 shape — NESTED IN subqueries with a grouped HAVING
-    * inside: suppliers who moved serious volume (> 2500 units since
+    * inside: suppliers who moved serious volume (> 2300 units since
     * 1997) of large parts (p_size ≥ 40). The inner IN prunes lineitem
     * against the part dimension (a semi join Catalyst can broadcast),
     * the HAVING aggregates per supplier, and the outer IN is another
@@ -81,7 +81,7 @@ object Analytics2Queries {
          |  WHERE l_partkey IN (
          |      SELECT p_partkey FROM ${v("part")} WHERE p_size >= 40)
          |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-         |  GROUP BY l_suppkey HAVING sum(l_quantity) > 2500)
+         |  GROUP BY l_suppkey HAVING sum(l_quantity) > 2300)
          |ORDER BY s_name""".stripMargin
     }
 
@@ -538,7 +538,7 @@ object Analytics2Queries {
         |  SELECT l_suppkey FROM lineitem
         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
         |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 2500)
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 2300)
         |ORDER BY s_name""".stripMargin,
     "q139_mad_outliers" ->
       """WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),

@@ -55,7 +55,7 @@ class Analytics2Spec extends SparkSpec {
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
       .join(bigParts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey")).agg(sum(col("l_quantity")).as("q"))
-      .filter(col("q") > 2500).select(col("l_suppkey"))
+      .filter(col("q") > 2300).select(col("l_suppkey"))
     val want = Tables(spark, sf, "supplier")
       .join(vol, col("s_suppkey") === col("l_suppkey"))
       .select(col("s_name")).collect().map(_.getString(0)).sorted
