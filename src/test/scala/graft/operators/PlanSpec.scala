@@ -318,6 +318,23 @@ class PlanSpec extends SparkSpec {
       p.contains("EqualTo(event_type,purchase)"), p)
   }
 
+  test("q156: Q3 top-10 is a TakeOrdered, customer dim broadcasts") {
+    val p = plan("q156_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q157: Q6 pushes all three range predicates into the scan, no join") {
+    val p = plan("q157_tpch_q6")
+    assert(countOf(p, "FileScan") == 1, p)
+    assert(!p.contains("Join"), p)
+    // every predicate reaches the parquet reader (the FileScan metadata
+    // string truncates at ~100 chars, so assert the prefix that fits)
+    assert(p.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThan"), p)
+    assert(countOf(p, "HashAggregate") >= 2, p) // partial + final
+  }
+
   test("q135: PIT join is an equi-join on the user key — never a nested loop") {
     // the interval-containment conditions must ride the user-key hash
     // join as residual predicates; a nested-loop/cartesian here would be
