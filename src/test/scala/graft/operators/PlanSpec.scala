@@ -318,6 +318,51 @@ class PlanSpec extends SparkSpec {
       p.contains("EqualTo(event_type,purchase)"), p)
   }
 
+  test("q139: both MAD stages join the broadcast medians — no fact-side SMJ") {
+    val p = plan("q139_mad_outliers")
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q140: contingency is ONE fact scan; windows run over the cell rollup") {
+    val p = plan("q140_chisq_weekday")
+    assert(countOf(p, "FileScan") == 1, p)
+    assert(countOf(p, "HashAggregate") >= 2, p) // partial + final over the fact
+  }
+
+  test("q144: attribution rides one user-keyed window — bounded shuffles") {
+    val p = plan("q144_last_touch_attribution")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(countOf(p, "Exchange") <= 4, p)
+  }
+
+  test("q147/q148: calendar rollups are single-scan two-phase aggregates") {
+    for (q <- Seq("q147_mom_growth", "q148_time_rollup")) {
+      val p = plan(q)
+      assert(countOf(p, "FileScan") == 1, s"$q re-scans:\n$p")
+      assert(countOf(p, "HashAggregate") >= 2, s"$q not partial-aggregated:\n$p")
+    }
+    // the rollup plans its 4 hierarchy levels as one Expand, not 4 passes
+    assert(plan("q148_time_rollup").contains("Expand"), "rollup not Expand-based")
+  }
+
+  test("q151/q152: histogram and HOF kernels partial-aggregate / stay map-side") {
+    val h = plan("q151_value_histogram")
+    assert(countOf(h, "FileScan") == 1, h)
+    assert(countOf(h, "HashAggregate") >= 2, h)
+    val a = plan("q152_array_hof")
+    assert(countOf(a, "FileScan") == 1, a)
+    // per-row lambda work + a top-100 — no aggregation shuffle at all
+    assert(a.contains("TakeOrderedAndProject"), a)
+  }
+
+  test("q159: trigrams share one user-keyed window; top-20 is a TakeOrdered") {
+    val p = plan("q159_event_trigrams")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(countOf(p, "windowspecdefinition") <= 2, p) // both leads share the spec
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q156: Q3 top-10 is a TakeOrdered, customer dim broadcasts") {
     val p = plan("q156_tpch_q3")
     assert(p.contains("TakeOrderedAndProject"), p)
