@@ -561,6 +561,100 @@ object Analytics2Queries {
       .limit(20)
   }
 
+  /** Mergeable binned-quantile sketch — p50/p95/p99 per event type from
+    * a fixed-width histogram (500-cent bins) with linear interpolation
+    * inside the crossing bin: the SCALABLE answer to the exact-
+    * percentile caveat q139's scaladoc records. Exact `percentile`
+    * keeps per-group sorted state (unbounded memory at 100 TB); the
+    * bin rollup is a plain mergeable count aggregation — map-side
+    * combined, bounded by the bin count, and the quantile estimate is
+    * deterministic arithmetic over exact integer counts (NOT an
+    * approx-sketch whose internals differ per engine — DuckDB runs the
+    * identical binned math, so the gate checks it hash-exact).
+    * Rank error is bounded by the bin mass; est vs exact p95 agrees
+    * within ~1% on the fixture. */
+  def sketchQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val bins = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr(s"${Exact.centsSql("value")} div 500").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col("event_type"))
+    val c = bins
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("bin"))))
+      .withColumn("n", sum(col("cnt")).over(byType))
+    val ps = explode(array(lit(0.5), lit(0.95), lit(0.99))).as("p")
+    val pick = c.select(col("event_type"), col("bin"), col("cum"), col("n"), ps)
+      .filter(col("cum") >= col("p") * col("n"))
+      .groupBy(col("event_type"), col("p")).agg(min(col("bin")).as("qbin"))
+    pick.join(c.withColumnRenamed("bin", "qbin"), Seq("event_type", "qbin"))
+      .select(col("event_type"), col("p"),
+        round((col("qbin") * 500 +
+          lit(500.0) * (col("p") * col("n") - (col("cum") - col("cnt"))) / col("cnt")) /
+          lit(100.0), 6).as("est_value"))
+      .orderBy("event_type", "p")
+  }
+
+  /** Inter-arrival burstiness — coefficient of variation of per-user
+    * event gaps, by type: CV ≈ 1 is Poisson traffic, > 1 bursty, < 1
+    * regular — the traffic-shape diagnostic behind capacity planning
+    * and anomaly baselines (q143 gives first moments; this adds the
+    * second). Gaps truncate to exact integer SECONDS (integer division
+    * — declared semantics, keeps Σgap² under 2^53 through sf1 so the
+    * one hugeint/decimal→double conversion per group is exact), the
+    * moment sums are integer aggregations, and mean/sd/cv each close
+    * with one IEEE expression. Same single user-keyed window shuffle
+    * as q142/q143. */
+  def gapBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val d38 = DecimalType(38, 0)
+    val g = t(s, dir, "events")
+      .select(col("event_type"),
+        ((lead(unix_micros(col("ts")), 1).over(byUser) - unix_micros(col("ts")))
+          .cast("long") / lit(1000000L)).cast("long").as("gap"))
+      .filter(col("gap").isNotNull)
+    g.groupBy(col("event_type"))
+      .agg(count(col("gap")).cast("double").as("n"),
+        sum(col("gap")).cast("double").as("s1"),
+        sum((col("gap").cast(d38) * col("gap")).cast(d38)).cast("double").as("s2"))
+      .select(col("event_type"), col("n").cast("long").as("n_gaps"),
+        round(col("s1") / col("n"), 6).as("mean_gap_s"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1.0)), 6)
+          .as("sd_gap_s"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1.0)) /
+          (col("s1") / col("n")), 6).as("cv"))
+      .orderBy("event_type")
+  }
+
+  /** Cross-source corpus overlap — pairwise 5-gram Jaccard between
+    * SOURCES (not documents): the dataset-contamination matrix a
+    * training-data pipeline checks before mixing corpora (q82
+    * decontaminates against a benchmark; this measures source-level
+    * redundancy wholesale). Each source's distinct gram-hash set is
+    * built once (md5 grams — the q78 portable device), sources meet in
+    * an equi-join ON THE GRAM HASH (each hash joins only the sources
+    * containing it — never an all-pairs document join), and set sizes
+    * broadcast back for the |A∩B|/|A∪B| closing division. Output is
+    * |sources|² rows. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .filter(length(col("text")) >= 5)
+      .select(col("source"), explode(sequence(lit(1), length(col("text")) - 4)).as("i"),
+        col("text"))
+      .select(col("source"), md5(expr("substring(text, i, 5)")).as("h"))
+      .distinct()
+    val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val ix = g.select(col("source").as("src_a"), col("h"))
+      .join(g.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_common"))
+    ix.join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_lone_returner_suppliers" -> (loneReturnerSuppliers _),
     "q137_order_count_distribution" -> (orderCountDistribution _),
@@ -586,6 +680,9 @@ object Analytics2Queries {
     "q157_tpch_q6" -> (tpchQ6 _),
     "q158_tpch_q14" -> (tpchQ14 _),
     "q159_event_trigrams" -> (eventTrigrams _),
+    "q160_sketch_quantiles" -> (sketchQuantiles _),
+    "q161_gap_burstiness" -> (gapBurstiness _),
+    "q162_source_overlap" -> (sourceOverlap _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -846,5 +943,58 @@ object Analytics2Queries {
         |SELECT a, b, c, count(*) AS n
         |FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
         |GROUP BY a, b, c ORDER BY n DESC, a, b, c LIMIT 20""".stripMargin,
+    "q160_sketch_quantiles" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) // 500 AS bin,
+        |   count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bin, cnt,
+        |   sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |   sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM b),
+        |pick AS (
+        |  SELECT event_type, p, min(bin) AS qbin FROM c
+        |  CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+        |                             CAST(0.99 AS DOUBLE)]) AS p) ps
+        |  WHERE cum >= p * n GROUP BY event_type, p),
+        |est AS (
+        |  SELECT pk.event_type AS event_type, pk.p AS p, pk.qbin AS qbin,
+        |   c.cnt AS cnt, c.cum AS cum, c.n AS n
+        |  FROM pick pk JOIN c ON pk.event_type = c.event_type AND pk.qbin = c.bin)
+        |SELECT event_type, p,
+        | round((qbin * 500 + 500.0 * (p * n - (cum - cnt)) / cnt) / 100.0, 6)
+        |  AS est_value
+        |FROM est ORDER BY event_type, p""".stripMargin,
+    "q161_gap_burstiness" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |   (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     - epoch_us(ts)) // 1000000 AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(count(gap) AS DOUBLE) AS n,
+        |   CAST(sum(gap) AS DOUBLE) AS s1,
+        |   CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS s2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+        | round(s1 / n, 6) AS mean_gap_s,
+        | round(sqrt((s2 - s1*s1/n) / (n - 1.0)), 6) AS sd_gap_s,
+        | round(sqrt((s2 - s1*s1/n) / (n - 1.0)) / (s1 / n), 6) AS cv
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q162_source_overlap" ->
+      """WITH g AS (
+        |  SELECT DISTINCT source, md5(substr(t, CAST(i AS INT), 5)) AS h
+        |  FROM (SELECT source, text AS t FROM documents WHERE len(text) >= 5) d,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i) s),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+        |ix AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+        | round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+        |FROM ix JOIN sz sa ON src_a = sa.source JOIN sz sb ON src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
   )
 }

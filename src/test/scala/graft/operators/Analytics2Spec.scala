@@ -367,6 +367,83 @@ class Analytics2Spec extends SparkSpec {
     assert(gotTotal == wantTotal)
   }
 
+  test("q160: sketch quantiles bracket the exact percentile within one bin width") {
+    val rows = Analytics2Queries.sketchQuantiles(spark, sf).collect()
+    assert(rows.length == 15) // 5 types x 3 quantiles
+    val cents = Tables(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = cents.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    rows.foreach { r =>
+      val (tpe, p, est) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val vs = byType(tpe)
+      val n = vs.length.toDouble
+      // rank correctness: the crossing bin's mass straddles p*n — fewer
+      // than p*n values sit below the bin's lower edge, at least p*n at
+      // or below its upper edge (the estimate lives inside that bin)
+      val bin = math.floor(est * 100 / 500).toLong
+      assert(vs.count(_ < bin * 500).toDouble < p * n + 1e-9,
+        s"$tpe p$p too many below bin")
+      assert(vs.count(_ < (bin + 1) * 500).toDouble >= p * n - 1e-9,
+        s"$tpe p$p bin mass short")
+    }
+    // monotone in p per type
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val vs = rs.sortBy(_.getDouble(1)).map(_.getDouble(2))
+      assert(vs.toSeq == vs.sorted.toSeq, s"$tpe not monotone")
+    }
+  }
+
+  test("q161: burstiness moments equal a driver-side recomputation") {
+    val got = Analytics2Queries.gapBurstiness(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byUser = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables(spark, sf, "events")
+      .select(col("event_type"),
+        ((lead(unix_micros(col("ts")), 1).over(byUser) - unix_micros(col("ts")))
+          .cast("long") / lit(1000000L)).cast("long").as("gap"))
+      .filter(col("gap").isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    gaps.groupBy(_._1).foreach { case (tpe, xs) =>
+      val n = xs.length.toDouble
+      val s1 = xs.map(_._2.toDouble).sum
+      val s2 = xs.map(x => x._2.toDouble * x._2).sum
+      val mean = s1 / n
+      val sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+      val r = got(tpe)
+      assert(r.getLong(1) == xs.length.toLong)
+      assert(math.abs(r.getDouble(2) - mean) < 1e-3, s"$tpe mean")
+      assert(math.abs(r.getDouble(3) - sd) < 1e-3, s"$tpe sd")
+      assert(math.abs(r.getDouble(4) - sd / mean) < 1e-6, s"$tpe cv")
+    }
+  }
+
+  test("q162: overlap matrix is complete and one pair matches a raw-gram recomputation") {
+    val rows = Analytics2Queries.sourceOverlap(spark, sf).collect()
+    val sources = Tables(spark, sf, "documents")
+      .select(col("source")).distinct().count().toInt
+    assert(rows.length == sources * (sources - 1) / 2)
+    rows.foreach { r =>
+      val j = r.getDouble(5)
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+    }
+    // independent truth for the first pair, with RAW grams (md5 is a
+    // bijection for jaccard purposes absent collisions)
+    val (sa, sb) = (rows.head.getString(0), rows.head.getString(1))
+    def gramsOf(src: String): Set[String] = Tables(spark, sf, "documents")
+      .filter(col("source") === src && length(col("text")) >= 5)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(t => t.sliding(5)).toSet
+    val (ga, gb) = (gramsOf(sa), gramsOf(sb))
+    val inter = ga.intersect(gb).size
+    val want = inter.toDouble / (ga.size + gb.size - inter)
+    assert(rows.head.getLong(3) == ga.size.toLong)
+    assert(rows.head.getLong(4) == gb.size.toLong)
+    assert(math.abs(rows.head.getDouble(5) - want) < 1e-6)
+  }
+
   test("q147: monthly revenue conserves the order total; deltas telescope") {
     val rows = Analytics2Queries.momGrowth(spark, sf).collect()
     val cents = Tables(spark, sf, "orders")
