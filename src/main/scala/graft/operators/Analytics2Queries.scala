@@ -655,6 +655,55 @@ object Analytics2Queries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Systematic weight-proportional sampling — ~100 documents drawn
+    * with probability proportional to length, DETERMINISTICALLY: a doc
+    * is selected once per multiple of (total_weight/100) its
+    * cumulative-weight interval covers. This is how a training-data
+    * pipeline draws a mixing sample "by tokens, not by docs" while
+    * staying reproducible across engines, runs, and partitionings
+    * (rand()-based weighted sampling is none of those). n_hits > 1
+    * marks docs heavier than the stride — the honest signal that
+    * sampling WITH replacement would repeat them. The cumulative sum
+    * is one global-ordered window: at 100 TB the same statement runs
+    * on range-partitioned sort; the q130 scaladoc's approx-cut note
+    * applies identically. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+    val all = Window.partitionBy()
+    val step = sum(col("wt")).over(all).cast("double") / lit(100)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("wt"))
+      .withColumn("cum", sum(col("wt")).over(w))
+      .withColumn("hits",
+        floor(col("cum").cast("double") / step) -
+          floor((col("cum") - col("wt")).cast("double") / step))
+      .filter(col("hits") >= 1)
+      .select(col("doc_id"), col("wt"), col("hits").cast("long").as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Percent-of-parent across the calendar hierarchy — each month's
+    * share of its quarter and of its year: the drill-down ratio view
+    * q148's ROLLUP totals feed. One monthly rollup (exact cents), then
+    * two window sums over the DIMENSION-SIZED month table (80 rows) —
+    * the shares are single IEEE divisions of exact integers, and no
+    * second fact scan exists. */
+  def shareOfParent(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mon"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("rev"))
+    m.select(col("yr"), col("qtr"), col("mon"),
+        (col("rev").cast("double") / 100.0).as("revenue"),
+        round(col("rev").cast("double") /
+          sum(col("rev")).over(Window.partitionBy(col("yr"), col("qtr"))), 6)
+          .as("share_of_quarter"),
+        round(col("rev").cast("double") /
+          sum(col("rev")).over(Window.partitionBy(col("yr"))), 6).as("share_of_year"))
+      .orderBy("yr", "mon")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_lone_returner_suppliers" -> (loneReturnerSuppliers _),
     "q137_order_count_distribution" -> (orderCountDistribution _),
@@ -683,6 +732,8 @@ object Analytics2Queries {
     "q160_sketch_quantiles" -> (sketchQuantiles _),
     "q161_gap_burstiness" -> (gapBurstiness _),
     "q162_source_overlap" -> (sourceOverlap _),
+    "q163_weighted_sample" -> (weightedSample _),
+    "q164_share_of_parent" -> (shareOfParent _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -996,5 +1047,30 @@ object Analytics2Queries {
         | round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
         |FROM ix JOIN sz sa ON src_a = sa.source JOIN sz sb ON src_b = sb.source
         |ORDER BY src_a, src_b""".stripMargin,
+    "q163_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars AS wt,
+        |   sum(n_chars) OVER (ORDER BY doc_id) AS cum,
+        |   sum(n_chars) OVER () AS total
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id, wt,
+        |   floor(CAST(cum AS DOUBLE) / (CAST(total AS DOUBLE) / 100))
+        |     - floor(CAST(cum - wt AS DOUBLE) / (CAST(total AS DOUBLE) / 100)) AS hits
+        |  FROM w)
+        |SELECT doc_id, wt, CAST(hits AS BIGINT) AS n_hits
+        |FROM sel WHERE hits >= 1 ORDER BY doc_id""".stripMargin,
+    "q164_share_of_parent" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+        |   month(o_orderdate) AS mon,
+        |   sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT yr, qtr, mon, CAST(rev AS DOUBLE)/100.0 AS revenue,
+        | round(CAST(rev AS DOUBLE) / sum(rev) OVER (PARTITION BY yr, qtr), 6)
+        |  AS share_of_quarter,
+        | round(CAST(rev AS DOUBLE) / sum(rev) OVER (PARTITION BY yr), 6)
+        |  AS share_of_year
+        |FROM m ORDER BY yr, mon""".stripMargin,
   )
 }

@@ -444,6 +444,44 @@ class Analytics2Spec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(5) - want) < 1e-6)
   }
 
+  test("q163: systematic sample matches the local stride walk and draws ~100 hits") {
+    val rows = Analytics2Queries.weightedSample(spark, sf).collect()
+    val wts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = wts.map(_._2).sum
+    val step = total.toDouble / 100
+    var cum = 0L
+    val want = wts.flatMap { case (id, wt) =>
+      cum += wt
+      val hits = math.floor(cum / step).toLong - math.floor((cum - wt) / step).toLong
+      if (hits >= 1) Some((id, wt, hits)) else None
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == want.toSeq)
+    val totalHits = rows.map(_.getLong(2)).sum
+    assert(totalHits >= 99 && totalHits <= 101, s"total hits $totalHits")
+    // heavier docs are sampled no less often per unit weight: every
+    // doc with wt >= step must be selected
+    val must = wts.filter(_._2 >= step).map(_._1).toSet
+    assert(must.subsetOf(rows.map(_.getLong(0)).toSet))
+  }
+
+  test("q164: shares normalize within quarter and year; revenue conserves") {
+    val rows = Analytics2Queries.shareOfParent(spark, sf).collect()
+    val cents = Tables(spark, sf, "orders")
+      .select(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+    val revSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(revSum - cents / 100.0) < 1e-6 * revSum)
+    rows.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (k, rs) =>
+      val s = rs.map(_.getDouble(4)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"quarter $k shares sum $s")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (y, rs) =>
+      val s = rs.map(_.getDouble(5)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"year $y shares sum $s")
+    }
+  }
+
   test("q147: monthly revenue conserves the order total; deltas telescope") {
     val rows = Analytics2Queries.momGrowth(spark, sf).collect()
     val cents = Tables(spark, sf, "orders")
