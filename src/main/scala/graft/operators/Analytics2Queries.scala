@@ -636,12 +636,19 @@ object Analytics2Queries {
     * broadcast back for the |A∩B|/|A∪B| closing division. Output is
     * |sources|² rows. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val g = t(s, dir, "documents")
-      .filter(length(col("text")) >= 5)
-      .select(col("source"), explode(sequence(lit(1), length(col("text")) - 4)).as("i"),
-        col("text"))
-      .select(col("source"), md5(expr("substring(text, i, 5)")).as("h"))
-      .distinct()
+    // materialize the distinct (source, gram-hash) set ONCE: four
+    // consumers re-derive this subtree otherwise (both self-join sides
+    // + both size lookups = 8 corpus scans, measured), and Spark's
+    // exchange reuse does not collapse them across the differing
+    // projections. Same device as q132's token rollup
+    // (Checkpoints.truncate — reliable under spark.graft.checkpointDir).
+    val g = graft.util.Checkpoints.truncate(
+      t(s, dir, "documents")
+        .filter(length(col("text")) >= 5)
+        .select(col("source"), explode(sequence(lit(1), length(col("text")) - 4)).as("i"),
+          col("text"))
+        .select(col("source"), md5(expr("substring(text, i, 5)")).as("h"))
+        .distinct())
     val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val ix = g.select(col("source").as("src_a"), col("h"))
       .join(g.select(col("source").as("src_b"), col("h")), Seq("h"))
