@@ -363,6 +363,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q146: the FK audit scans lineitem exactly once for its three edges") {
+    val p = plan("q146_fk_orphan_audit")
+    assert(countOf(p, "lineitem.parquet") == 1, s"lineitem re-scanned:\n$p")
+    assert(countOf(p, "BroadcastHashJoin") >= 4, p) // part/supplier/customer/nation keys
+  }
+
   test("q156: Q3 top-10 is a TakeOrdered, customer dim broadcasts") {
     val p = plan("q156_tpch_q3")
     assert(p.contains("TakeOrderedAndProject"), p)
