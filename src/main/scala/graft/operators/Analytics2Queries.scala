@@ -736,6 +736,49 @@ object Analytics2Queries {
       .orderBy("yr", "mon")
   }
 
+  /** Rolling weekly active users + stickiness (DAU/WAU) — the product-
+    * analytics headline. COUNT DISTINCT over a trailing RANGE window
+    * isn't executable as a window function; the scalable formulation
+    * explodes each (user, active-day) to the ≤7 window anchor days it
+    * supports (a FIXED fan-out, map-side) and distinct-aggregates per
+    * anchor — the standard rolling-distinct device. Inputs are the
+    * distinct (user, day) table, so the fan-out is bounded by active
+    * pairs, not raw events; anchors restrict to observed days via a
+    * broadcast semi join. */
+  def rollingWau(s: SparkSession, dir: String): DataFrame = {
+    val act = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val days = act.select(col("day")).distinct()
+    val sup = act.select(col("user_id"),
+      explode(expr("sequence(day, day + interval 6 days, interval 1 day)")).as("d"))
+    val wau = sup.join(broadcast(days), col("d") === col("day"), "left_semi")
+      .groupBy(col("d").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = act.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Daily new vs returning users — the acquisition/retention split on
+    * every growth dashboard: each user's first-ever active day marks
+    * them NEW on that day and RETURNING after. Two rollups of the
+    * distinct (user, day) table (first-day min, then the daily split
+    * against the broadcast first-day map); active = new + returning by
+    * construction, pinned in the spec. */
+  def newVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val act = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    act.join(broadcast(first), Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") > col("first_day"), 1L).otherwise(0L)).as("returning_users"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_lone_returner_suppliers" -> (loneReturnerSuppliers _),
     "q137_order_count_distribution" -> (orderCountDistribution _),
@@ -766,6 +809,8 @@ object Analytics2Queries {
     "q162_source_overlap" -> (sourceOverlap _),
     "q163_weighted_sample" -> (weightedSample _),
     "q164_share_of_parent" -> (shareOfParent _),
+    "q165_rolling_wau" -> (rollingWau _),
+    "q166_new_vs_returning" -> (newVsReturning _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1104,5 +1149,28 @@ object Analytics2Queries {
         | round(CAST(rev AS DOUBLE) / sum(rev) OVER (PARTITION BY yr), 6)
         |  AS share_of_year
         |FROM m ORDER BY yr, mon""".stripMargin,
+    "q165_rolling_wau" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM act),
+        |sup AS (
+        |  SELECT user_id,
+        |   unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS d
+        |  FROM act),
+        |wau AS (
+        |  SELECT CAST(d AS DATE) AS day, count(DISTINCT user_id) AS wau
+        |  FROM sup WHERE CAST(d AS DATE) IN (SELECT day FROM days) GROUP BY 1),
+        |dau AS (SELECT day, count(*) AS dau FROM act GROUP BY day)
+        |SELECT day, dau, wau, round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    "q166_new_vs_returning" ->
+      """WITH first AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+        |  GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT day, count(*) AS active_users,
+        | count(*) FILTER (WHERE day = first_day) AS new_users,
+        | count(*) FILTER (WHERE day > first_day) AS returning_users
+        |FROM act JOIN first USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
   )
 }

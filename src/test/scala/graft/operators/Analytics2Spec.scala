@@ -482,6 +482,35 @@ class Analytics2Spec extends SparkSpec {
     }
   }
 
+  test("q165: WAU >= DAU per day and equals a direct trailing-window recount") {
+    val rows = Analytics2Queries.rollingWau(spark, sf).collect()
+    val act = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = act.map(_._2).distinct
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getLong(2) >= r.getLong(1), s"$d wau < dau")
+      val want = act.filter { case (_, ad) =>
+        !ad.isAfter(d) && !ad.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+      assert(r.getLong(2) == want, s"$d wau")
+      assert(math.abs(r.getDouble(3) - r.getLong(1).toDouble / r.getLong(2)) < 1e-6)
+    }
+    assert(rows.length == days.length)
+  }
+
+  test("q166: active = new + returning; new-user mass equals the user count") {
+    val rows = Analytics2Queries.newVsReturning(spark, sf).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
+    val nUsers = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    // every user is new exactly once
+    assert(rows.map(_.getLong(2)).sum == nUsers)
+    // day one: everyone active is new
+    assert(rows.head.getLong(2) == rows.head.getLong(1) && rows.head.getLong(3) == 0L)
+  }
+
   test("q147: monthly revenue conserves the order total; deltas telescope") {
     val rows = Analytics2Queries.momGrowth(spark, sf).collect()
     val cents = Tables(spark, sf, "orders")
