@@ -93,23 +93,30 @@ object Analytics2Queries {
     * so each row is one compare). Median and MAD interpolate EXACT
     * integer cents — both engines' (n−1)·p rule lands on an integer or
     * a .5 midpoint, exact in doubles — so the gate compares identical
-    * doubles and cannot flake on a boundary. Two grouped percentile
-    * passes + one broadcast joinback probe; the percentile state is
-    * per-group sorted cents — at 100 TB swap in approx_percentile and
-    * keep the same closing gate. */
+    * doubles and cannot flake on a boundary. Plan: the fact table is
+    * scanned ONCE into a (type, value, count) rollup — median, MAD and
+    * the outlier count all derive from that value-cardinality-bounded
+    * table via FREQUENCY-WEIGHTED percentiles (Spark's
+    * percentile(col, p, freq) is defined as percentile over the value
+    * repeated freq times, so the math is identical to the raw-multiset
+    * form the oracle computes) — where the naive three-pass form costs
+    * three fact scans and exact per-group sorted state. */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
-    val cents = Exact.cents(col("value"))
-    val c = t(s, dir, "events").select(col("event_type"), cents.as("c"))
-    val med = c.groupBy(col("event_type"))
-      .agg(expr("percentile(c, 0.5)").as("med_c"))
-    val mad = c.join(broadcast(med), Seq("event_type"))
+    // one fact scan; everything below runs on the distinct-value rollup
+    val freq = graft.util.Checkpoints.truncate(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), Exact.cents(col("value")).as("c"))
+        .agg(count(lit(1)).as("cnt")))
+    val med = freq.groupBy(col("event_type"))
+      .agg(expr("percentile(c, 0.5D, cnt)").as("med_c"))
+    val mad = freq.join(broadcast(med), Seq("event_type"))
       .groupBy(col("event_type"), col("med_c"))
-      .agg(expr("percentile(abs(c - med_c), 0.5)").as("mad_c"))
-    c.join(broadcast(mad), Seq("event_type"))
+      .agg(expr("percentile(abs(c - med_c), 0.5D, cnt)").as("mad_c"))
+    freq.join(broadcast(mad), Seq("event_type"))
       .groupBy(col("event_type"), col("med_c"), col("mad_c"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(abs(col("c") - col("med_c")) > (lit(3.5) / lit(0.6745)) * col("mad_c"), 1L)
-          .otherwise(0L)).as("n_outliers"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(when(abs(col("c") - col("med_c")) > (lit(3.5) / lit(0.6745)) * col("mad_c"),
+          col("cnt")).otherwise(0L)).as("n_outliers"))
       .select(col("event_type"), col("n"),
         round(col("med_c") / 100.0, 3).as("median_value"),
         round(col("mad_c") / 100.0, 3).as("mad_value"),
