@@ -10,6 +10,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same tz pin as Verify/tests: date functions and the NTZ→TZ
+      // events.ts normalization must behave identically to the gate
+      .config("spark.sql.session.timeZone", "UTC")
       // the fixture layout is ONE parquet file per table (the driver's
       // testdata shape, which ScaleGen mirrors); under the 128 MB
       // default every table ≤128 MB scans as a single task no matter

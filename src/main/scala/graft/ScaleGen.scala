@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
   *    cosines, up to shared flips) are preserved, cross-copy cosines
   *    decorrelate to ≈0.
   *
-  * events.ts arrives as TIMESTAMP(NANOS); it is read raw (nanosAsLong)
-  * and written as plain int64 nanos, which graft.Tables reads
-  * identically (its DIV 1000 + timestamp_micros path).
+  * events.ts is read RAW in whatever physical shape the fixture has
+  * (int64 nanos under nanosAsLong for TIMESTAMP(NANOS) fixtures;
+  * TIMESTAMP_NTZ for TIMESTAMP(US) ones) and written back untouched —
+  * graft.Tables.normalizeEventTs handles either shape on read.
   *
   * Usage: ScaleGen <srcSfDir> <dstDir> <factor>
   */
@@ -102,7 +103,7 @@ object ScaleGen {
     write(replicate(read("lineitem"))(i => df =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * oSpan))), "lineitem")
 
-    // events: ts read as raw nanos long (see scaladoc). user_id is
+    // events: ts read raw in its physical shape (see scaladoc). user_id is
     // shifted per copy along with event_id: every event query keys on
     // user (windows, sessions, cohorts, the q96 stream-stream time
     // join) and no table joins events to an external user dimension,

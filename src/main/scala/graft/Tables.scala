@@ -16,10 +16,12 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long and truncate to micros — the
-      // same conversion DuckDB applies when it maps the column to its
-      // microsecond TIMESTAMP, so oracle comparisons stay exact.
+      // events.ts has shipped in two physical shapes across fixture
+      // generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+      // reader only surfaces as int64 nanos via nanosAsLong — and plain
+      // TIMESTAMP(US). Normalize either to a TimestampType micros column
+      // (normalizeEventTs), the same value DuckDB sees, so oracle
+      // comparisons stay exact.
       // NOTE: nanosAsLong has no per-read DataFrameReader option — it is
       // consulted during schema conversion at both planning AND execution,
       // so a set/restore dance around this call would break later task
@@ -27,10 +29,27 @@ object Tables {
       // TIMESTAMP(NANOS) columns surface (as long), and no other testdata
       // table has one, so other reads are unaffected.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
   }
+
+  /** Normalize an events frame's `ts` to TimestampType microseconds
+    * regardless of the physical column shape the fixture was written
+    * with: int64 nanos (a TIMESTAMP(NANOS) file read under nanosAsLong)
+    * truncates to micros; TIMESTAMP_NTZ (a TIMESTAMP(US)
+    * isAdjustedToUTC=false file under the default NTZ inference) casts
+    * instant-preserving because every graft session pins
+    * spark.sql.session.timeZone=UTC; TimestampType passes through.
+    * Works identically on batch and streaming frames (pure projection).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }

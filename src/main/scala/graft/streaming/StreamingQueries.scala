@@ -96,13 +96,14 @@ object StreamingQueries {
     * here the full-history complete mode is what makes the final table
     * comparable to the batch oracle. */
   def streamingDaily(s: SparkSession, dir: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS): same conf + truncation contract as
-    // graft.Tables (which the schema probe below also relies on)
+    // events.ts physical shape varies by fixture generation: same conf +
+    // normalization contract as graft.Tables (the schema probe below
+    // relies on the conf being set before the read)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     withStatePartitions(s, 8) {
     val events = s.readStream.schema(schema).parquet(stageDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val agg = events
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(
@@ -141,12 +142,19 @@ object StreamingQueries {
       copyEvents(dir, p, "events")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = s.read.parquet(s"$dir/events.parquet")
-      val maxTsNanos = ev.agg(max(col("ts"))).collect().head.getLong(0)
+      val maxTsMicros = graft.Tables.normalizeEventTs(ev)
+        .agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
       // past max + gap(30 m) + watermark delay(1 h) + margin(1 h)
-      val sentinelTs = maxTsNanos + 9000L * 1000000000L
+      val sentinelMicros = maxTsMicros + 9000L * 1000000L
+      // the sentinel file must carry the SAME physical ts type as the
+      // real event files (the stream reads both under one probe schema)
+      val sentinelTs = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(sentinelMicros * 1000L)
+        case t => timestamp_micros(lit(sentinelMicros)).cast(t)
+      }
       val row = ev.limit(1)
         .withColumn("event_id", lit(-1L))
-        .withColumn("ts", lit(sentinelTs))
+        .withColumn("ts", sentinelTs)
         .withColumn("user_id", lit(-1L))
         .withColumn("event_type", lit("sentinel"))
       val tmp = Files.createTempDirectory("graft_sentinel_write")
@@ -179,7 +187,7 @@ object StreamingQueries {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     withStatePartitions(s, 8) {
     val events = s.readStream.schema(schema).parquet(stageDirWithSentinel(s, dir))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.normalizeEventTs)
       .withWatermark("ts", "1 hour")
     val agg = events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -220,7 +228,7 @@ object StreamingQueries {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     withStatePartitions(s, 8) {
     val events = s.readStream.schema(schema).parquet(stageDirDuplicated(dir))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.normalizeEventTs)
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
     val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
@@ -259,7 +267,7 @@ object StreamingQueries {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     withStatePartitions(s, 8) {
     val stream = () => s.readStream.schema(schema).parquet(stageDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val a = stream().select(col("event_id").as("a_id"), col("user_id").as("a_user"),
       col("ts").as("a_ts")).withWatermark("a_ts", "1 hour")
     val b = stream().select(col("event_id").as("b_id"), col("user_id").as("b_user"),
@@ -328,7 +336,7 @@ object StreamingQueries {
     withStatePartitions(s, 8) {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val totals = StreamingOps.runningUserTotals(stream)
       .toDF("user_id", "total_value", "n_events")
     val name = s"graft_stream_totals_${runId.incrementAndGet()}"
@@ -367,7 +375,7 @@ object StreamingQueries {
     withStatePartitions(s, 8) {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val target = new ConcurrentHashMap[Long, (Long, Long)]() // user -> (n, cents)
     StreamingOps.foreachBatchUpsert(stream, (_: Long, partials) =>
       partials.foreach { case (user, n, v) =>

@@ -52,7 +52,7 @@ class ForeachBatchSpec extends SparkSpec {
     val schema = ev.schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val guarded = StreamingOps.foreachBatchUpsert(stream, applyBatch)
     assert(batches >= 3, s"expected one micro-batch per staged file, got $batches")
 

@@ -102,7 +102,7 @@ class StreamingOpsSpec extends SparkSpec {
       staged.resolve("events.parquet"))
     val schema = spark.read.parquet(staged.toString).schema
     val stream = spark.readStream.schema(schema).parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val q = StreamingOps.dailySummary(stream, watermark = "365 days")
       .writeStream.format("memory").queryName("fs_out")
       .outputMode("complete")

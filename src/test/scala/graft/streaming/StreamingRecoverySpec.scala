@@ -30,7 +30,7 @@ class StreamingRecoverySpec extends SparkSpec {
       StandardCopyOption.REPLACE_EXISTING)
     def run(): Unit = {
       val q = spark.readStream.schema(schema).parquet(src)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .transform(graft.Tables.normalizeEventTs)
         .select(col("event_id"), col("user_id"), col("value"))
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
