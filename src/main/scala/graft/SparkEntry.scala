@@ -16,7 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CandyQueries.queries ++ TextQueries.queries ++
-      AnalyticsQueries.queries ++ Analytics2Queries.queries ++
+      AnalyticsQueries.queries ++ Analytics2Queries.queries ++ Analytics3Queries.queries ++
       CdcOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       graft.multimodal.MultimodalOps.queries ++ graft.sources.LayoutQueries.queries ++
       graft.sources.v2.RangeSourceQueries.queries ++
@@ -28,7 +28,7 @@ object SparkEntry {
     * driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ CandyQueries.oracle ++ TextQueries.oracle ++
-      AnalyticsQueries.oracle ++ Analytics2Queries.oracle ++
+      AnalyticsQueries.oracle ++ Analytics2Queries.oracle ++ Analytics3Queries.oracle ++
       CdcOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
       graft.multimodal.MultimodalOps.oracle ++ graft.sources.LayoutQueries.oracle ++
       graft.sources.v2.RangeSourceQueries.oracle ++

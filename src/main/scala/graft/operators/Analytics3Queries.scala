@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Round-4 surface extensions, part 4: graph analytics (triangle
+  * enumeration over the co-purchase graph), distribution primitives
+  * (equi-depth histogram), data-quality profiling (per-column profile),
+  * experimentation statistics (Welch's t on deterministic hash arms),
+  * and rank fusion (RRF). Reference analog: none (capability
+  * extensions per SURVEY §2's "what a real user hits next").
+  *
+  * Exactness contract as everywhere in the repo: money as integer
+  * cents, closing doubles produced by ONE IEEE expression evaluated
+  * identically by Spark and DuckDB (rounded to 6dp where a ratio of
+  * exact integers closes the query), every output totally ordered.
+  */
+object Analytics3Queries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** q167: triangle participation in the co-purchase graph — the
+    * canonical distributed-graph pattern after connected components
+    * (q83) and PageRank (q129). Vertices are parts; an undirected edge
+    * joins two parts co-ordered ≥ 2 times (the same support cut that
+    * keeps q109's pair mining non-noise). Enumeration is the standard
+    * oriented edge-edge-edge join: every edge is stored once as
+    * (lo, hi), a triangle (a<b<c) is found exactly once as
+    * e(a,b) ⋈ e(b,c) ⋈∃ e(a,c) — the id-orientation kills the 6×
+    * duplication a naive self-join pays, and each triangle costs one
+    * hash probe of the edge set. At 100 TB one orients by DEGREE
+    * instead of id (the count-triangles-in-MapReduce refinement that
+    * bounds the wedge fan-out by arboricity); the id orientation keeps
+    * the oracle SQL mechanical and the join shape identical. Edges are
+    * support-thresholded order pairs: bounded by q109's per-order
+    * ≤C(lines,2) expansion, never all-parts². */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val e = items.select(col("ok"), col("p").as("pa"))
+      .join(items.select(col("ok").as("ok2"), col("p").as("pb")),
+        col("ok") === col("ok2") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .select(col("pa"), col("pb"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
+      .join(e.as("e3"),
+        col("e1.pa") === col("e3.pa") && col("e2.pb") === col("e3.pb"),
+        "left_semi")
+      .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("p_partkey"))
+      .limit(20)
+  }
+
+  /** q168: equi-depth (decile) histogram of lineitem extended price —
+    * the complement of q151's fixed-width bins: bin BOUNDARIES adapt so
+    * each bin holds the same row count (what a query planner's
+    * histogram and a feature-binning step both want). ntile(10) over a
+    * TOTAL order (exact cents, then the row identity as tie-break)
+    * makes the assignment engine-exact — ntile on a non-total order is
+    * engine-DEPENDENT on ties, which is why the tie-break is part of
+    * the declared semantics. One global window sort (range-partitioned
+    * at scale — the q130 note) and a 10-row rollup. */
+  def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Exact.cents(col("l_extendedprice")).as("c"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        (min(col("c")).cast("double") / 100.0).as("lo"),
+        (max(col("c")).cast("double") / 100.0).as("hi"))
+      .select(col("decile").cast("long").as("decile"), col("n"),
+        col("lo"), col("hi"))
+      .orderBy("decile")
+  }
+
+  /** q169: per-column table profile — the first query any engine runs
+    * against an unknown table (null counts, cardinality, value range)
+    * and the everyday data-quality report next to q146's FK audit. The
+    * table is melted ONCE with stack() into (column, value-as-string)
+    * — one scan for the whole profile, not one scan per column — and
+    * profiled with a single grouped aggregate. min/max are
+    * LEXICOGRAPHIC on the stringified value by declared semantics
+    * (a display profile, not numeric stats — q120/q151 own those);
+    * integer-typed columns stringify identically on both engines,
+    * which is why the profile targets documents (no double columns).
+    * n_distinct counts distinct non-null values per column — at 100 TB
+    * swap in approx_count_distinct (q31's HLL) behind the same shape. */
+  def columnProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(expr(
+        """stack(5,
+          | 'doc_id', CAST(doc_id AS STRING),
+          | 'lang', lang,
+          | 'n_chars', CAST(n_chars AS STRING),
+          | 'source', source,
+          | 'text_len', CAST(length(text) AS STRING)) AS (col, v)""".stripMargin))
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        count_distinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy("col")
+
+  /** q170: A/B experiment readout — Welch's t statistic for order value
+    * between two DETERMINISTIC arms (md5 of the customer key, the q39
+    * split device: reproducible across engines, runs, partitionings —
+    * rand() is none of those, and arm assignment that moves between
+    * runs is an invalid experiment). All moments accumulate exactly:
+    * counts, cent sums, and cent sums-of-squares in decimal(38,0)
+    * (q141's device; squares of ~5e7-cent orders overflow int64 at
+    * sf≳0.1). The t statistic closes in ONE fixed-shape IEEE
+    * expression over six exact integers, rounded to 6dp. One fact scan,
+    * one 2-row aggregate — the readout is O(1) beyond the scan at any
+    * scale. */
+  def abWelchT(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val arm = (conv(substring(md5(concat(col("o_custkey").cast("string"),
+      lit(":ab170"))), 1, 4), 16, 10).cast("long") % 2).as("arm")
+    val cents = Exact.cents(col("o_totalprice"))
+    val m = t(s, dir, "orders")
+      .select(arm, cents.as("c"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("c").cast(d38)).as("s"),
+        sum((col("c") * col("c")).cast(d38)).as("ss"))
+    // pivot the 2-row aggregate to one row of exact integers, then
+    // close mean/variance/t in fixed-shape double expressions: Welch's
+    // t = (m1-m0)/sqrt(v1/n1+v0/n0), v from the exact moment identity
+    // n·ss-s² (decimal), each double produced by the SAME op sequence
+    // in Spark and DuckDB
+    def armAgg(a: Int, c: String) = max(when(col("arm") === a, col(c))).as(s"${c}$a")
+    val p = m.agg(armAgg(0, "n"), armAgg(0, "s"), armAgg(0, "ss"),
+      armAgg(1, "n"), armAgg(1, "s"), armAgg(1, "ss"))
+    def mean(i: Int) =
+      col(s"s$i").cast("double") / col(s"n$i").cast("double") / lit(100.0)
+    def varOverN(i: Int) = // sample variance / n, in dollars²
+      (col(s"n$i").cast(d38) * col(s"ss$i") - col(s"s$i") * col(s"s$i")).cast("double") /
+        col(s"n$i").cast("double") / (col(s"n$i").cast("double") - 1.0) /
+        col(s"n$i").cast("double") / lit(10000.0)
+    p.select(col("n0"), col("n1"),
+      round(mean(0), 6).as("mean_a"), round(mean(1), 6).as("mean_b"),
+      round((mean(1) - mean(0)) / sqrt(varOverN(1) + varOverN(0)), 6).as("t_stat"))
+  }
+
+  /** q171: reciprocal rank fusion — the standard device for merging
+    * heterogeneous rankings (lexical + vector retrieval, or any two
+    * scorers) without score calibration: RRF(d) = Σ 1/(k + rank_i(d)),
+    * k = 60. Here the two part rankings every merchandising dashboard
+    * keeps — units sold and revenue — fuse into one list. Both ranks
+    * come from ONE fact aggregate (both metrics in the same groupBy —
+    * no second scan) followed by two window sorts over the PART-sized
+    * table; ranks are row_number over a total order (metric DESC, key),
+    * so each 1/(60+r) term — and their 2-term sum, a fixed-shape
+    * expression — is engine-exact. */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("units"),
+        sum(Exact.cents(col("l_extendedprice"))).as("rev_cents"))
+    val byUnits = Window.orderBy(col("units").desc, col("p_partkey"))
+    val byRev = Window.orderBy(col("rev_cents").desc, col("p_partkey"))
+    agg.withColumn("r_units", row_number().over(byUnits))
+      .withColumn("r_rev", row_number().over(byRev))
+      .select(col("p_partkey"), col("r_units").cast("long").as("r_units"),
+        col("r_rev").cast("long").as("r_rev"),
+        round(lit(1.0) / (lit(60.0) + col("r_units")) +
+          lit(1.0) / (lit(60.0) + col("r_rev")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("p_partkey"))
+      .limit(25)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_triangle_count" -> (triangleCount _),
+    "q168_equidepth_histogram" -> (equidepthHistogram _),
+    "q169_column_profile" -> (columnProfile _),
+    "q170_ab_welch_t" -> (abWelchT _),
+    "q171_rrf_fusion" -> (rrfFusion _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q167_triangle_count" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS pa, b.p AS pb FROM items a JOIN items b
+        |   ON a.ok = b.ok AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |SELECT p_partkey, count(*) AS n_triangles
+        |FROM (SELECT a AS p_partkey FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |GROUP BY p_partkey
+        |ORDER BY n_triangles DESC, p_partkey LIMIT 20""".stripMargin,
+    "q168_equidepth_histogram" ->
+      """SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+        | CAST(min(c) AS DOUBLE)/100.0 AS lo, CAST(max(c) AS DOUBLE)/100.0 AS hi
+        |FROM (
+        |  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS c,
+        |   ntile(10) OVER (ORDER BY CAST(round(l_extendedprice*100) AS BIGINT),
+        |                   l_orderkey, l_linenumber) AS decile
+        |  FROM lineitem)
+        |GROUP BY decile ORDER BY decile""".stripMargin,
+    "q169_column_profile" ->
+      """SELECT col, count(*) AS n_rows,
+        | count(*) - count(v) AS n_nulls,
+        | count(DISTINCT v) AS n_distinct,
+        | min(v) AS min_v, max(v) AS max_v
+        |FROM (
+        |  SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS v FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'text_len', CAST(length(text) AS VARCHAR) FROM documents)
+        |GROUP BY col ORDER BY col""".stripMargin,
+    "q170_ab_welch_t" ->
+      """WITH o AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':ab170'), 1, 4))
+        |          AS BIGINT) % 2 AS arm,
+        |   CAST(round(o_totalprice*100) AS BIGINT) AS c
+        |  FROM orders),
+        |m AS (
+        |  SELECT arm, count(*) AS n,
+        |   sum(CAST(c AS HUGEINT)) AS s, sum(CAST(c AS HUGEINT)*c) AS ss
+        |  FROM o GROUP BY arm),
+        |p AS (
+        |  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+        |   max(CASE WHEN arm = 0 THEN s END) AS s0,
+        |   max(CASE WHEN arm = 0 THEN ss END) AS ss0,
+        |   max(CASE WHEN arm = 1 THEN n END) AS n1,
+        |   max(CASE WHEN arm = 1 THEN s END) AS s1,
+        |   max(CASE WHEN arm = 1 THEN ss END) AS ss1
+        |  FROM m)
+        |SELECT n0, n1,
+        | round(CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)/100.0, 6) AS mean_a,
+        | round(CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)/100.0, 6) AS mean_b,
+        | round((CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)/100.0
+        |        - CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)/100.0)
+        |   / sqrt(CAST(n1*ss1 - s1*s1 AS DOUBLE)/CAST(n1 AS DOUBLE)/(CAST(n1 AS DOUBLE)-1.0)/CAST(n1 AS DOUBLE)/10000.0
+        |        + CAST(n0*ss0 - s0*s0 AS DOUBLE)/CAST(n0 AS DOUBLE)/(CAST(n0 AS DOUBLE)-1.0)/CAST(n0 AS DOUBLE)/10000.0), 6)
+        |  AS t_stat
+        |FROM p""".stripMargin,
+    "q171_rrf_fusion" ->
+      """WITH agg AS (
+        |  SELECT l_partkey AS p_partkey,
+        |   sum(CAST(l_quantity AS BIGINT)) AS units,
+        |   sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS rev_cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT p_partkey,
+        |   row_number() OVER (ORDER BY units DESC, p_partkey) AS r_units,
+        |   row_number() OVER (ORDER BY rev_cents DESC, p_partkey) AS r_rev
+        |  FROM agg)
+        |SELECT p_partkey, r_units, r_rev,
+        | round(1.0/(60.0 + r_units) + 1.0/(60.0 + r_rev), 6) AS rrf
+        |FROM r ORDER BY rrf DESC, p_partkey LIMIT 25""".stripMargin,
+  )
+}

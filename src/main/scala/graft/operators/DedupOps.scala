@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{functions => gfn}
 
@@ -310,7 +311,65 @@ object DedupOps {
       .select(col("id").as("doc_id"), col("label").as("cluster"))
       .orderBy("doc_id")
 
+  /** q172: CONTAINMENT join — |A∩B| / min(|A|,|B|) ≥ 0.8 over 5-gram
+    * sets. Jaccard (q58) misses the quote-inclusion failure mode: a
+    * short doc fully embedded in a long one has jaccard ≈ |A|/|B| → 0
+    * but containment 1.0 — exactly the near-dup class a training
+    * corpus must catch (boilerplate-wrapped reposts). MinHash LSH
+    * cannot generate these candidates either (it estimates JACCARD),
+    * so the candidate step here is PREFIX FILTERING — the AllPairs/
+    * PPJoin device: order all grams globally by (document frequency
+    * asc, gram), and for a doc of set size z any pair meeting overlap
+    * t = ⌈0.8·min⌉ MUST share a gram among the doc's first
+    * z - ⌈0.8·z⌉ + 1 rarest grams (pigeonhole, since t ≥ ⌈0.8·z_min⌉
+    * and the smaller side's prefix uses its own z = z_min). Candidates
+    * are therefore prefix-grams ⋈ all-grams on the gram hash — rare
+    * grams by construction, so per-gram fan-out is small and there is
+    * never an all-pairs stage; the guarantee is LOSSLESS (the oracle
+    * is brute-force truth, and the gate would catch any miss).
+    * Verification reuses the sorted-set intersect kernel on gram sets
+    * built only for candidate docs (q58's shape). At 100 TB every
+    * stage is a keyed shuffle: df count, per-doc rank window, two
+    * hash joins — the canonical distributed set-similarity join. */
+  def containmentJoin(s: SparkSession, dir: String,
+      thresholdNum: Int = 8, thresholdDen: Int = 10): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), gfn.gram_set(norm(col("text")), 5).as("g"))
+      .filter(size(col("g")) > 0)
+      .transform(graft.util.Checkpoints.truncate)
+    val grams = d.select(col("doc_id"), explode(col("g")).as("gram"))
+    val withDf = grams.join(
+      grams.groupBy(col("gram")).agg(count(lit(1)).as("df")), Seq("gram"))
+    // prefix length z - ceil(0.8 z) + 1, with ceil in exact integers
+    val prefLen = col("z") - ((col("z") * thresholdNum + thresholdDen - 1)
+      .divide(thresholdDen)).cast("long") + lit(1L)
+    val rankW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val pref = withDf
+      .withColumn("rn", row_number().over(rankW))
+      .join(d.select(col("doc_id"), size(col("g")).cast("long").as("z")), Seq("doc_id"))
+      .filter(col("rn") <= prefLen)
+      .select(col("doc_id").as("pa"), col("gram"))
+    val cand = pref
+      .join(grams.select(col("doc_id").as("pb"), col("gram")), Seq("gram"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("a"),
+        greatest(col("pa"), col("pb")).as("b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("a"), col("g").as("ga")), Seq("a"))
+      .join(d.select(col("doc_id").as("b"), col("g").as("gb")), Seq("b"))
+      .withColumn("intersect_size", gfn.sorted_intersect_size(col("ga"), col("gb")))
+      .withColumn("min_size", least(size(col("ga")), size(col("gb"))).cast("long"))
+      .filter(col("intersect_size") * thresholdDen >= col("min_size") * thresholdNum)
+      .select(col("a"), col("b"), col("intersect_size").cast("long").as("intersect_size"),
+        col("min_size"),
+        (col("intersect_size").cast("double") / col("min_size")).as("containment"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_containment_join" -> ((s: SparkSession, d: String) => containmentJoin(s, d)),
     "q83_neardup_clusters" -> ((s: SparkSession, d: String) => neardupClusters(s, d)),
     "q56_minhash_pairs" -> ((s: SparkSession, d: String) => minhashPortablePairs(s, d)),
     "q57_simhash" -> ((s: SparkSession, d: String) => simhash(s, d)),
@@ -405,6 +464,28 @@ object DedupOps {
         |       CAST(isz AS DOUBLE) / (sa.sz + sb.sz - isz) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE isz * 10 >= (sa.sz + sb.sz - isz) * 7
+        |ORDER BY a, b""".stripMargin,
+    // q172: brute-force containment truth over the same byte 5-gram
+    // sets — the prefix filter on the Spark side is candidate PRUNING
+    // only (provably lossless), so the oracle needs no knowledge of it
+    "q172_containment_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS h,
+        |   octet_length(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS nb
+        |  FROM documents WHERE length(text) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substring(h, CAST(i*2+1 AS INT), 10) AS gram
+        |  FROM (SELECT doc_id, h, unnest(range(0, nb - 4)) AS i FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS isz
+        |  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, isz AS intersect_size,
+        |       least(sa.sz, sb.sz) AS min_size,
+        |       CAST(isz AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |WHERE isz * 10 >= least(sa.sz, sb.sz) * 8
         |ORDER BY a, b""".stripMargin,
   )
 }
