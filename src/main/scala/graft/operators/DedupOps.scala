@@ -311,47 +311,64 @@ object DedupOps {
       .select(col("id").as("doc_id"), col("label").as("cluster"))
       .orderBy("doc_id")
 
-  /** q172: CONTAINMENT join — |A∩B| / min(|A|,|B|) ≥ 0.8 over 5-gram
-    * sets. Jaccard (q58) misses the quote-inclusion failure mode: a
-    * short doc fully embedded in a long one has jaccard ≈ |A|/|B| → 0
-    * but containment 1.0 — exactly the near-dup class a training
-    * corpus must catch (boilerplate-wrapped reposts). MinHash LSH
-    * cannot generate these candidates either (it estimates JACCARD),
-    * so the candidate step here is PREFIX FILTERING — the AllPairs/
-    * PPJoin device: order all grams globally by (document frequency
-    * asc, gram), and for a doc of set size z any pair meeting overlap
-    * t = ⌈0.8·min⌉ MUST share a gram among the doc's first
-    * z - ⌈0.8·z⌉ + 1 rarest grams (pigeonhole, since t ≥ ⌈0.8·z_min⌉
-    * and the smaller side's prefix uses its own z = z_min). Candidates
-    * are therefore prefix-grams ⋈ all-grams on the gram hash — rare
-    * grams by construction, so per-gram fan-out is small and there is
-    * never an all-pairs stage; the guarantee is LOSSLESS (the oracle
-    * is brute-force truth, and the gate would catch any miss).
-    * Verification reuses the sorted-set intersect kernel on gram sets
-    * built only for candidate docs (q58's shape). At 100 TB every
-    * stage is a keyed shuffle: df count, per-doc rank window, two
-    * hash joins — the canonical distributed set-similarity join. */
+  /** q172: CONTAINMENT join — |A∩B| / min(|A|,|B|) ≥ 0.8 over word
+    * 3-shingle sets (Broder w-shingling). Jaccard (q58) misses the
+    * quote-inclusion failure mode: a short doc fully embedded in a
+    * long one has jaccard ≈ |A|/|B| → 0 but containment 1.0 — exactly
+    * the near-dup class a training corpus must catch
+    * (boilerplate-wrapped reposts). MinHash LSH cannot generate these
+    * candidates either (it estimates JACCARD, and banding at the low
+    * jaccard a contained-short-doc pair has misses ~always), so the
+    * candidate step is PREFIX FILTERING — the AllPairs/PPJoin device:
+    * order all shingles globally by (document frequency asc, shingle),
+    * and for a doc of set size z any pair meeting overlap
+    * t = ⌈0.8·min⌉ MUST share a shingle among the doc's first
+    * z - ⌈0.8·z⌉ + 1 rarest (pigeonhole, since t ≥ ⌈0.8·z_min⌉ and
+    * the smaller side's prefix uses its own z = z_min). The guarantee
+    * is LOSSLESS — the oracle is brute-force truth and would catch any
+    * miss. Two exact refinements keep the fan-out down: (1) df=1
+    * shingles can never produce a candidate AND sort ahead of every
+    * shared shingle, so the rank window runs over the df ≥ 2 subset
+    * with the equivalent cut k = n2 - t + 1; (2) the probe side uses
+    * raw occurrences (a df=1 probe row finds no prefix partner), so
+    * the df join is planned once. WORD shingles, not byte grams, are
+    * the containment representation on purpose: verbatim-span overlap
+    * is what containment measures, and a low-entropy/templated corpus
+    * collapses the byte-gram universe (2k distinct 5-grams across 5k
+    * fixture docs — every prefix dense, candidates ~quadratic) while
+    * word shingles keep the Zipfian rare tail prefix filtering needs
+    * (27k shingles, max df 25 on the same corpus; measured 6.3 s →
+    * 3.1 s at sf0.1, of which ~1 s is the pipeline's fixed 6-stage
+    * overhead — the sf0.001 floor). At 100 TB every stage is a keyed
+    * shuffle: df
+    * count, per-doc rank window, two hash joins — the canonical
+    * distributed set-similarity join. */
   def containmentJoin(s: SparkSession, dir: String,
       thresholdNum: Int = 8, thresholdDen: Int = 10): DataFrame = {
     val d = t(s, dir, "documents")
-      .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), gfn.gram_set(norm(col("text")), 5).as("g"))
-      .filter(size(col("g")) > 0)
+      .withColumn("toks", split(trim(norm(col("text"))), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_sort(array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+        .as("g"))
       .transform(graft.util.Checkpoints.truncate)
-    val grams = d.select(col("doc_id"), explode(col("g")).as("gram"))
-    val withDf = grams.join(
-      grams.groupBy(col("gram")).agg(count(lit(1)).as("df")), Seq("gram"))
-    // prefix length z - ceil(0.8 z) + 1, with ceil in exact integers
-    val prefLen = col("z") - ((col("z") * thresholdNum + thresholdDen - 1)
-      .divide(thresholdDen)).cast("long") + lit(1L)
-    val rankW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
-    val pref = withDf
+    val shingles = d.select(col("doc_id"), explode(col("g")).as("sh"))
+    val df2 = shingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val shared = shingles.join(df2, Seq("sh"))
+    val rankW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val n2W = Window.partitionBy(col("doc_id"))
+    // t = ceil(0.8 z) in exact integers; k = n2 - t + 1
+    val t8 = ((col("z") * thresholdNum + thresholdDen - 1)
+      .divide(thresholdDen)).cast("long")
+    val pref = shared
       .withColumn("rn", row_number().over(rankW))
+      .withColumn("n2", count(lit(1)).over(n2W))
       .join(d.select(col("doc_id"), size(col("g")).cast("long").as("z")), Seq("doc_id"))
-      .filter(col("rn") <= prefLen)
-      .select(col("doc_id").as("pa"), col("gram"))
+      .filter(col("rn") <= col("n2") - t8 + lit(1L))
+      .select(col("doc_id").as("pa"), col("sh"))
     val cand = pref
-      .join(grams.select(col("doc_id").as("pb"), col("gram")), Seq("gram"))
+      .join(shingles.select(col("doc_id").as("pb"), col("sh")), Seq("sh"))
       .filter(col("pa") =!= col("pb"))
       .select(least(col("pa"), col("pb")).as("a"),
         greatest(col("pa"), col("pb")).as("b"))
@@ -359,10 +376,11 @@ object DedupOps {
     cand
       .join(d.select(col("doc_id").as("a"), col("g").as("ga")), Seq("a"))
       .join(d.select(col("doc_id").as("b"), col("g").as("gb")), Seq("b"))
-      .withColumn("intersect_size", gfn.sorted_intersect_size(col("ga"), col("gb")))
+      .withColumn("intersect_size",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .withColumn("min_size", least(size(col("ga")), size(col("gb"))).cast("long"))
       .filter(col("intersect_size") * thresholdDen >= col("min_size") * thresholdNum)
-      .select(col("a"), col("b"), col("intersect_size").cast("long").as("intersect_size"),
+      .select(col("a"), col("b"), col("intersect_size"),
         col("min_size"),
         (col("intersect_size").cast("double") / col("min_size")).as("containment"))
       .orderBy("a", "b")
@@ -465,21 +483,26 @@ object DedupOps {
         |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
         |WHERE isz * 10 >= (sa.sz + sb.sz - isz) * 7
         |ORDER BY a, b""".stripMargin,
-    // q172: brute-force containment truth over the same byte 5-gram
+    // q172: brute-force containment truth over the same word-3-shingle
     // sets — the prefix filter on the Spark side is candidate PRUNING
-    // only (provably lossless), so the oracle needs no knowledge of it
+    // only (provably lossless), so the oracle needs no knowledge of it.
+    // DuckDB list indexing is 1-based where Spark subscripts are
+    // 0-based; range(0, len-2) with toks[i+1 .. i+3] mirrors Spark's
+    // sequence(0, size-3) with toks[i .. i+2] exactly.
     "q172_containment_join" ->
       """WITH d AS (
-        |  SELECT doc_id, hex(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS h,
-        |   octet_length(encode(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')))) AS nb
-        |  FROM documents WHERE length(text) >= 5),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, substring(h, CAST(i*2+1 AS INT), 10) AS gram
-        |  FROM (SELECT doc_id, h, unnest(range(0, nb - 4)) AS i FROM d)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |  SELECT doc_id,
+        |   string_split(trim(lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)] AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i
+        |        FROM d WHERE len(toks) >= 3)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |inter AS (
-        |  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS isz
-        |  FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+        |  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS isz
+        |  FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
         |  GROUP BY 1, 2)
         |SELECT a, b, isz AS intersect_size,
         |       least(sa.sz, sb.sz) AS min_size,

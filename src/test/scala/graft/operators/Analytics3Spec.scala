@@ -115,23 +115,23 @@ class Analytics3Spec extends SparkSpec {
   test("q172: prefix-filtered containment equals brute-force truth (losslessness)") {
     val got = DedupOps.containmentJoin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // brute force over ALL pairs with the same byte-5-gram kernel
+    // brute force over ALL pairs with the same word-3-shingle kernel
     val wsClass = "[ \\t\\n\\u000B\\f\\r]+"
     val docs = Tables(spark, sf, "documents")
-      .filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("text")).collect()
       .map { r =>
-        val normed = r.getString(1).replaceAll(wsClass, " ").toLowerCase
-        r.getLong(0) -> graft.functions.TextHashes.gramSet(
-          normed.getBytes("UTF-8"), 5)
+        val toks = r.getString(1).replaceAll(wsClass, " ").toLowerCase
+          .trim.split(" ", -1)
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
       }
       .filter(_._2.nonEmpty)
       .sortBy(_._1)
     val want = for {
       i <- docs.indices; j <- (i + 1) until docs.length
       (a, ga) = docs(i); (b, gb) = docs(j)
-      isz = ga.count(g => java.util.Arrays.binarySearch(gb, g) >= 0).toLong
-      minSz = math.min(ga.length, gb.length).toLong
+      isz = ga.count(gb.contains).toLong
+      minSz = math.min(ga.size, gb.size).toLong
       if isz * 10 >= minSz * 8
     } yield (a, b, isz, minSz)
     assert(got.toSeq == want.toSeq,

@@ -396,4 +396,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q167: edge set is materialized once — triangle legs never re-derive it") {
+    // the edge build (ONE lineitem scan + pair HOF + support rollup)
+    // runs inside Checkpoints.truncate; the wedge join + closure check
+    // must consume the materialized edges three times, not re-plan the
+    // build per leg (the unmaterialized form re-scanned the fact 6×,
+    // measured)
+    val p = plan("q167_triangle_count")
+    assert(!p.contains("FileScan"), p)
+    assert(countOf(p, "Scan ExistingRDD") == 3, p)
+  }
+
+  test("q168-q171: bins/profile/experiment/fusion are all single-scan") {
+    for (q <- Seq("q168_equidepth_histogram", "q169_column_profile",
+        "q170_ab_welch_t", "q171_rrf_fusion")) {
+      val p = plan(q)
+      assert(countOf(p, "FileScan") == 1, s"$q re-scans:\n$p")
+    }
+    // the profile melts via ONE Generate(stack), not per-column passes
+    assert(plan("q169_column_profile").contains("Generate"), "no stack melt")
+    // the experiment readout partial-aggregates before its 2-row shuffle
+    assert(countOf(plan("q170_ab_welch_t"), "HashAggregate") >= 2)
+  }
+
+  test("q172: containment verification is candidate-bounded — never all-pairs") {
+    val p = plan("q172_containment_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the gram frame is materialized once and fanned to df/prefix/verify
+    assert(!p.contains("FileScan"), p)
+  }
 }
