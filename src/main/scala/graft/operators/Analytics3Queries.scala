@@ -73,18 +73,43 @@ object Analytics3Queries {
   /** q168: equi-depth (decile) histogram of lineitem extended price —
     * the complement of q151's fixed-width bins: bin BOUNDARIES adapt so
     * each bin holds the same row count (what a query planner's
-    * histogram and a feature-binning step both want). ntile(10) over a
-    * TOTAL order (exact cents, then the row identity as tie-break)
-    * makes the assignment engine-exact — ntile on a non-total order is
-    * engine-DEPENDENT on ties, which is why the tie-break is part of
-    * the declared semantics. One global window sort (range-partitioned
-    * at scale — the q130 note) and a 10-row rollup. */
+    * histogram and a feature-binning step both want). Semantics are
+    * ntile(10) over a TOTAL order (exact cents, then the row identity
+    * as tie-break — ntile on a non-total order is engine-DEPENDENT on
+    * ties, so the tie-break is part of the declared semantics), and
+    * that is exactly what the DuckDB oracle runs. The EXECUTION shape
+    * is the scalable global-rank device, not a global window (a
+    * window with no partition key sorts the whole table in ONE task —
+    * measured 9.3 s at sf1 vs 1.9 s for this form): range-repartition
+    * on the total order (parallel sort), materialize once, local
+    * row_number per partition (window keyed by partition id — all
+    * partitions rank concurrently), add per-partition offsets
+    * (partition-count table is one row per partition — driver-side
+    * running sum, broadcast back), then compute ntile's bucket
+    * arithmetic from the global row number: with q = N div 10,
+    * r = N mod 10, the first r buckets take q+1 rows. Every quantity
+    * is an exact integer, so the assignment is engine-exact. */
   def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))
-    t(s, dir, "lineitem")
+    val ranged = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         Exact.cents(col("l_extendedprice")).as("c"))
-      .withColumn("decile", ntile(10).over(w))
+      .repartitionByRange(32, col("c"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("pid", spark_partition_id())
+      .transform(graft.util.Checkpoints.truncate)
+    val counts = ranged.groupBy(col("pid")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.tail.zip(counts).map { case ((pid, cum), (_, n)) => (pid, cum - n) }
+    val offDf = s.createDataFrame(offsets).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))
+    ranged
+      .withColumn("lrn", row_number().over(w))
+      .join(broadcast(offDf), Seq("pid"))
+      .withColumn("rn", col("off") + col("lrn"))
+      .withColumn("decile", ntileBucket(col("rn"), total, 10))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         (min(col("c")).cast("double") / 100.0).as("lo"),
@@ -92,6 +117,27 @@ object Analytics3Queries {
       .select(col("decile").cast("long").as("decile"), col("n"),
         col("lo"), col("hi"))
       .orderBy("decile")
+  }
+
+  /** SQL ntile's bucket assignment computed from a 1-based global row
+    * number: with q = N div k and r = N mod k, the first r buckets take
+    * q+1 rows and the rest take q — the standard-SQL contract both
+    * Spark's and DuckDB's ntile implement, in exact integer arithmetic
+    * (pinned against Spark's own ntile on a non-divisible N in the
+    * spec). max(q,1) guards the N < k degenerate case, where the first
+    * branch covers every row and the divisor is never meaningful. */
+  private[operators] def ntileBucket(rn: org.apache.spark.sql.Column,
+      total: Long, k: Int): org.apache.spark.sql.Column = {
+    val nq = total / k
+    val nr = total % k
+    // exact long floor-division: subtract the remainder first so the
+    // double division has an integer-exact result (< 2^53 — row
+    // numbers to ~9e15 before that bound matters)
+    def idiv(x: org.apache.spark.sql.Column, d: Long) =
+      ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+    when(rn <= lit(nr * (nq + 1)), idiv(rn - 1, nq + 1) + 1L)
+      .otherwise(lit(nr) +
+        idiv(rn - lit(nr * (nq + 1)) - 1, math.max(nq, 1L)) + 1L)
   }
 
   /** q169: per-column table profile — the first query any engine runs

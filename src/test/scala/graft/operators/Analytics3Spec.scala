@@ -54,6 +54,20 @@ class Analytics3Spec extends SparkSpec {
     rows.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3) case _ => }
   }
 
+  test("q168: ntileBucket arithmetic equals Spark's ntile for non-divisible N") {
+    import org.apache.spark.sql.expressions.Window
+    // 137 rows into 10 buckets: r = 7 buckets of 14, then 3 of 13 —
+    // exercises the branch the evenly-divisible fixtures never hit
+    val n = 137
+    val df = spark.range(1, n + 1).toDF("rn")
+    val got = df.select(col("rn"),
+      Analytics3Queries.ntileBucket(col("rn"), n.toLong, 10).as("b"))
+    val want = df.select(col("rn"),
+      ntile(10).over(Window.orderBy(col("rn"))).cast("long").as("b"))
+    assert(got.orderBy("rn").collect().map(_.getLong(1)).toSeq ==
+      want.orderBy("rn").collect().map(_.getLong(1)).toSeq)
+  }
+
   test("q169: profile accounts for every row and knows the key is unique") {
     val rows = Analytics3Queries.columnProfile(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

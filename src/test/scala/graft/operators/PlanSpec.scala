@@ -408,8 +408,8 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "Scan ExistingRDD") == 3, p)
   }
 
-  test("q168-q171: bins/profile/experiment/fusion are all single-scan") {
-    for (q <- Seq("q168_equidepth_histogram", "q169_column_profile",
+  test("q169-q171: profile/experiment/fusion are all single-scan") {
+    for (q <- Seq("q169_column_profile",
         "q170_ab_welch_t", "q171_rrf_fusion")) {
       val p = plan(q)
       assert(countOf(p, "FileScan") == 1, s"$q re-scans:\n$p")
@@ -418,6 +418,15 @@ class PlanSpec extends SparkSpec {
     assert(plan("q169_column_profile").contains("Generate"), "no stack melt")
     // the experiment readout partial-aggregates before its 2-row shuffle
     assert(countOf(plan("q170_ab_welch_t"), "HashAggregate") >= 2)
+  }
+
+  test("q168: ranking windows are partition-keyed — never a global one-task sort") {
+    // the equi-depth bins rank via the range-partition + local
+    // row_number + offset device; a windowspecdefinition with an empty
+    // PARTITION BY here would mean the whole fact sorts in one task
+    val p = plan("q168_equidepth_histogram")
+    assert(p.contains("windowspecdefinition(pid"), p)
+    assert(!p.contains("FileScan"), p) // ranged frame materialized once
   }
 
   test("q172: containment verification is candidate-bounded — never all-pairs") {
