@@ -140,14 +140,17 @@ object Analytics3Queries {
         idiv(rn - lit(nr * (nq + 1)) - 1, math.max(nq, 1L)) + 1L)
   }
 
-  /** q169: per-column table profile — the first query any engine runs
-    * against an unknown table (null counts, cardinality, value range)
-    * and the everyday data-quality report next to q146's FK audit. The
-    * table is melted ONCE with stack() into (column, value-as-string)
-    * — one scan for the whole profile, not one scan per column — and
-    * profiled with a single grouped aggregate. min/max are
-    * LEXICOGRAPHIC on the stringified value by declared semantics
-    * (a display profile, not numeric stats — q120/q151 own those);
+  /** q169: MELT-shaped column profile — the wide-table sibling of
+    * q126's profiler. q126 computes every column's aggregates side by
+    * side in one wide row (multi-distinct → ONE Expand over the scan):
+    * ideal at few columns, but the expand factor grows with the
+    * column count, so a 500-column feature table pays a 500× row
+    * blow-up inside the aggregate. This shape melts first — stack()
+    * to (column, value) — then runs ONE grouped aggregate keyed by
+    * column name: the same linear data volume regardless of column
+    * count, the standard profiler at wide-schema scale. min/max are
+    * LEXICOGRAPHIC on the stringified value by declared semantics (a
+    * display profile, not numeric stats — q120/q151 own those);
     * integer-typed columns stringify identically on both engines,
     * which is why the profile targets documents (no double columns).
     * n_distinct counts distinct non-null values per column — at 100 TB
@@ -239,7 +242,7 @@ object Analytics3Queries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_triangle_count" -> (triangleCount _),
     "q168_equidepth_histogram" -> (equidepthHistogram _),
-    "q169_column_profile" -> (columnProfile _),
+    "q169_melt_profile" -> (columnProfile _),
     "q170_ab_welch_t" -> (abWelchT _),
     "q171_rrf_fusion" -> (rrfFusion _),
   )
@@ -270,7 +273,7 @@ object Analytics3Queries {
         |                   l_orderkey, l_linenumber) AS decile
         |  FROM lineitem)
         |GROUP BY decile ORDER BY decile""".stripMargin,
-    "q169_column_profile" ->
+    "q169_melt_profile" ->
       """SELECT col, count(*) AS n_rows,
         | count(*) - count(v) AS n_nulls,
         | count(DISTINCT v) AS n_distinct,

@@ -409,13 +409,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q169-q171: profile/experiment/fusion are all single-scan") {
-    for (q <- Seq("q169_column_profile",
+    for (q <- Seq("q169_melt_profile",
         "q170_ab_welch_t", "q171_rrf_fusion")) {
       val p = plan(q)
       assert(countOf(p, "FileScan") == 1, s"$q re-scans:\n$p")
     }
     // the profile melts via ONE Generate(stack), not per-column passes
-    assert(plan("q169_column_profile").contains("Generate"), "no stack melt")
+    assert(plan("q169_melt_profile").contains("Generate"), "no stack melt")
     // the experiment readout partial-aggregates before its 2-row shuffle
     assert(countOf(plan("q170_ab_welch_t"), "HashAggregate") >= 2)
   }
