@@ -37,14 +37,15 @@ object Analytics3Queries {
     * the oracle SQL mechanical and the join shape identical. Edges are
     * support-thresholded order pairs: bounded by q109's per-order
     * ≤C(lines,2) expansion, never all-parts². */
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    // per-order pair expansion as ONE grouped aggregate + array HOF
-    // (C(lines,2) ≤ ~21 pairs/order) instead of an items self-join —
-    // one fact scan, one shuffle, no join. The edge set is materialized
-    // ONCE (Checkpoints.truncate) because three join legs consume it;
-    // without that the plan re-derives it per leg (6 fact scans,
-    // measured before the fix).
-    val e = t(s, dir, "lineitem")
+  /** Support-thresholded co-purchase edge set (pa < pb, co-ordered ≥ 2
+    * times), MATERIALIZED: per-order pair expansion as ONE grouped
+    * aggregate + array HOF (C(lines,2) ≤ ~21 pairs/order) instead of an
+    * items self-join — one fact scan, one shuffle, no join. Shared by
+    * the graph queries (q167 consumes it three times, q173 every BFS
+    * round); without the materialization the plan re-derives the build
+    * per consumer (6 fact scans in q167's first cut, measured). */
+  private[operators] def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(expr(
@@ -57,6 +58,9 @@ object Analytics3Queries {
       .filter(col("n_orders") >= 2)
       .select(col("pa"), col("pb"))
       .transform(graft.util.Checkpoints.truncate)
+
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
       .join(e.as("e3"),
@@ -117,6 +121,49 @@ object Analytics3Queries {
       .select(col("decile").cast("long").as("decile"), col("n"),
         col("lo"), col("hi"))
       .orderBy("decile")
+  }
+
+  /** q173: BFS shortest-path distances from the smallest vertex of the
+    * co-purchase graph — the FRONTIER (delta) iteration pattern that
+    * completes the repo's distributed-graph suite: connected
+    * components iterate over ALL vertices per round (q83's min-label),
+    * PageRank over all edges per round (q129), recursion declaratively
+    * via UnionLoop (q122) — BFS joins only the current FRONTIER with
+    * the edge set each round, the shape whose per-round cost tracks
+    * the wave, not the graph. Each round: frontier ⋈ edges →
+    * neighbors, anti-join against the visited set (first visit IS the
+    * BFS distance), materialize both (lineage truncation per round —
+    * reliable checkpoint under spark.graft.checkpointDir, see
+    * Checkpoints). Terminates when the frontier drains or at maxDepth
+    * (the oracle's recursive CTE carries the identical cap, so both
+    * engines bound the same wave). Edge set shared with q167
+    * (copurchaseEdges, materialized once). */
+  def bfsDistances(s: SparkSession, dir: String, maxDepth: Int = 12): DataFrame = {
+    val e = copurchaseEdges(s, dir)
+    val edges = e.union(e.select(col("pb").as("pa"), col("pa").as("pb")))
+      .transform(graft.util.Checkpoints.truncate)
+    val srcId = edges.agg(min(col("pa"))).collect().head.getLong(0)
+    var dist = edges.sparkSession.range(1)
+      .select(lit(srcId).as("id"), lit(0L).as("dist"))
+      .transform(graft.util.Checkpoints.truncate)
+    var frontier = dist
+    var depth = 0
+    var drained = false
+    while (!drained && depth < maxDepth) {
+      depth += 1
+      val next = frontier
+        .join(edges, frontier("id") === edges("pa"))
+        .select(col("pb").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(depth.toLong).as("dist"))
+        .transform(graft.util.Checkpoints.truncate)
+      drained = next.isEmpty
+      if (!drained) {
+        dist = dist.union(next).transform(graft.util.Checkpoints.truncate)
+        frontier = next
+      }
+    }
+    dist.orderBy("id")
   }
 
   /** SQL ntile's bucket assignment computed from a 1-based global row
@@ -245,6 +292,7 @@ object Analytics3Queries {
     "q169_melt_profile" -> (columnProfile _),
     "q170_ab_welch_t" -> (abWelchT _),
     "q171_rrf_fusion" -> (rrfFusion _),
+    "q173_bfs_distances" -> ((s: SparkSession, d: String) => bfsDistances(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -312,6 +360,23 @@ object Analytics3Queries {
         |        + CAST(n0*ss0 - s0*s0 AS DOUBLE)/CAST(n0 AS DOUBLE)/(CAST(n0 AS DOUBLE)-1.0)/CAST(n0 AS DOUBLE)/10000.0), 6)
         |  AS t_stat
         |FROM p""".stripMargin,
+    // q173: the recursive CTE carries the same depth cap as the Spark
+    // loop, so both engines bound the identical wave; UNION (distinct)
+    // dedupes (id, dist) states and min(dist) is the first-visit depth
+    "q173_bfs_distances" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb FROM items a JOIN items b
+        |   ON a.ok = b.ok AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa, pb FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+        |bfs(id, dist) AS (
+        |  SELECT (SELECT min(pa) FROM e), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.pb, bfs.dist + 1 FROM bfs JOIN e ON e.pa = bfs.id
+        |  WHERE bfs.dist < 12)
+        |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
     "q171_rrf_fusion" ->
       """WITH agg AS (
         |  SELECT l_partkey AS p_partkey,

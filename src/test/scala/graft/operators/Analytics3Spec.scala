@@ -126,6 +126,43 @@ class Analytics3Spec extends SparkSpec {
     rows.sliding(2).foreach { case Array(a, b) => assert(a._4 >= b._4) case _ => }
   }
 
+  test("q173: BFS distances equal a driver-side breadth-first search") {
+    val got = Analytics3Queries.bfsDistances(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // rebuild the same support-thresholded edge set imperatively
+    val items = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    for {
+      (_, ps) <- items.groupBy(_._1)
+      sorted = ps.map(_._2).distinct.sorted
+      i <- sorted.indices; j <- (i + 1) until sorted.length
+    } pairCounts((sorted(i), sorted(j))) =
+      pairCounts.getOrElse((sorted(i), sorted(j)), 0) + 1
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    pairCounts.foreach { case ((a, b), n) =>
+      if (n >= 2) {
+        adj(a) = b :: adj.getOrElse(a, Nil)
+        adj(b) = a :: adj.getOrElse(b, Nil)
+      }
+    }
+    val src = adj.keys.min
+    val distMap = scala.collection.mutable.Map(src -> 0L)
+    var frontier = List(src)
+    var depth = 0L
+    while (frontier.nonEmpty && depth < 12) {
+      depth += 1
+      frontier = for {
+        u <- frontier; v <- adj.getOrElse(u, Nil)
+        if !distMap.contains(v)
+      } yield { distMap(v) = depth; v }
+    }
+    val want = distMap.toSeq.sortBy(_._1)
+    assert(got.length > 1, "BFS must reach beyond the source at sf0.001")
+    assert(got.toSeq == want, s"got ${got.length} nodes, want ${want.length}")
+  }
+
   test("q172: prefix-filtered containment equals brute-force truth (losslessness)") {
     val got = DedupOps.containmentJoin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

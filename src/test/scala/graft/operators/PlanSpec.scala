@@ -429,6 +429,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("FileScan"), p) // ranged frame materialized once
   }
 
+  test("q173: BFS result consumes only materialized rounds — no re-derivation") {
+    // every BFS round is truncated; the final union must read the
+    // materialized per-round frames, never re-plan the edge build or
+    // earlier waves (which would re-run the whole prefix of the loop)
+    val p = plan("q173_bfs_distances")
+    assert(!p.contains("FileScan"), p)
+  }
+
   test("q172: containment verification is candidate-bounded — never all-pairs") {
     val p = plan("q172_containment_join")
     assert(!p.contains("CartesianProduct"), p)
