@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -48,26 +48,54 @@ object Analytics3Queries {
     * canonical distributed-graph pattern after connected components
     * (q83) and PageRank (q129). Vertices are parts; an undirected edge
     * joins two parts co-ordered ≥ 2 times (the same support cut that
-    * keeps q109's pair mining non-noise). Enumeration is the standard
-    * oriented edge-edge-edge join: every edge is stored once as
-    * (lo, hi), a triangle (a<b<c) is found exactly once as
-    * e(a,b) ⋈ e(b,c) ⋈∃ e(a,c) — the id-orientation kills the 6×
-    * duplication a naive self-join pays, and each triangle costs one
-    * hash probe of the edge set. At 100 TB one orients by DEGREE
-    * instead of id (the count-triangles-in-MapReduce refinement that
-    * bounds the wedge fan-out by arboricity); the id orientation keeps
-    * the oracle SQL mechanical and the join shape identical. Edges are
+    * keeps q109's pair mining non-noise). Enumeration is the
+    * DEGREE-ORIENTED wedge join (the count-triangles-in-MapReduce
+    * refinement): every edge is directed from its lower-(degree, id)
+    * endpoint to the higher, each triangle then has exactly ONE vertex
+    * with both triangle edges outgoing, so the wedge self-join on the
+    * source plus one hash probe of the canonical edge set finds every
+    * triangle exactly once — and out-degrees under this orientation
+    * are bounded by O(√|E|) (arboricity), which caps the wedge
+    * fan-out a high-degree hub would otherwise generate
+    * quadratically. The id-only orientation (a<b<c) is the same join
+    * shape WITHOUT that cap: one celebrity part co-bought with
+    * thousands of others turns its wedge set into a single-vertex
+    * blow-up — the triangle analog of the LSH hot-bucket. The output
+    * (per-vertex triangle counts) is orientation-INVARIANT, so the
+    * DuckDB oracle keeps the mechanical a<b<c formulation. Edges are
     * support-thresholded order pairs: bounded by q109's per-order
     * ≤C(lines,2) expansion, never all-parts². */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
     val e = copurchaseEdges(s, dir)
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
-      .join(e.as("e3"),
-        col("e1.pa") === col("e3.pa") && col("e2.pb") === col("e3.pb"),
+    // degree per endpoint over the undirected edge set
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orientation key packs (degree, id) into one long — ids are part
+    // keys < 2^31, degrees ≤ |V|, so the pack is collision-free and
+    // the lexicographic (d, id) order becomes a single long compare
+    def okey(d: Column, v: Column): Column = d * lit(1L << 32) + v
+    val oriented = e
+      .join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+      .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+      .select(
+        when(okey(col("da"), col("pa")) < okey(col("db"), col("pb")),
+          struct(col("pa").as("src"), col("pb").as("dst"),
+            okey(col("db"), col("pb")).as("dstk")))
+          .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
+            okey(col("da"), col("pa")).as("dstk"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"), col("o.dstk").as("dstk"))
+      .transform(graft.util.Checkpoints.truncate)
+    // wedges at the triangle's minimum-(deg,id) vertex: two out-edges,
+    // ordered by the destination key so each unordered pair appears once
+    val tri = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dstk") < col("y.dstk"))
+      .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
+      .join(e,
+        least(col("v"), col("w")) === col("pa") &&
+          greatest(col("v"), col("w")) === col("pb"),
         "left_semi")
-      .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("p_partkey"))
       .groupBy(col("p_partkey"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("p_partkey"))
