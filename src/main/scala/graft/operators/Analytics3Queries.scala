@@ -136,7 +136,7 @@ object Analytics3Queries {
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
       (pid, acc + n)
     }.tail.zip(counts).map { case ((pid, cum), (_, n)) => (pid, cum - n) }
-    val offDf = s.createDataFrame(offsets).toDF("pid", "off")
+    val offDf = s.createDataFrame(offsets.toIndexedSeq).toDF("pid", "off")
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))
     ranged
