@@ -172,7 +172,14 @@ object Analytics3Queries {
     val e = copurchaseEdges(s, dir)
     val edges = e.union(e.select(col("pb").as("pa"), col("pa").as("pb")))
       .transform(graft.util.Checkpoints.truncate)
-    val srcId = edges.agg(min(col("pa"))).collect().head.getLong(0)
+    val srcRow = edges.agg(min(col("pa"))).collect().head
+    if (srcRow.isNullAt(0)) {
+      // degenerate corpus with no support-2 edges: empty result with
+      // the declared schema, not a driver NPE
+      import s.implicits._
+      return Seq.empty[(Long, Long)].toDF("id", "dist")
+    }
+    val srcId = srcRow.getLong(0)
     var dist = edges.sparkSession.range(1)
       .select(lit(srcId).as("id"), lit(0L).as("dist"))
       .transform(graft.util.Checkpoints.truncate)
