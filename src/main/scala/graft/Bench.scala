@@ -56,12 +56,17 @@ object Bench {
           if (e2.isDefined) (d1, None)
           else {
             val best = math.min(d1, d2)
-            // the two samples disagreeing by >2x means one of them ate
-            // an ambient stall; one more sample costs little and stops
-            // a stall that hit BOTH the first two (it happens — two
-            // recorded rounds carried 10-100x one-offs) from standing
-            // as the query's number
-            if (math.max(d1, d2) > 2 * best && best > 0.2) {
+            // two triggers for a third sample:
+            //  - relative: the samples disagreeing by >2x means one of
+            //    them ate an ambient stall;
+            //  - absolute: best > 1s — the host's documented whole-JVM
+            //    stalls are multi-second, so when BOTH samples land
+            //    there they can agree with each other and still both be
+            //    stall-inflated (r4 recorded q145 at 6.16 s vs 0.55 s
+            //    in the identical-config sweep; min-of-2 didn't absorb
+            //    it). One extra sample on the handful of >1 s queries
+            //    costs ~20 s per bench run and bounds that failure mode.
+            if ((math.max(d1, d2) > 2 * best && best > 0.2) || best > 1.0) {
               val (d3, e3) = once()
               (if (e3.isDefined) best else math.min(best, d3), None)
             } else (best, None)
@@ -70,13 +75,14 @@ object Bench {
       (name, d, err)
     }
     // the recording harness keeps only the LAST ~2000 characters of this
-    // process's output and parses the metric line out of that window; a
-    // full-name queries map is ~2.6k chars, so with 89 queries the line
-    // itself overflows the window and the recorded artifact ends up
-    // unparseable (both prior rounds' BENCH artifacts show parsed:null).
-    // Emit the full-name line first (complete in the full log, for
-    // humans), then a compact line — short qNN keys, ms precision —
-    // guaranteed to fit inside the tail window, as the FINAL line.
+    // process's output and parses the metric line out of that window. A
+    // per-query map does NOT fit at this surface size: the round-3
+    // compact line (short keys, 10 ms precision) fit at 101 queries but
+    // overflowed again at 169 (BENCH_r04 parsed:null, q01-q05 cut). So
+    // the FINAL line now carries total+errors ONLY — a few hundred bytes
+    // at any query count — and per-query detail lives exclusively in the
+    // full-name line printed first (complete in the full log, for
+    // humans) and the target/bench_last.json sidecar.
     def line(keyOf: String => String, fmt: Double => String): String = {
       val qs = results.map { case (k, v, _) => "\"" + keyOf(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -89,16 +95,9 @@ object Bench {
       val total = fmt(results.collect { case (_, v, None) => v }.sum)
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     }
-    val shortKey: String => String = {
-      val full = results.map(_._1)
-      val abbrev = full.map(_.takeWhile(_ != '_'))
-      // qNN prefixes are unique today; if a future query breaks that,
-      // fall back to full names rather than silently merging two rows
-      if (abbrev.distinct.size == full.size) full.zip(abbrev).toMap else identity[String]
-    }
     println(line(identity[String], _.toString))
     // sidecar copy with full names — survives any stdout mangling.
-    // Written (and any failure reported) BEFORE the compact line so
+    // Written (and any failure reported) BEFORE the final line so
     // nothing we print can land after it in the recorder's tail window.
     try {
       val p = java.nio.file.Paths.get(
@@ -111,15 +110,15 @@ object Bench {
         System.err.println(s"bench sidecar write failed: $e")
     }
     spark.stop()
-    // Locale.ROOT, not an f-interpolator: f"" formats through the JVM's
-    // default locale, and a comma decimal separator would make the one
-    // line the recorder parses unparseable JSON. %.2f, not %.3f: at 126
-    // queries the ms-precision line is ~1850 chars — inside the
-    // recorder's ~2000-char tail window but with no slack left; 10 ms
-    // per-query granularity buys ~130 chars of margin (the sidecar and
-    // the first full line keep full precision)
-    println(line(shortKey,
-      d => String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))))
+    // FINAL line, the one the recorder parses: total + errors only.
+    // "queries" stays present (empty) for any parser that expects the
+    // key; per-query numbers are in the first line and the sidecar.
+    // toString (not an f-interpolator) keeps the decimal separator
+    // locale-independent — a comma would make the line unparseable JSON.
+    val errsJson = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val totalSec = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$totalSec,"unit":"sec","queries":{},"errors":$errsJson,"nqueries":${results.size},"detail":"target/bench_last.json","sf":"$sfDir"}""")
   }
 
   /** Untimed warmup: first-touch costs (JIT of the native expression

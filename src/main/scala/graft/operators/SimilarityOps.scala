@@ -101,30 +101,60 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs, blocked by label: the
-    * standard blocked-dedup shape — a cheap blocking key (here the
-    * label; in production an LSH bucket or coarse quantizer cell)
-    * turns the O(N²) all-pairs cosine into per-block self-joins. On a
-    * cluster the block id is the shuffle key, so each block's pairs
-    * are generated without cross-node traffic. */
-  def embeddingNeardup(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
-    val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
-    a.join(b, Seq("label"))
-      .filter(col("a") < col("b"))
+  /** Embedding-cosine near-duplicate report, blocked by label AND
+    * bounded per doc: for each vector, its top-`k` most similar
+    * SAME-LABEL neighbors at cosine ≥ `threshold`. Both the compute and
+    * the declared output are linear in the corpus:
+    *  - candidates come from the same deterministic IVF coarse
+    *    quantizer as q66 (adaptive nlist, multi-probe), intersected
+    *    with the label block — per-cell membership is pinned at
+    *    ~125·probes vectors regardless of corpus size, so pair
+    *    generation costs ~N·(125·probes²), not the N²/labels of a raw
+    *    label-block self-join (ScaleGen grows blocks, not labels: the
+    *    all-pairs form was this suite's one super-linear query, 16.7×
+    *    on the sf0.1→1 decade);
+    *  - the output is ≤ k rows per doc (top-k by exact rounded cosine,
+    *    vec_id tie-break), not every pair above the threshold — at 32
+    *    dims random-pair noise crosses a fixed threshold at a constant
+    *    rate, so an unbounded pair list grows quadratically no matter
+    *    how it is computed.
+    * Precision is exact (every emitted pair is verified with the exact
+    * cosine); recall vs the all-pairs truth is the multi-probe recall
+    * pinned in ScalaTest. The (label, cell) bucket id is the shuffle
+    * key, and the bucket→pair expansion runs through the shared
+    * hot-bucket guard (DedupOps.pairsFromDigests). */
+  def embeddingNeardup(s: SparkSession, dir: String, threshold: Double = 0.35,
+      k: Int = 3, nlist: Int = 16, probes: Int = 3): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cells = ivfCellAssign(s, dir, nlist, probes)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    // bucket key = (label, cell): a string digest, unambiguous for any
+    // label/cell range (no packed-long overflow concerns)
+    val cand = DedupOps.pairsFromDigests(cells.select(
+      col("vec_id").as("doc_id"), lit(0).as("band"),
+      concat_ws(":", col("label"), col("cell")).as("digest")))
+    // per-doc top-k is directional: mirror the undirected candidates
+    val directed = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
+    val scored = directed
+      .join(emb.select(col("vec_id").as("a"), col("label"),
+        col("embedding").as("va")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))
       .select(col("label"), col("a"), col("b"),
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .orderBy("a", "b")
+    Ops.topKPerGroup(scored, Seq(col("a")),
+        Seq(col("cos_sim").desc, col("b")), k)
+      .select(col("label"), col("a"), col("rank"), col("b"), col("cos_sim"))
+      .orderBy("a", "rank")
   }
 
   /** Embedding near-dup with a SCALABLE blocking key: each vector is
     * indexed under its `probes` nearest sampled IVF centroids (the same
     * deterministic coarse quantizer as q63), and pairs are generated
-    * only within shared cells. Unlike q59's label key (a demo — labels
-    * don't exist in a raw corpus and don't bound block size), the cell
-    * key derives from the vectors themselves, and both knobs scale:
+    * only within shared cells. The cell key derives from the vectors
+    * themselves (labels don't exist in a raw corpus — q59 layers its
+    * label constraint ON TOP of this same quantizer), and both knobs
+    * scale:
     * `nlist` grows with the corpus so each cell stays executor-sized
     * (pair generation costs ~N²·probes²/nlist instead of N²), and
     * `probes` buys recall — pairs straddling one cell boundary still
@@ -140,18 +170,20 @@ object SimilarityOps {
 
   /** neardupIvfBlocked without the presentation sort — downstream
     * consumers (semantic dedup) re-shuffle the pairs immediately. */
-  private[operators] def neardupIvfBlockedRaw(s: SparkSession, dir: String,
-      threshold: Double = 0.35, nlist: Int = 16, probes: Int = 3): DataFrame = {
+  /** The q66/q59 multi-probe IVF cell assignment: (vec_id, cell) rows,
+    * `probes` per vector. ADAPTIVE nlist — the knob the scaladoc
+    * promises must actually move: with a fixed cell count, per-cell
+    * membership is N·probes/nlist and pair mass N²·probes²/nlist, so a
+    * 10× corpus costs 100× (measured: 1.5 s at 2k vectors → 192 s at
+    * 20k with nlist=16). Growing nlist ∝ N pins membership at
+    * ~125·probes per cell and pair mass to ~N·(125·probes²) — linear.
+    * Every gate scale lands exactly on the floor (2000/125 = 16), so
+    * declared results at sf ≤ 0.1 are bit-identical to the fixed-nlist
+    * form and the DuckDB oracles' hardcoded 16 centroids stay in
+    * parity. */
+  private[operators] def ivfCellAssign(s: SparkSession, dir: String,
+      nlist: Int, probes: Int): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    // ADAPTIVE nlist — the knob the scaladoc promises must actually
-    // move: with a fixed cell count, per-cell membership is N·probes/
-    // nlist and pair mass N²·probes²/nlist, so a 10× corpus costs
-    // 100× (measured: 1.5 s at 2k vectors → 192 s at 20k with
-    // nlist=16). Growing nlist ∝ N pins membership at ~125·probes per
-    // cell and pair mass to ~N·(125·probes²) — linear. Every gate
-    // scale lands exactly on the floor (2000/125 = 16), so declared
-    // results at sf ≤ 0.1 are bit-identical to the fixed-nlist form
-    // and the DuckDB oracle's hardcoded 16 centroids stay in parity.
     val effNlist = math.max(nlist, (embCount(s, dir) / 125L).toInt)
     val cents = emb.filter(col("vec_id").between(1, effNlist))
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -162,10 +194,16 @@ object SimilarityOps {
     // partition key, so this window runs at full parallelism
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("cid").desc)
-    val ranked = scored
+    scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= probes)
       .select(col("cid").as("cell"), col("vec_id"))
+  }
+
+  private[operators] def neardupIvfBlockedRaw(s: SparkSession, dir: String,
+      threshold: Double = 0.35, nlist: Int = 16, probes: Int = 3): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ranked = ivfCellAssign(s, dir, nlist, probes)
     // bucket-grouping pair expansion via the SHARED guarded expansion
     // (DedupOps.pairsFromDigests): the scoring+ranking dataflow runs
     // ONCE — a self-join of `ranked` would recompute the N×nlist
@@ -428,18 +466,33 @@ object SimilarityOps {
         | JOIN qcells ON a.cell = qcells.cell, q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 50""".stripMargin,
+    // q59: the bounded near-dup report — same CTE prefix as q66 (the
+    // 16-centroid coarse quantizer holds at every gate scale), with the
+    // candidate join additionally constrained to the label block,
+    // mirrored to directed pairs, and cut to top-3 per doc
     "q59_embedding_neardup" ->
-      """SELECT a.label, a.vec_id AS a, b.vec_id AS b,
-        | round(
-        |   list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE)*v)))
-        |      * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE)*v)))), 6) AS cos_sim
-        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(
-        |   list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE)*v)))
-        |      * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE)*v)))), 6) >= 0.35
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH $ivfCandSql,
+        |memb AS (
+        |  SELECT r.vec_id, r.cid AS cell, e.label
+        |  FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+        |  WHERE r.rk <= 3),
+        |lcand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM memb x JOIN memb y
+        |   ON x.cell = y.cell AND x.label = y.label AND x.vec_id < y.vec_id),
+        |dirp AS (SELECT a, b FROM lcand UNION ALL SELECT b AS a, a AS b FROM lcand),
+        |sc AS (
+        |  SELECT ea.label, d.a, d.b, round($pairCosSql, 6) AS cos_sim
+        |  FROM dirp d
+        |   JOIN embeddings ea ON ea.vec_id = d.a
+        |   JOIN embeddings eb ON eb.vec_id = d.b
+        |  WHERE round($pairCosSql, 6) >= 0.35),
+        |rk AS (
+        |  SELECT label, a, b, cos_sim,
+        |   row_number() OVER (PARTITION BY a ORDER BY cos_sim DESC, b) AS rank
+        |  FROM sc)
+        |SELECT label, a, CAST(rank AS INT) AS rank, b, cos_sim
+        |FROM rk WHERE rank <= 3 ORDER BY a, rank""".stripMargin,
     "q60_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

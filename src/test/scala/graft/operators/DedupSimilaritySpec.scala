@@ -145,9 +145,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF-cell blocking recall $recall")
   }
 
-  test("embedding near-dup pairs are consistent with pairwise cosine") {
-    val nd = SimilarityOps.embeddingNeardup(spark, sf, 0.3)
+  test("embedding near-dup report is bounded, thresholded, and label-consistent") {
+    val nd = SimilarityOps.embeddingNeardup(spark, sf, 0.3).cache()
     assert(nd.filter(col("cos_sim") < 0.3).count() === 0)
-    assert(nd.filter(col("a") >= col("b")).count() === 0)
+    assert(nd.filter(col("a") === col("b")).count() === 0)
+    // the declared output is bounded: at most k rows per doc, ranks 1..k
+    val overK = nd.groupBy("a").count().filter(col("count") > 3).count()
+    assert(overK === 0, "more than k neighbors emitted for some doc")
+    assert(nd.filter(col("rank") < 1 || col("rank") > 3).count() === 0)
+    // every emitted neighbor shares the doc's label (the block constraint)
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").as("blabel"))
+    assert(nd.join(e, nd("b") === e("vec_id"))
+      .filter(col("label") =!= col("blabel")).count() === 0)
+    nd.unpersist()
+  }
+
+  test("embedding near-dup recall vs the exact same-label top-k truth") {
+    // exact truth: per doc, the top-3 same-label neighbors above the
+    // threshold, from the all-pairs cosine — the unbounded form the
+    // bounded query approximates via IVF-cell candidate generation
+    val e = graft.Tables(spark, sf, "embeddings")
+    val a = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+    val scored = a.join(b, Seq("label")).filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(SimilarityOps.cosine(col("va"), col("vb")), 6).as("cs"))
+      .filter(col("cs") >= 0.35)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("cs").desc, col("b"))
+    val truth = scored
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain same-label near-dup pairs")
+    val got = SimilarityOps.embeddingNeardup(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(s"bounded near-dup recall $recall (${got.intersect(truth).size}/${truth.size})")
+    assert(recall >= 0.7, s"label∩cell blocking recall $recall")
   }
 }
