@@ -17,6 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CandyQueries.queries ++ TextQueries.queries ++
       AnalyticsQueries.queries ++ Analytics2Queries.queries ++ Analytics3Queries.queries ++
+      Tpch2Queries.queries ++
       CdcOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       graft.multimodal.MultimodalOps.queries ++ graft.sources.LayoutQueries.queries ++
       graft.sources.v2.RangeSourceQueries.queries ++
@@ -29,6 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ CandyQueries.oracle ++ TextQueries.oracle ++
       AnalyticsQueries.oracle ++ Analytics2Queries.oracle ++ Analytics3Queries.oracle ++
+      Tpch2Queries.oracle ++
       CdcOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
       graft.multimodal.MultimodalOps.oracle ++ graft.sources.LayoutQueries.oracle ++
       graft.sources.v2.RangeSourceQueries.oracle ++

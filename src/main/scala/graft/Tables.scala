@@ -47,7 +47,24 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        // an int64 ts has shipped as NANOS (TIMESTAMP(NANOS) surfaced
+        // under nanosAsLong); a future fixture generation could ship
+        // MICROS as plain int64, and blindly dividing would silently
+        // shift every event timestamp 1000×. The two shapes are
+        // unambiguous by magnitude — nanos since epoch are ~1.7e18,
+        // micros ~1.7e15, disjoint for any date between 1973 and 5138 —
+        // so decide per value (two long compares, codegen'd, works on
+        // batch and streaming frames alike) and fail LOUDLY on a
+        // magnitude that is neither, rather than guess.
+        val nanosLow  = lit(100000000000000000L) // 1e17: 1973 in nanos
+        val microsLow = lit(100000000000000L)    // 1e14: 1973 in micros
+        df.withColumn("ts", timestamp_micros(
+          when(col("ts").isNull, lit(null).cast("long"))
+            .when(col("ts") >= nanosLow, expr("ts DIV 1000"))
+            .when(col("ts") >= microsLow, col("ts"))
+            .otherwise(raise_error(concat(
+              lit("events.ts int64 magnitude is neither nanos nor micros since epoch: "),
+              col("ts").cast("string"))).cast("long"))))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df

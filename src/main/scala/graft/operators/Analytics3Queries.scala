@@ -71,9 +71,17 @@ object Analytics3Queries {
     val deg = e.select(explode(array(col("pa"), col("pb"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // orientation key packs (degree, id) into one long — ids are part
-    // keys < 2^31, degrees ≤ |V|, so the pack is collision-free and
-    // the lexicographic (d, id) order becomes a single long compare
-    def okey(d: Column, v: Column): Column = d * lit(1L << 32) + v
+    // keys < 2^32, degrees < 2^30, so the pack fits a long collision-
+    // free and the lexicographic (d, id) order becomes a single long
+    // compare. The bounds are ASSERTED per row (two compares,
+    // codegen'd): if a future fixture ever scales part keys past 2^32
+    // or degrees past 2^30 the query fails with this message instead
+    // of silently corrupting triangle counts via overflow/collision.
+    def okey(d: Column, v: Column): Column =
+      when(v >= 0L && v < lit(1L << 32) && d >= 0L && d < lit(1L << 30),
+        d * lit(1L << 32) + v)
+        .otherwise(raise_error(lit(
+          "q167 orientation-key overflow: part key >= 2^32 or degree >= 2^30")).cast("long"))
     val oriented = e
       .join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
       .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
@@ -569,7 +577,9 @@ object Analytics3Queries {
         |  UNION
         |  SELECT e.pb, bfs.dist + 1 FROM bfs JOIN e ON e.pa = bfs.id
         |  WHERE bfs.dist < 12)
-        |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+        |SELECT id, min(dist) AS dist FROM bfs
+        |WHERE id IS NOT NULL
+        |GROUP BY id ORDER BY id""".stripMargin,
     "q171_rrf_fusion" ->
       """WITH agg AS (
         |  SELECT l_partkey AS p_partkey,
