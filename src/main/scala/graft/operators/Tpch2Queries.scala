@@ -43,8 +43,8 @@ object Tpch2Queries {
     * fact shuffle), leaving only the cross-arm OR as a post-join
     * residual on already-tiny intermediate rows. One fact-fact shuffle
     * (lineitem⋈orders); everything else broadcasts. */
-  def tpchQ7(s: SparkSession, dir: String, nationA: String = "NATION_1",
-      nationB: String = "NATION_2"): DataFrame = {
+  def tpchQ7(s: SparkSession, dir: String, nationA: String = "NATION_11",
+      nationB: String = "NATION_19"): DataFrame = {
     val pair = Seq(nationA, nationB)
     val n1 = broadcast(t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
@@ -170,8 +170,8 @@ object Tpch2Queries {
         | JOIN nation n1 ON s_nationkey = n1.n_nationkey
         | JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_11'))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q179_tpch_q8" ->
