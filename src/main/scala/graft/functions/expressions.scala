@@ -30,6 +30,12 @@ object functions {
   def lsh_bucket(c: Column, bits: Int, table: Int = 0): Column =
     GraftExpressions.lshBucketF(c, bits, table)
 
+  /** int8 cosine sketch blob of an array<float> column (binary). */
+  def i8_sketch(c: Column): Column = GraftExpressions.i8Sketch(c)
+
+  /** Rigorous cosine upper bound from two i8_sketch columns. */
+  def i8_cos_bound(l: Column, r: Column): Column = GraftExpressions.i8CosBound(l, r)
+
   /** Register minhash_sig/simhash64 as SQL functions on a session. */
   def registerAll(spark: SparkSession): Unit = GraftExpressions.registerAll(spark)
 }

@@ -116,33 +116,61 @@ object DedupOps {
 
   /** Bucket→pair expansion from a melted (doc_id, band, digest) frame —
     * the guard and pair generation shared by the native (q58/q83) and
-    * portable (q56) LSH variants. See pairsFromSig for the hot-bucket
-    * guard contract. */
-  private[operators] def pairsFromDigests(melted: DataFrame): DataFrame = {
+    * portable (q56) LSH variants, and the IVF-cell families (q59/q66/
+    * q87). See pairsFromSig for the hot-bucket guard contract.
+    *
+    * Form: fully RELATIONAL — rank members within each bucket
+    * (row_number by doc_id, one (band, digest) shuffle), then emit
+    * head-pairs as an equi-self-join on the bucket key with an
+    * `rk < rk` residual and star links as a join against each bucket's
+    * first member. An earlier form collected each bucket into an array
+    * and expanded pairs with nested higher-order transforms; Catalyst
+    * evaluates lambda-bearing expressions as CodegenFallback
+    * (interpreted, per element), which made the EXPANSION the dominant
+    * cost of the whole near-dup family — 30 s for 11M pairs at sf1 vs
+    * ~3 s for this join form, which stays inside whole-stage codegen
+    * end to end. The ranked frame feeds three branches off one shuffle
+    * (ReuseExchange collapses them), and per-bucket join groups are
+    * bounded by the cap, so the SMJ buffer never exceeds `cap` rows. */
+  private[operators] def pairsFromDigests(melted: DataFrame): DataFrame =
+    pairsFromDigestsDup(melted).distinct()
+
+  /** pairsFromDigests WITHOUT the final distinct: a pair co-bucketed
+    * by several bands/cells appears once per co-bucketing. Callers that
+    * filter pairs further (the i8-bound prune) dedupe AFTER their
+    * filter, so the distinct shuffle carries only survivors. */
+  private[operators] def pairsFromDigestsDup(melted: DataFrame): DataFrame = {
     val cap = melted.sparkSession.conf
       .getOption(MaxBucketConf).map(_.toInt).getOrElse(MaxBucketDefault)
     require(cap >= 2, s"$MaxBucketConf must be >= 2, got $cap")
-    val buckets = melted
-      .groupBy(col("band"), col("digest"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    val bucket = Window.partitionBy(col("band"), col("digest"))
+    val ranked = melted
+      .select(col("band"), col("digest"), col("doc_id"))
+      .withColumn("rk", row_number().over(bucket.orderBy(col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(bucket))
+      .filter(col("cnt") > 1)
       .observe("graft_lsh_buckets",
-        count(lit(1)).as("buckets"),
-        max(size(col("ids"))).as("max_bucket"),
-        sum(when(size(col("ids")) > cap, 1L).otherwise(0L)).as("oversized_buckets"),
-        sum(when(size(col("ids")) > cap, size(col("ids")) - cap)
-          .otherwise(0)).as("overflow_members"))
-    val head = slice(col("ids"), 1, cap)
-    val headPairs = flatten(transform(head, (x, i) =>
-      transform(slice(head, i + lit(2), size(head)),
-        y => struct(x.as("a"), y.as("b")))))
-    val tailPairs = transform(
-      slice(col("ids"), lit(cap + 1), greatest(size(col("ids")) - cap, lit(0))),
-      y => struct(element_at(col("ids"), 1).as("a"), y.as("b")))
-    buckets
-      .select(explode(concat(headPairs, tailPairs)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("buckets"),
+        max(col("cnt")).as("max_bucket"),
+        sum(when(col("rk") === 1 && col("cnt") > cap, 1L).otherwise(0L))
+          .as("oversized_buckets"),
+        sum(when(col("rk") === 1 && col("cnt") > cap, col("cnt") - cap)
+          .otherwise(0L)).as("overflow_members"))
+    val head = ranked.filter(col("rk") <= cap)
+      .select(col("band"), col("digest"), col("doc_id"), col("rk"))
+    val headPairs = head.select(col("band"), col("digest"),
+        col("doc_id").as("a"), col("rk").as("rka"))
+      .join(head.select(col("band"), col("digest"),
+        col("doc_id").as("b"), col("rk").as("rkb")), Seq("band", "digest"))
+      .filter(col("rka") < col("rkb"))
+      .select(col("a"), col("b"))
+    val starLinks = ranked.filter(col("rk") > cap)
+      .select(col("band"), col("digest"), col("doc_id").as("b"))
+      .join(ranked.filter(col("rk") === 1)
+        .select(col("band"), col("digest"), col("doc_id").as("a")),
+        Seq("band", "digest"))
+      .select(col("a"), col("b"))
+    headPairs.union(starLinks)
   }
 
   /** Hash-PORTABLE MinHash LSH candidate pairs — the q56 declared

@@ -37,6 +37,33 @@ object SimilarityOps {
     * identical to the DuckDB oracle's list_transform/list_sum. */
   def cosine(a: Column, b: Column): Column = gfn.cosine_sim(a, b)
 
+  /** Lossless i8-sketch prune of an (a, b[, …]) candidate-pair frame:
+    * drop every pair whose RIGOROUS cosine upper bound
+    * (VectorKernels.i8CosBound — proof there) sits below
+    * `threshold − 1e-6`. Changes the plan, never the result: every
+    * pair the exact `round(cosine, 6) ≥ threshold` verify would keep
+    * survives the bound, so declared outputs and DuckDB oracles are
+    * untouched and the oracle does not model the prune.
+    *
+    * Why it pays: the verify joins carry the full float vectors to
+    * every CANDIDATE; after the prune they carry them only to
+    * survivors (measured ~4–20× fewer at thresholds 0.35/0.5 on this
+    * corpus). The sketch side is 16+d bytes/vector — broadcast here
+    * (≤ ~10 MB at every gate scale, candidates stream through two
+    * broadcast-hash joins with zero extra shuffle). At true cluster
+    * scale swap the hint for a shuffle join on vec_id; the payload
+    * asymmetry (sketch ≪ vector) still carries the win. */
+  private def pruneByI8Bound(emb: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val keep = cand.columns
+    val sk = broadcast(emb.select(col("vec_id"), gfn.i8_sketch(col("embedding")).as("sk")))
+    cand
+      .join(sk.select(col("vec_id").as("a"), col("sk").as("ska")), Seq("a"))
+      .join(sk.select(col("vec_id").as("b"), col("sk").as("skb")), Seq("b"))
+      .filter(gfn.i8_cos_bound(col("ska"), col("skb")) >= lit(threshold - 1e-6))
+      .select(keep.map(col).toIndexedSeq: _*)
+  }
+
   /** Brute-force cosine top-k vs the vec_id=0 query vector. */
   def cosineTopK(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -130,11 +157,15 @@ object SimilarityOps {
       .join(emb.select(col("vec_id"), col("label")), "vec_id")
     // bucket key = (label, cell): a string digest, unambiguous for any
     // label/cell range (no packed-long overflow concerns)
-    val cand = DedupOps.pairsFromDigests(cells.select(
+    val cand = DedupOps.pairsFromDigestsDup(cells.select(
       col("vec_id").as("doc_id"), lit(0).as("band"),
       concat_ws(":", col("label"), col("cell")).as("digest")))
     // per-doc top-k is directional: mirror the undirected candidates
-    val directed = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
+    // (pruned first — the bound holds in either orientation, so
+    // pruning before the mirror halves the bound evaluations; distinct
+    // after the prune so its shuffle carries survivors only)
+    val pruned = pruneByI8Bound(emb, cand, threshold).distinct()
+    val directed = pruned.union(pruned.select(col("b").as("a"), col("a").as("b")))
     val scored = directed
       .join(emb.select(col("vec_id").as("a"), col("label"),
         col("embedding").as("va")), Seq("a"))
@@ -211,8 +242,14 @@ object SimilarityOps {
     // probing the same centroid on a degenerate corpus) is capped +
     // star-linked by the hot-bucket guard instead of exploding one
     // task quadratically.
-    val cand = DedupOps.pairsFromDigests(ranked.select(
-      col("vec_id").as("doc_id"), lit(0).as("band"), col("cell").as("digest")))
+    // prune BEFORE the pair distinct: the bound filter drops ~97% of
+    // candidates (threshold 0.35 at sf1), so the distinct shuffle
+    // carries survivors only — the full-candidate distinct was the
+    // single largest stage of the family (11M-pair shuffle, ~12 s at
+    // sf1 vs ~0.5 s post-prune)
+    val cand = pruneByI8Bound(emb, DedupOps.pairsFromDigestsDup(ranked.select(
+      col("vec_id").as("doc_id"), lit(0).as("band"), col("cell").as("digest"))),
+      threshold).distinct()
     cand
       .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), Seq("a"))
       .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), Seq("b"))

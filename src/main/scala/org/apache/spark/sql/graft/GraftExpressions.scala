@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{TextHashes, VectorKernels}
@@ -171,6 +171,67 @@ case class CosineSimF(left: Expression, right: Expression)
       newRight: Expression): CosineSimF = copy(left = newLeft, right = newRight)
 }
 
+/** int8 cosine sketch of a float vector — a 16+d byte blob carrying
+  * the quantized normalized vector plus the norms that make
+  * I8CosBound a rigorous upper bound (kernel: VectorKernels.i8Sketch,
+  * where the bound's proof lives). Computed once per vector; ~8×
+  * smaller than the float array it stands in for on the candidate
+  * side of a near-dup verify. */
+case class I8Sketch(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "i8_sketch"
+  // null vector ELEMENTS null the sketch instead of quantizing as 0.0f
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean = child.nullable || elementsNullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (elementsNullable)
+      VectorKernels.i8SketchAD(input.asInstanceOf[ArrayData])
+    else VectorKernels.i8Sketch(input.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (elementsNullable)
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("boxed")
+        s"""byte[] $tmp = graft.functions.VectorKernels.i8SketchAD($c);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }""".stripMargin
+      })
+    else defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.i8Sketch($c.toFloatArray())")
+
+  override protected def withNewChildInternal(newChild: Expression): I8Sketch =
+    copy(child = newChild)
+}
+
+/** Upper bound on cosine(a, b) from two i8_sketch blobs (kernel:
+  * VectorKernels.i8CosBound — proof in its scaladoc). Filtering on
+  * `i8_cos_bound(ska, skb) >= threshold - 1e-6` before an exact
+  * cosine verify is lossless: the ε absorbs the bound's own FP
+  * evaluation error and the declared filter's round(·, 6). */
+case class I8CosBound(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "i8_cos_bound"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.i8CosBound(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.VectorKernels.i8CosBound($l, $r)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): I8CosBound = copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane LSH bucket of a float vector (kernel:
   * VectorKernels.lshBucketF). */
 case class LshBucketF(child: Expression, bits: Int, table: Int)
@@ -219,6 +280,13 @@ object GraftExpressions {
 
   def lshBucketF(c: Column, bits: Int, table: Int): Column =
     ExpressionUtils.column(LshBucketF(ExpressionUtils.expression(c), bits, table))
+
+  def i8Sketch(c: Column): Column =
+    ExpressionUtils.column(I8Sketch(ExpressionUtils.expression(c)))
+
+  def i8CosBound(l: Column, r: Column): Column =
+    ExpressionUtils.column(I8CosBound(
+      ExpressionUtils.expression(l), ExpressionUtils.expression(r)))
 
 
   def minhashSig(c: Column, k: Int, shingleLen: Int): Column =
@@ -289,6 +357,18 @@ object GraftExpressions {
         case Seq(c, bits, tbl) =>
           LshBucketF(c, intLit(bits, "bits"), intLit(tbl, "table"))
         case _ => badArgs("lsh_bucket takes 2-3 args (vec, bits[, table])")
+      }),
+    (FunctionIdentifier("i8_sketch"),
+      new ExpressionInfo(classOf[I8Sketch].getName, "i8_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => I8Sketch(c)
+        case _ => badArgs("i8_sketch takes exactly 1 arg")
+      }),
+    (FunctionIdentifier("i8_cos_bound"),
+      new ExpressionInfo(classOf[I8CosBound].getName, "i8_cos_bound"),
+      (args: Seq[Expression]) => args match {
+        case Seq(l, r) => I8CosBound(l, r)
+        case _ => badArgs("i8_cos_bound takes exactly 2 args")
       }))
 
   /** Register the SQL functions on an already-built session. */
