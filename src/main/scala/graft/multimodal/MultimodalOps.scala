@@ -30,13 +30,14 @@ case class MediaFeatures(
   * UDF: one JVM-side function invocation per partition, streaming over
   * rows, never collecting to the driver).
   *
-  * The codec step is STUBBED — this container ships no image/audio
-  * libraries — with a deterministic byte-level feature extractor
-  * (rolling polynomial hash per stripe), so the Spark-side contract is
-  * fully real and testable: schema, binary column handling, batch
-  * shape, skew-aware partitioning, frame-row explosion. Swapping
-  * `stubDecode` for a real codec (e.g. via JNI or an added library)
-  * changes no plan shape.
+  * The codec is two-tier: payloads that really are media containers
+  * decode through REAL JDK codecs ([[MediaCodec]] — javax.imageio for
+  * PNG/JPEG, javax.sound.sampled for WAV; q182/q183 round-trip them
+  * against DuckDB oracles), and opaque/non-media bytes fall back to a
+  * deterministic byte-level feature extractor (rolling polynomial hash
+  * per stripe), so the Spark-side contract — schema, binary column
+  * handling, batch shape, skew-aware partitioning, frame-row
+  * explosion — is exercised on every payload either way.
   */
 object MultimodalOps {
 
@@ -76,12 +77,39 @@ object MultimodalOps {
 
   // ---- operators -------------------------------------------------------
 
-  /** Decode + feature-extract each blob, batch-wise per partition. */
+  /** Decode + feature-extract each blob, batch-wise per partition.
+    * Image payloads that parse as a real container (PNG/JPEG via
+    * javax.imageio) yield dimension + channel-mean features; audio
+    * payloads that parse as WAV yield rate/length/amplitude features;
+    * anything else (including the opaque document-byte payloads the
+    * declared queries use) falls back to the deterministic byte-stripe
+    * hash, so the operator never fails on undecodable bytes. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.data.length, stubDecode(m.data, dim))
+        val real: Option[Array[Float]] = m.kind match {
+          case "image" => MediaCodec.decodeImage(m.data).map { d =>
+            val px = d.width.toLong * d.height
+            val f = new Array[Float](dim)
+            f(0) = d.width.toFloat; f(1) = d.height.toFloat
+            if (px > 0 && dim >= 5) {
+              f(2) = d.sumR.toFloat / px / 255f
+              f(3) = d.sumG.toFloat / px / 255f
+              f(4) = d.sumB.toFloat / px / 255f
+            }
+            f
+          }
+          case "audio" => MediaCodec.decodeWav(m.data).map { d =>
+            val f = new Array[Float](dim)
+            f(0) = d.sampleRate.toFloat; f(1) = d.nSamples.toFloat
+            if (d.nSamples > 0 && dim >= 3) f(2) = d.sampleSum.toFloat / d.nSamples / 32768f
+            f
+          }
+          case _ => None
+        }
+        MediaFeatures(m.media_id, m.kind, m.data.length,
+          real.getOrElse(stubDecode(m.data, dim)))
       }
     }
   }
@@ -196,9 +224,72 @@ object MultimodalOps {
     sampleFrames(mediaFromDocuments(s, dir).toDF(), everyN)
       .orderBy("media_id", "frame_idx")
 
+  /** q182: REAL image-codec round trip. Per document, a solid-RGB image
+    * whose dimensions and fill color are arithmetic in doc_id is encoded
+    * to genuine PNG bytes and decoded back — both via javax.imageio, on
+    * executors, in one mapPartitions pass (encode→decode fused per row;
+    * the container bytes never shuffle). The declared output reduces the
+    * DECODED pixels (parsed-header dimensions, exact channel sums) per
+    * (w,h) cell, which DuckDB recomputes from the same arithmetic — so
+    * the oracle fails if signature/IHDR/zlib parsing or pixel recovery
+    * is wrong anywhere. Per-row work is O(w·h) with w,h ≤ 15: linear in
+    * documents, embarrassingly parallel, no shuffle before the 40-group
+    * rollup. */
+  def imageRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoded = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 8 + (id % 8).toInt
+          val h = 8 + (id % 5).toInt
+          val (r, g, b) = ((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+          val png = MediaCodec.encodeSolidPng(w, h, r, g, b)
+          val d = MediaCodec.decodeImage(png)
+            .getOrElse(throw new IllegalStateException(s"PNG decode failed for doc $id"))
+          (id, d.width, d.height, d.sumR, d.sumG, d.sumB)
+        }
+      }.toDF("doc_id", "w", "h", "sum_r", "sum_g", "sum_b")
+    decoded.groupBy(col("w"), col("h"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum("sum_r").as("tot_r"),
+        sum("sum_g").as("tot_g"),
+        sum("sum_b").as("tot_b"))
+      .orderBy("w", "h")
+  }
+
+  /** q183: REAL audio-codec round trip. Per document, a deterministic
+    * s16le mono clip (length and samples arithmetic in doc_id) is
+    * wrapped in a genuine RIFF/WAVE container and decoded back — both
+    * via javax.sound.sampled on executors, fused per row. The declared
+    * output groups on the DECODED header fields (rate/channels/bits —
+    * constants the oracle asserts, so header parsing is checked) and
+    * clip length, with the exact decoded-sample sum per group that
+    * DuckDB recomputes from the generating formula. Linear, map-only
+    * until a ≤32-group rollup. */
+  def audioRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoded = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 32 + (id % 32).toInt
+          val samples = Array.tabulate(n)(i => (((id * 31 + i * 17) % 2003) - 1001).toShort)
+          val wav = MediaCodec.encodeWav(samples)
+          val d = MediaCodec.decodeWav(wav)
+            .getOrElse(throw new IllegalStateException(s"WAV decode failed for doc $id"))
+          (id, d.sampleRate, d.channels, d.bitsPerSample, d.nSamples, d.sampleSum)
+        }
+      }.toDF("doc_id", "sample_rate", "channels", "bits", "n_samples", "s_sum")
+    decoded.groupBy(col("sample_rate"), col("channels"), col("bits"), col("n_samples"))
+      .agg(count(lit(1)).as("n_clips"), sum("s_sum").as("tot_amp"))
+      .orderBy("n_samples")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_media_stats" -> ((s: SparkSession, d: String) => mediaStats(s, d)),
     "q91_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
+    "q182_image_roundtrip" -> ((s: SparkSession, d: String) => imageRoundtrip(s, d)),
+    "q183_audio_roundtrip" -> ((s: SparkSession, d: String) => audioRoundtrip(s, d)),
   )
 
   /** The payload is the document text's UTF-8 bytes, so DuckDB's byte
@@ -221,6 +312,34 @@ object MultimodalOps {
         |FROM documents, LATERAL unnest(range(0, 1 + doc_id % 100, 7)) AS t(i)
         |WHERE doc_id % 3 = 2
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // a solid (w,h) image filled with (r,g,b) decodes to channel sums
+    // w*h*r etc. — the oracle replays the generating arithmetic; any
+    // codec mis-parse (dims, pixel values) breaks the group sums
+    "q182_image_roundtrip" ->
+      """SELECT CAST(8 + doc_id % 8 AS INT) AS w,
+        |       CAST(8 + doc_id % 5 AS INT) AS h,
+        |       count(*) AS n_images,
+        |       CAST(sum((8 + doc_id % 8) * (8 + doc_id % 5) * (doc_id % 256)) AS BIGINT) AS tot_r,
+        |       CAST(sum((8 + doc_id % 8) * (8 + doc_id % 5) * ((doc_id * 7) % 256)) AS BIGINT) AS tot_g,
+        |       CAST(sum((8 + doc_id % 8) * (8 + doc_id % 5) * ((doc_id * 13) % 256)) AS BIGINT) AS tot_b
+        |FROM documents GROUP BY 1, 2 ORDER BY w, h""".stripMargin,
+    // the decoded header fields are asserted as constants (16000 Hz /
+    // mono / 16-bit — what the engine encoded); the per-length sample
+    // sums replay the generating formula sample_i = (id*31+i*17)%2003-1001
+    "q183_audio_roundtrip" ->
+      """WITH per_doc AS (
+        |  SELECT d.doc_id,
+        |         32 + d.doc_id % 32 AS n_samples,
+        |         sum((d.doc_id * 31 + t.i * 17) % 2003 - 1001) AS s_sum
+        |  FROM documents d, LATERAL unnest(range(32 + d.doc_id % 32)) AS t(i)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(16000 AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(16 AS INT) AS bits,
+        |       CAST(n_samples AS INT) AS n_samples,
+        |       count(*) AS n_clips,
+        |       CAST(sum(s_sum) AS BIGINT) AS tot_amp
+        |FROM per_doc GROUP BY 1, 2, 3, 4 ORDER BY n_samples""".stripMargin,
   )
 
   /** Deterministic synthetic media table (no external fixtures in the

@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Dev-only: consolidate per-SF bench sidecars into the single
+four-decade SCALING.md table (one row per query).
+
+Usage: python3 tools/scaling_table.py sf0.001.json sf0.01.json sf0.1.json sf1.json
+
+Each input is a graft.Bench sidecar (target/bench_last.json copied per
+sweep). Emits a markdown table sorted by query name with the last-decade
+ratio, flagging >3x rows. Not part of the shipped library.
+"""
+import sys, json
+
+def main(paths):
+    sfs = []
+    for p in paths:
+        d = json.load(open(p))
+        sfs.append(d["queries"])
+    names = sorted(set().union(*[set(q) for q in sfs]))
+    header = ["query", "sf0.001", "sf0.01", "sf0.1", "sf1", "ratio (last decade)"]
+    print("| " + " | ".join(header) + " |")
+    print("|" + "---|" * len(header))
+    totals = [0.0] * len(sfs)
+    flagged = []
+    for n in names:
+        vals = [q.get(n) for q in sfs]
+        for i, v in enumerate(vals):
+            if v is not None:
+                totals[i] += v
+        cells = ["%.2f" % v if v is not None else "—" for v in vals]
+        if vals[-1] is not None and vals[-2]:
+            r = vals[-1] / vals[-2]
+            mark = " ⚠" if r > 3 else ""
+            if r > 3:
+                flagged.append((n, r))
+            cells.append("%.1f×%s" % (r, mark))
+        else:
+            cells.append("—")
+        print("| " + n + " | " + " | ".join(cells) + " |")
+    print("| **total** | " + " | ".join("%.1f" % t for t in totals) + " |  |")
+    print()
+    print("%d queries; %d exceed 3x on the last decade:" % (len(names), len(flagged)))
+    for n, r in sorted(flagged, key=lambda x: -x[1]):
+        print("  %-28s %.1fx" % (n, r))
+
+if __name__ == "__main__":
+    main(sys.argv[1:5])
