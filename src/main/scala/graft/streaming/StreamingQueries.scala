@@ -427,8 +427,67 @@ object StreamingQueries {
     }
   }
 
+  /** Per-user profile through Spark 4's `transformWithState` (see
+    * [[UserProfileProcessor]]) on the RocksDB state-store provider —
+    * the modern arbitrary-stateful-processing path, gated exactly like
+    * q115: a three-file staged source forces state RESUMPTION across
+    * micro-batches, update-mode emissions land in the memory sink, and
+    * the converged row per user (the emission with the highest
+    * n_events — strictly increasing per user, so unique) must equal
+    * the batch aggregate. The provider conf is stream-scoped: set for
+    * this query, restored after (HDFS-backed stores elsewhere are
+    * untouched — provider choice is pinned into each stream's
+    * checkpoint at first run). */
+  def streamingTransformWithState(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = stageDirSplit(s, dir)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStatePartitions(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .transform(graft.Tables.normalizeEventTs)
+      val typed = stream.select(col("user_id"), col("event_type"),
+        Exact.cents(col("value")).as("cents")).as[ProfileEvent]
+      val profiles = typed.groupByKey(_.user_id)
+        .transformWithState(new UserProfileProcessor(),
+          TimeMode.None(), OutputMode.Update())
+      val name = s"graft_stream_tws_${runId.incrementAndGet()}"
+      val q = profiles.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val result = s.table(name)
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("n_events")).as("n_events"),
+          max_by(col("cents"), col("n_events")).as("cents"),
+          max_by(col("n_types"), col("n_events")).as("n_types"),
+          max_by(col("n_errors"), col("n_events")).as("n_errors"))
+        .select(col("user_id"), col("n_events"),
+          (col("cents").cast("double") / 100.0).as("total_value"),
+          col("n_types"), col("n_errors"))
+        .orderBy("user_id")
+      val rows = result.collect()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+      s.catalog.dropTempView(name)
+      out
+    } finally oldProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_stream_static_join" -> (streamingStaticJoin _),
+    "q184_transform_with_state" -> (streamingTransformWithState _),
     "q71_streaming_daily" -> (streamingDaily _),
     "q92_streaming_dedup" -> (streamingDedup _),
     "q95_streaming_sessions" -> (streamingSessions _),
@@ -474,6 +533,14 @@ object StreamingQueries {
     "q115_streaming_running_totals" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // transformWithState's converged per-user profile = the batch
+    // aggregate (counts, cents-exact total, distinct types, errors)
+    "q184_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value,
+        | count(DISTINCT event_type) AS n_types,
+        | count(*) FILTER (WHERE event_type = 'error') AS n_errors
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the sink's converged target = the same batch truth as q115
     "q118_streaming_foreachbatch" ->
