@@ -485,9 +485,69 @@ object StreamingQueries {
     }
   }
 
+  /** State-store READER (Spark 4's `statestore` batch source) over a
+    * transformWithState checkpoint — the ops surface a production
+    * streaming deployment needs: inspect/audit/debug the keyed state a
+    * running job has accumulated, as a plain DataFrame, without
+    * touching the job. The stream (same processor as q184) drains into
+    * an explicit checkpoint; the `totals` ValueState is then read BACK
+    * through `spark.read.format("statestore")` and must equal the
+    * batch per-user aggregate — a full end-to-end pin of state
+    * PERSISTENCE (the memory-sink gates only check emissions; this
+    * checks what RocksDB actually holds after the final commit). */
+  def streamingStateStoreRead(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = stageDirSplit(s, dir)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // 4 state partitions, not the streaming default 8: this query pays
+    // every store TWICE (once per micro-batch commit, once for the
+    // batch read's store restore) and holds tiny per-user state — the
+    // restore cost is per-STORE, not per-row
+    try withStatePartitions(s, 4) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val ckpt = graft.util.TempDirs.create("graft_tws_ckpt").toString
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .transform(graft.Tables.normalizeEventTs)
+      val typed = stream.select(col("user_id"), col("event_type"),
+        Exact.cents(col("value")).as("cents")).as[ProfileEvent]
+      val profiles = typed.groupByKey(_.user_id)
+        .transformWithState(new UserProfileProcessor(),
+          TimeMode.None(), OutputMode.Update())
+      val name = s"graft_tws_ckpt_${runId.incrementAndGet()}"
+      val q = profiles.toDF().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.catalog.dropTempView(name)
+      val state = s.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "totals")
+        .load()
+      val result = state
+        .select(col("key.value").as("user_id"),
+          col("value.n").as("n_events"),
+          (col("value.cents").cast("double") / 100.0).as("total_value"))
+        .orderBy("user_id")
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally oldProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_stream_static_join" -> (streamingStaticJoin _),
     "q184_transform_with_state" -> (streamingTransformWithState _),
+    "q185_statestore_read" -> (streamingStateStoreRead _),
     "q71_streaming_daily" -> (streamingDaily _),
     "q92_streaming_dedup" -> (streamingDedup _),
     "q95_streaming_sessions" -> (streamingSessions _),
@@ -541,6 +601,12 @@ object StreamingQueries {
         | CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value,
         | count(DISTINCT event_type) AS n_types,
         | count(*) FILTER (WHERE event_type = 'error') AS n_errors
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the persisted ValueState read back through the statestore source
+    // = the batch per-user totals
+    "q185_statestore_read" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the sink's converged target = the same batch truth as q115
     "q118_streaming_foreachbatch" ->

@@ -34,6 +34,17 @@ class TransformWithStateSpec extends SparkSpec {
     got.foreach { case (u, g) => assert(g === want(u), s"user $u") }
   }
 
+  test("q185: persisted ValueState read back via the statestore source equals batch totals") {
+    val got = StreamingQueries.streamingStateStoreRead(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val want = graft.Tables(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Exact.cents(col("value"))).cast("double") / 100.0).as("total_value"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want)
+  }
+
   test("state resumes across micro-batches: cumulative emissions, MapState type counts") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

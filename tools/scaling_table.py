@@ -2,19 +2,25 @@
 """Dev-only: consolidate per-SF bench sidecars into the single
 four-decade SCALING.md table (one row per query).
 
-Usage: python3 tools/scaling_table.py sf0.001.json sf0.01.json sf0.1.json sf1.json
+Usage: python3 tools/scaling_table.py sf0.001.json sf0.01.json sf0.1.json sf1.json[,sf1b.json...]
 
 Each input is a graft.Bench sidecar (target/bench_last.json copied per
-sweep). Emits a markdown table sorted by query name with the last-decade
+sweep). A comma-joined group min-merges several independent sweeps of
+the same sf — separate JVMs, so a one-off multi-second host stall in
+one sweep (documented in SCALING.md) cannot survive into the table.
+Emits a markdown table sorted by query name with the last-decade
 ratio, flagging >3x rows. Not part of the shipped library.
 """
 import sys, json
 
 def main(paths):
     sfs = []
-    for p in paths:
-        d = json.load(open(p))
-        sfs.append(d["queries"])
+    for group in paths:
+        merged = {}
+        for p in group.split(","):
+            for k, v in json.load(open(p))["queries"].items():
+                merged[k] = min(v, merged.get(k, v))
+        sfs.append(merged)
     names = sorted(set().union(*[set(q) for q in sfs]))
     header = ["query", "sf0.001", "sf0.01", "sf0.1", "sf1", "ratio (last decade)"]
     print("| " + " | ".join(header) + " |")
