@@ -417,6 +417,29 @@ object RelationalQueries {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Semi-structured extraction via VARIANT (Spark 4's open
+    * semi-structured type): parse_json turns events.props into a
+    * binary-encoded variant ONCE per row, variant_get then extracts
+    * typed paths from the encoded form without re-parsing the text —
+    * at 100 TB the difference between one JSON parse per row and one
+    * per extracted field, and unlike q116's from_json the reader needs
+    * NO declared schema (schema drift in the props blob never breaks
+    * the scan; a new field is just a new path). The absent-path probe
+    * pins variant_get's missing-path → NULL contract. */
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "int").as("k"),
+        variant_get(col("v"), "$.absent", "string").as("absent"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("absent")).as("n_absent"))
+      .orderBy("event_type")
+
   /** Unpivot/melt (Dataset.unpivot — wide→long reshaping, the inverse
     * of q29's pivot): per-nation metrics melted to (id, metric, value)
     * rows. Map-only reshape; the oracle is the UNION ALL expansion. */
@@ -870,6 +893,7 @@ object RelationalQueries {
     "q113_not_exists_subquery" -> (notExistsSubquery _),
     "q114_asof_forward" -> (asofJoinForward _),
     "q116_json_extract" -> (jsonExtract _),
+    "q186_variant_extract" -> (variantExtract _),
     "q117_unpivot" -> (unpivotMetrics _),
     "q23_window_leadlag" -> (windowLeadLag _),
     "q24_percentiles" -> (percentiles _),
@@ -1186,6 +1210,15 @@ object RelationalQueries {
         | CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         | CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
         | CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // variant_get('$.k') == json_extract k; the absent path counts 0
+    // (missing path -> NULL in both engines)
+    "q186_variant_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        | CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+        | CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
+        | count(json_extract(props, '$.absent')) AS n_absent
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q117_unpivot" ->
       """WITH base AS (
