@@ -224,6 +224,58 @@ object DedupOps {
       .orderBy("a", "b")
   }
 
+  /** q187: corpus-level source-overlap matrix via MERGEABLE MinHash
+    * sketches — the sketch-algebra primitive a 100 TB mixing pipeline
+    * needs. Reference capability context: the reference unions daily
+    * transaction batches and compares sources only by exact row
+    * equality (src/data_processor.py:340-358 loads each source
+    * separately); estimating SET overlap between whole sources is the
+    * scale generalization.
+    *
+    * The slot minimum is associative and commutative, so a per-SOURCE
+    * signature (slot-wise min over the union of every member doc's
+    * gram set) falls out of one `groupBy(source)` — Spark's partial
+    * aggregation IS the sketch merge: each task reduces its partition
+    * to n_sources×k longs, and 100 TB of text leaves the executors as
+    * a few KB per task. No per-doc signatures are materialized. The
+    * pairwise stage then compares sketches, not corpora:
+    * est_jaccard(A,B) = |matching slots|/k, the standard single-hash
+    * MinHash estimator. n_sources is bounded (a mixture has tens of
+    * sources, not millions), so the pair join broadcasts.
+    *
+    * Hash device identical to q56 (one md5 per distinct char 5-gram,
+    * Kirsch-Mitzenmacher (a + i·b) mod 2³² slots) so DuckDB replays
+    * the sketches — and therefore the estimates — bit-exactly; the
+    * division by k is a single IEEE op on small ints, exact in both
+    * engines. */
+  def sourceMinhashJaccard(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val docs = t(s, dir, "documents")
+      .select(col("source"), norm(col("text")).as("t"))
+      .filter(length(col("t")) >= 5)
+    val grams = docs.select(col("source"), explode(array_distinct(
+      transform(sequence(lit(1), length(col("t")) - 4),
+        i => col("t").substr(i, lit(5))))).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .select(col("source"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("ha"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("hb"))
+    val slotMins = (0 until k).map(i =>
+      min((col("ha") + lit(i.toLong) * col("hb")) % lit(4294967296L)).as(s"s$i"))
+    val sig = grams.groupBy(col("source")).agg(slotMins.head, slotMins.tail: _*)
+    val left = sig.select(col("source").as("source_a") +:
+      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
+    val right = sig.select(col("source").as("source_b") +:
+      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*)
+    val nMatch = (0 until k).map(i =>
+      (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
+    left.join(broadcast(right), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        nMatch.cast("int").as("n_match"),
+        (nMatch.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** MinHash summary: small stable output for the rows-only check. */
   def minhashStats(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(s, dir)
@@ -418,6 +470,7 @@ object DedupOps {
     "q172_containment_join" -> ((s: SparkSession, d: String) => containmentJoin(s, d)),
     "q83_neardup_clusters" -> ((s: SparkSession, d: String) => neardupClusters(s, d)),
     "q56_minhash_pairs" -> ((s: SparkSession, d: String) => minhashPortablePairs(s, d)),
+    "q187_source_minhash_jaccard" -> ((s: SparkSession, d: String) => sourceMinhashJaccard(s, d)),
     "q57_simhash" -> ((s: SparkSession, d: String) => simhash(s, d)),
     "q58_neardup_verified" -> ((s: SparkSession, d: String) => neardupVerified(s, d)),
   )
@@ -463,6 +516,36 @@ object DedupOps {
         |FROM m x JOIN m y ON x.band = y.band AND x.digest = y.digest
         |  AND x.doc_id < y.doc_id
         |ORDER BY a, b""".stripMargin
+    },
+    "q187_source_minhash_jaccard" -> {
+      // same hash device as q56, aggregated per SOURCE (min over the
+      // union gram multiset == min over the set), then slot matching
+      val slotMins = (0 until 16).map(i =>
+        s"min((ha + $i * hb) % 4294967296) AS s$i").mkString(",\n        |    ")
+      val matches = (0 until 16).map(i => s"CAST(x.s$i = y.s$i AS INT)")
+        .mkString(" + ")
+      s"""WITH d AS (
+        |  SELECT source, lower(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source,
+        |   CAST(('0x' || substr(h, 1, 8)) AS BIGINT) AS ha,
+        |   CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS hb
+        |  FROM (
+        |   SELECT source, md5(substr(t, CAST(i AS INTEGER), 5)) AS h
+        |   FROM (SELECT source, t, unnest(range(1, length(t) - 3)) AS i
+        |         FROM d WHERE length(t) >= 5))),
+        |sig AS (
+        |  SELECT source,
+        |    $slotMins
+        |  FROM g GROUP BY source),
+        |p AS (
+        |  SELECT x.source AS source_a, y.source AS source_b,
+        |    $matches AS n_match
+        |  FROM sig x JOIN sig y ON x.source < y.source)
+        |SELECT source_a, source_b, n_match,
+        |  CAST(n_match AS DOUBLE) / 16 AS est_jaccard
+        |FROM p ORDER BY source_a, source_b""".stripMargin
     },
     "q83_neardup_clusters" ->
       """WITH RECURSIVE d AS (

@@ -185,4 +185,46 @@ class DedupSimilaritySpec extends SparkSpec {
     info(s"bounded near-dup recall $recall (${got.intersect(truth).size}/${truth.size})")
     assert(recall >= 0.7, s"label∩cell blocking recall $recall")
   }
+
+  test("q187 per-source sketch == slot-wise merge of per-doc sketches (mergeability)") {
+    val k = 16
+    def wsNorm(c: org.apache.spark.sql.Column) =
+      lower(regexp_replace(c, graft.operators.TextQueries.wsClass, " "))
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), wsNorm(col("text")).as("t"))
+      .filter(length(col("t")) >= 5)
+    val grams = docs.select(col("source"), col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("t")) - 4),
+          i => col("t").substr(i, lit(5))))).as("g"))
+      .select(col("source"), col("doc_id"), md5(col("g")).as("h"))
+      .select(col("source"), col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("ha"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("hb"))
+    val slotMins = (0 until k).map(i =>
+      min((col("ha") + lit(i.toLong) * col("hb")) % lit(4294967296L)).as(s"s$i"))
+    // two-level route: per-DOC sketches first, then slot-wise min across
+    // the source's docs — the explicit merge the one-pass groupBy elides
+    val perDoc = grams.groupBy(col("source"), col("doc_id"))
+      .agg(slotMins.head, slotMins.tail: _*)
+    val merged = perDoc.groupBy(col("source"))
+      .agg(min(col("s0")).as("s0"),
+        (1 until k).map(i => min(col(s"s$i")).as(s"s$i")): _*)
+    val left = merged.select(col("source").as("source_a") +:
+      (0 until k).map(i => col(s"s$i").as(s"a$i")): _*)
+    val right = merged.select(col("source").as("source_b") +:
+      (0 until k).map(i => col(s"s$i").as(s"b$i")): _*)
+    val nMatch = (0 until k).map(i =>
+      (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
+    val expect = left.join(right, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), nMatch.as("n_match"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val got = DedupOps.sourceMinhashJaccard(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty, "fixture should contain at least two sources")
+    assert(got.map(_._1).toSet == expect.keySet, "pair coverage differs")
+    got.foreach { case (pair, n, j) =>
+      assert(expect(pair) == n, s"merge mismatch at $pair")
+      assert(j == n.toDouble / k, s"estimator not n_match/k at $pair")
+    }
+  }
 }
