@@ -149,11 +149,127 @@ object Tpch2Queries {
       .orderBy("l_returnflag")
   }
 
+  /** TPC-H Q4 (order priority checking): orders in one half-year that
+    * had at least one LATE line (shipped ≥ 60 days after the order
+    * date), counted by priority. The canonical EXISTS shape — declared
+    * as a LEFT SEMI join so an order with many late lines counts once
+    * and the lineitem side never duplicates rows into the aggregate.
+    * The date window pushes into the orders scan (semi-reducing the
+    * probe to ~1/12 of orders before any shuffle); the lateness
+    * predicate references both sides, so it rides the semi join as a
+    * residual. Both sides are facts → one orderkey-hashed shuffle, the
+    * priority rollup is five groups. */
+  def tpchQ4(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q13 (customer order-count distribution): how many customers
+    * placed k non-pending orders, for each k (including k=0 — the
+    * customers with no orders at all, which is why the canonical form
+    * is a LEFT join). Declared aggregate-BEFORE-join: orders collapse
+    * to (custkey, count) first, so the fact crosses its one shuffle
+    * pre-aggregated and the left join moves one row per customer, not
+    * one per order — the shape that survives a 100 TB orders table.
+    * The second group-by (distribution over k) lands on ≤ a few dozen
+    * groups. Fixture adaptation (no o_comment column): the canonical
+    * "not special requests" exclusion becomes o_orderstatus <> 'P'. */
+  def tpchQ13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select("c_custkey")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderstatus") =!= "P")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q17 (small-quantity-order revenue): yearly-average revenue
+    * from brand lines whose quantity is below 20% of that part's mean
+    * quantity. The canonical correlated scalar subquery
+    * (avg per l_partkey) — declared as ONE scan + ONE partkey window:
+    * the brand dim broadcasts and semi-reduces lineitem at the scan, a
+    * sum/count window over l_partkey supplies the per-part mean to
+    * every surviving line without a self-join or second scan.
+    * Exactness: qty < 0.2·avg(qty) is evaluated as the all-integer
+    * cross-multiplication qc·5·n < Σqc (no division, no epsilon —
+    * engine-exact in both Spark and DuckDB); revenue closes with one
+    * IEEE division of an exact cent sum. */
+  def tpchQ17(s: SparkSession, dir: String, brand: String = "Brand#13"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val qc = Exact.cents(col("l_quantity"))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_brand") === brand)
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .withColumn("sq", sum(qc).over(w))
+      .withColumn("nq", count(lit(1)).over(w))
+      .filter(qc * lit(5L) * col("nq") < col("sq"))
+      .agg(
+        round(sum(Exact.cents(col("l_extendedprice"))) / lit(100.0) / lit(7.0), 2)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting): for finished
+    * orders with lines from MORE THAN ONE supplier, the suppliers who
+    * were the ONLY late one on an order, ranked by how many late lines
+    * they contributed. Canonically an EXISTS + NOT-EXISTS pair of
+    * correlated self-joins over lineitem; declared instead as one
+    * orderkey-aligned pass — join⋈orders, per-(order,supplier) rollup,
+    * then per-order window — in which Spark reuses the join's orderkey
+    * hash partitioning for BOTH the rollup (subset-key rule) and the
+    * window: three self-references to a 100 TB lineitem collapse to a
+    * single shuffle. Lateness is the fixture's ship-lag predicate
+    * (≥ 90 days, as Q12; no commit/receipt dates exist here);
+    * numwait sums the qualifying supplier's late LINES, matching the
+    * canonical count(*) over l1. No single-nation cut (thin on these
+    * fixtures): grouped by (nation, supplier) with the dims broadcast,
+    * top-100 total-ordered. */
+  def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    // merge hint: status-F orders are a third of a FACT table — never a
+    // broadcast candidate at scale. SMJ leaves the join output
+    // hash-partitioned on orderkey, which then satisfies BOTH the
+    // (orderkey, suppkey) rollup (subset-key rule) and the per-order
+    // window below — the whole chain rides the join's one shuffle pair.
+    t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        (col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .cast("long"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(col("late")).as("n_late_lines"), max(col("late")).as("supp_late"))
+      .withColumn("n_supps", count(lit(1)).over(w))
+      .withColumn("n_late_supps", sum(col("supp_late")).over(w))
+      .filter(col("supp_late") === 1L && col("n_supps") > 1L &&
+        col("n_late_supps") === 1L)
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_name"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("n_name"), col("s_name"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_tpch_q7" -> ((s: SparkSession, d: String) => tpchQ7(s, d)),
     "q179_tpch_q8" -> ((s: SparkSession, d: String) => tpchQ8(s, d)),
     "q180_tpch_q10" -> (tpchQ10 _),
     "q181_tpch_q12" -> (tpchQ12 _),
+    "q188_tpch_q4" -> (tpchQ4 _),
+    "q189_tpch_q13" -> (tpchQ13 _),
+    "q190_tpch_q17" -> ((s: SparkSession, d: String) => tpchQ17(s, d)),
+    "q191_tpch_q21" -> (tpchQ21 _),
   )
 
   private val revenueSql =
@@ -211,5 +327,50 @@ object Tpch2Queries {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q188_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q189_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q190_tpch_q17" ->
+      """WITH lb AS (
+        |  SELECT l_partkey, CAST(round(l_quantity*100) AS BIGINT) AS qc,
+        |         CAST(round(l_extendedprice*100) AS BIGINT) AS pc
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |w AS (
+        |  SELECT qc, pc, sum(qc) OVER (PARTITION BY l_partkey) AS sq,
+        |         count(*) OVER (PARTITION BY l_partkey) AS nq
+        |  FROM lb)
+        |SELECT round(CAST(sum(pc) AS DOUBLE)/100.0/7.0, 2) AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM w WHERE qc*5*nq < sq""".stripMargin,
+    "q191_tpch_q21" ->
+      """SELECT n_name, s_name, count(*) AS numwait
+        |FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        | JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate >= o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY n_name, s_name
+        |ORDER BY numwait DESC, n_name, s_name LIMIT 100""".stripMargin,
   )
 }

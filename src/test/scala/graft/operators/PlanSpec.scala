@@ -29,7 +29,12 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val p0 = df.queryExecution.executedPlan
-    val p = p0 match { case a: AdaptiveSparkPlanExec => a.inputPlan; case x => x }
+    // initialPlan, not inputPlan: AQE wraps the plan BEFORE
+    // EnsureRequirements runs, so inputPlan contains no Exchange nodes
+    // at all and counting it silently returns 0 for every query;
+    // initialPlan is the post-preparation static plan with the real
+    // exchanges in place
+    val p = p0 match { case a: AdaptiveSparkPlanExec => a.initialPlan; case x => x }
     p.collect { case e: ShuffleExchangeLike => e.canonicalized }.distinct.size
   }
 
@@ -526,5 +531,51 @@ class PlanSpec extends SparkSpec {
     assert(countOf(p, "HashAggregate") == 2, p)
     assert(("PushedFilters: \\[[^\\]\\n]*l_returnflag".r).findFirstIn(p).isDefined, p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q188: Q4's EXISTS is a semi join (no duplicate-then-distinct); date window pushes to orders") {
+    val p = plan("q188_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    // an order with many late lines must count once WITHOUT an
+    // Aggregate/Distinct repair step after an inner join
+    assert(!p.contains("Distinct"), p)
+    assert(("PushedFilters: \\[[^\\]\\n]*o_orderdate".r).findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q189: Q13 aggregates orders BEFORE the left join — the fact crosses its shuffle pre-collapsed") {
+    val p = plan("q189_tpch_q13")
+    // two aggregations (per-custkey count, then the distribution), each
+    // a partial+final pair — and nothing else
+    assert(countOf(p, "HashAggregate") == 4, p)
+    // the canonical join-then-count would read o_orderkey through the
+    // join; aggregate-first needs only custkey + status at the scan
+    assert(!p.contains("o_totalprice"), p)
+    assert(("PushedFilters: \\[[^\\]\\n]*o_orderstatus".r).findFirstIn(p).isDefined, p)
+  }
+
+  test("q190: Q17's correlated avg is one scan + one partkey window — no self-join of lineitem") {
+    val p = plan("q190_tpch_q17")
+    // exactly two scans: lineitem once, the brand dim once (broadcast)
+    assert(countOf(p, "FileScan") == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("windowspecdefinition(l_partkey"), p)
+    assert(("PushedFilters: \\[[^\\]\\n]*p_brand".r).findFirstIn(p).isDefined, p)
+  }
+
+  test("q191: Q21's three lineitem self-references ride ONE orderkey shuffle") {
+    val df = SparkEntry.queries("q191_tpch_q21")(spark, sf)
+    // the l⋈o sort-merge join pays one exchange per side; the
+    // per-(order,supplier) rollup reuses the orderkey partitioning via
+    // the subset-key rule and the per-order window reuses it again —
+    // the canonical EXISTS/NOT-EXISTS form would shuffle lineitem three
+    // times. The only other exchange is the final (nation, supplier)
+    // rollup over already-filtered per-supplier rows (tiny at any
+    // scale). TakeOrdered handles the top-100 without a sort exchange;
+    // supplier/nation broadcast.
+    assert(distinctShuffles(df) == 3, df.queryExecution.executedPlan.toString)
+    val p = plan("q191_tpch_q21")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(("PushedFilters: \\[[^\\]\\n]*o_orderstatus".r).findFirstIn(p).isDefined, p)
   }
 }
