@@ -640,7 +640,57 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide CHUNK-level exact dedup with ordered reassembly — the
+    * sub-document granularity (Common-Crawl-style paragraph dedup)
+    * missing between whole-doc dedup (q50) and near-dup (q56/q58):
+    * boilerplate repeated ACROSS documents is removed from every copy
+    * but the first, and each document is reassembled from its surviving
+    * chunks in order. Chunks are non-overlapping `w`-word windows;
+    * "first" is the global (doc_id, chunk_ix) minimum.
+    *
+    * Scale shape: first-occurrence is a `min(struct(doc_id, ix))`
+    * AGGREGATION on the chunk key, not a `row_number` window — partial
+    * aggregation collapses duplicate chunks map-side, so a boilerplate
+    * chunk repeated 10^8 times crosses the shuffle as one row per input
+    * partition instead of hot-spotting a single window task. Per-doc
+    * chunk totals are recomputed map-only from the word count (no
+    * second pass over exploded chunks, no cache); a document can lose
+    * every chunk, hence the left join + empty-string md5 for its
+    * reassembly. Output stays compact at any corpus size: one row per
+    * doc with the reassembled text carried as its md5.
+    *
+    * Reference analog: none (the reference has no sub-document ops) —
+    * this generalizes its CSV-level row dedup (data_processor.py's
+    * drop_duplicates) to shared-substring granularity. */
+  def chunkDedup(s: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // map-only per-doc totals (no explode, no shuffle beyond doc_id)
+    val stats = docs.select(col("doc_id"),
+      ceil(size(col("ws")) / lit(w.toDouble)).cast("long").as("n_chunks"))
+    val chunks = docs.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), ceil(size(col("ws")) / lit(w.toDouble)).cast("int") - 1),
+        i => array_join(slice(col("ws"), i * lit(w) + lit(1), lit(w)), " ")))
+        .as(Seq("ix", "chunk")))
+    val kept = chunks
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("ix"))).as("win"))
+      .select(col("win.doc_id").as("k_doc"), col("win.ix").as("ix"), col("chunk"))
+      .groupBy(col("k_doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("ix"), col("chunk")))),
+            x => x.getField("chunk")), " ")).as("kept_md5"))
+    stats.join(kept, col("doc_id") === col("k_doc"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_chunk_dedup" -> ((s: SparkSession, d: String) => chunkDedup(s, d)),
     "q103_char_entropy" -> (charEntropy _),
     "q99_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "q89_tfidf" -> ((s: SparkSession, d: String) => tfidfTopTerms(s, d)),
@@ -668,6 +718,29 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q192_chunk_dedup" ->
+      """WITH ch AS (
+        |  SELECT doc_id, i AS ix,
+        |         array_to_string(ws[(i*4+1):(i*4+4)], ' ') AS chunk
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |   LATERAL unnest(range(0, CAST(ceil(len(ws)/4.0) AS BIGINT))) AS g(i)),
+        |r AS (
+        |  SELECT doc_id, ix, chunk,
+        |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ix) AS rn
+        |  FROM ch),
+        |kept AS (
+        |  SELECT doc_id AS k_doc, count(*) AS n_kept,
+        |         md5(string_agg(chunk, ' ' ORDER BY ix)) AS kept_md5
+        |  FROM r WHERE rn = 1 GROUP BY doc_id),
+        |stats AS (
+        |  SELECT doc_id,
+        |         CAST(ceil(len(string_split(text, ' '))/4.0) AS BIGINT) AS n_chunks
+        |  FROM documents)
+        |SELECT s.doc_id, s.n_chunks,
+        |       coalesce(k.n_kept, 0) AS n_kept,
+        |       coalesce(k.kept_md5, md5('')) AS kept_md5
+        |FROM stats s LEFT JOIN kept k ON s.doc_id = k.k_doc
+        |ORDER BY s.doc_id""".stripMargin,
     "q103_char_entropy" ->
       """WITH counts AS (
         |  SELECT doc_id, ch, count(*) AS cnt FROM (

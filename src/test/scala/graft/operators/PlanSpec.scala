@@ -563,6 +563,15 @@ class PlanSpec extends SparkSpec {
     assert(("PushedFilters: \\[[^\\]\\n]*p_brand".r).findFirstIn(p).isDefined, p)
   }
 
+  test("q192: chunk first-occurrence is an aggregation, never a window over the chunk key") {
+    val p = plan("q192_chunk_dedup")
+    // a row_number() PARTITION BY chunk would serialize a boilerplate
+    // mega-chunk into one task; min(struct(doc_id, ix)) keeps partial
+    // aggregation (map-side combine) in front of the shuffle
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("partial_min"), p)
+  }
+
   test("q191: Q21's three lineitem self-references ride ONE orderkey shuffle") {
     val df = SparkEntry.queries("q191_tpch_q21")(spark, sf)
     // the l⋈o sort-merge join pays one exchange per side; the
