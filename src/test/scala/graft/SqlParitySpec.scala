@@ -1,0 +1,106 @@
+package graft
+
+import scala.util.control.NonFatal
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Replays the declared oracle SQL inside SPARK's own SQL planner and
+  * checks it against the DataFrame plans — a third, independent gate on
+  * top of the DuckDB oracle and the golden files.
+  *
+  * Why this matters for a library: `SparkEntry.oracleSql` is written as
+  * portable ANSI SQL for the DuckDB gate, but a user of this engine
+  * will paste exactly that kind of SQL at `spark.sql(...)`. Every
+  * statement Spark can parse must produce the SAME rows as the
+  * hand-tuned DataFrame plan it documents — a divergence means either
+  * the declared SQL or the declared plan is lying about the semantics.
+  * Statements that use DuckDB-only surface (string_split, LATERAL
+  * unnest, list slicing, recursive CTEs, FILTER over string_agg, ...)
+  * don't parse in Spark and are skipped; the floor below pins how much
+  * of the surface must stay Spark-replayable so silent erosion fails
+  * the suite.
+  *
+  * The streaming family is excluded by name: their DataFrame side spins
+  * the real StreamExecution engine (checkpoints, RocksDB state) and is
+  * gated end-to-end in streaming specs; replaying their batch oracle
+  * SQL here would only re-test the batch planner at several seconds per
+  * query. Same for the JDBC round-trip (q72, embedded Derby lifecycle).
+  */
+class SqlParitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val excluded = Set(
+    "q71_streaming_daily", "q92_streaming_dedup", "q95_streaming_sessions",
+    "q96_stream_stream_join", "q115_foreachbatch_merge", "q118_checkpoint_recovery",
+    "q131_mapgroups_totals", "q184_tws_profile", "q185_statestore_read",
+    "q72_jdbc_roundtrip")
+
+  /** Engine-neutral value form: numbers through exact BigDecimal
+    * canonicalization (so INT 1996, BIGINT 1996, and DOUBLE 1996.0 all
+    * read "1996" — the same tolerance the driver's DuckDB compare
+    * applies), everything else via toString, nested rows/arrays
+    * recursively. */
+  private def norm(v: Any): String = v match {
+    case null => "null"
+    case d: java.lang.Double if d.isNaN => "NaN"
+    case f: java.lang.Float if f.isNaN => "NaN"
+    case n: java.lang.Number =>
+      // fractional values compare at 12 significant digits: Spark SQL
+      // types decimal literals as DecimalType (100.0 → DECIMAL(4,1)),
+      // so avg/division chains run in DECIMAL arithmetic and differ
+      // from the double plan in the last ulp (observed: q01 avg_disc
+      // ...992509 vs ...9925096). That is a different compute path, not
+      // a different answer — the oracle-checked exact surface (integer
+      // cents, counts) still compares exactly below
+      val bd = BigDecimal(n.toString)
+      val c = if (bd.isWhole && bd.precision <= 18) bd
+              else bd.round(new java.math.MathContext(12))
+      c.underlying.stripTrailingZeros.toPlainString
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case r: Row => r.toSeq.map(norm).mkString("(", ",", ")")
+    case s: scala.collection.Seq[_] => s.map(norm).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => s"${norm(k)}:${norm(x)}" }.sorted.mkString("{", ",", "}")
+    case x => x.toString
+  }
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    val sel = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    sel.collect().toSeq
+      .map(r => cols.zip(r.toSeq.map(norm)).map { case (c, v) => s"$c=$v" }.mkString("|"))
+      .sorted
+  }
+
+  test("every Spark-parseable oracle statement matches its DataFrame plan") {
+    Tables.all.foreach { n =>
+      Tables(spark, sf, n).createOrReplaceTempView(n)
+    }
+    var ran, skipped = 0
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+         if !excluded.contains(name)) {
+      val viaSql =
+        try Some(canon(spark.sql(sql)))
+        catch { case NonFatal(_) => None } // DuckDB-only surface
+      viaSql match {
+        case None => skipped += 1
+        case Some(sqlRows) =>
+          ran += 1
+          val dfRows = canon(SparkEntry.queries(name)(spark, sf))
+          if (sqlRows != dfRows) {
+            val firstDiff = sqlRows.zipAll(dfRows, "<missing>", "<missing>")
+              .find { case (a, b) => a != b }
+            failures += s"$name: sql=${sqlRows.size} rows, df=${dfRows.size} rows, first diff: $firstDiff"
+          }
+      }
+    }
+    info(s"replayed $ran oracle statements through spark.sql; $skipped DuckDB-only skipped")
+    assert(failures.isEmpty, failures.mkString("\n"))
+    // erosion floor: half the declared surface must stay directly
+    // Spark-replayable (measured: 90 replayed / 86 DuckDB-only at the
+    // time of writing; small slack so an added DuckDB-only oracle
+    // doesn't trip it)
+    assert(ran >= 85, s"only $ran oracle statements still parse in Spark SQL")
+  }
+}
