@@ -429,7 +429,50 @@ object Analytics3Queries {
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
     }
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's hll_sketch_agg / hll_union_agg): distinct users per event
+    * type, computed the way a 100 TB pipeline has to — per-(type, day)
+    * sketches materialized once, then rolled up by sketch UNION without
+    * ever re-touching the events, plus a corpus-wide row unioned from
+    * the same daily sketches ('_ALL_'). Unlike count(DISTINCT), the
+    * sketch is a bounded-size (~2^12 regs) commutative monoid: partial
+    * aggregation combines map-side, re-aggregation across any rollup
+    * tree is exact-union, and a year of daily sketches answers any
+    * date-range distinct query in milliseconds.
+    *
+    * Oracle strategy: DuckDB cannot replay DataSketches bits, so the
+    * declared output pins the sketch AGAINST the exact answer — each
+    * row carries the exact distinct count plus a boolean asserting the
+    * HLL estimate landed within the published error envelope (5% rel
+    * at lgK=12 ≫ the 1.6% standard error, +16 absolute for tiny
+    * groups); the oracle predicts (exact, true). A sketch regression —
+    * wrong lgK plumbing, a union that drops state, an estimate bias —
+    * flips the boolean and fails the hash compare. The exact side
+    * exists only to power that pin; production keeps sketches only. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val perType = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val global = daily.groupBy()
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .select(lit("_ALL_").as("event_type"), col("est"))
+    val exactT = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val exactG = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      .select(lit("_ALL_").as("event_type"), col("n_exact"))
+    perType.unionByName(global)
+      .join(exactT.unionByName(exactG), "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          col("n_exact") * lit(0.05) + lit(16.0)).as("within_5pct"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_hll_distinct" -> (hllDistinct _),
     "q167_triangle_count" -> (triangleCount _),
     "q168_equidepth_histogram" -> (equidepthHistogram _),
     "q169_melt_profile" -> (columnProfile _),
@@ -443,6 +486,15 @@ object Analytics3Queries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q193_hll_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |       true AS within_5pct
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '_ALL_' AS event_type, count(DISTINCT user_id) AS n_exact,
+        |       true AS within_5pct
+        |FROM events
+        |ORDER BY event_type""".stripMargin,
     "q167_triangle_count" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         |e AS (
