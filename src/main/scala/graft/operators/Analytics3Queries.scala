@@ -454,17 +454,16 @@ object Analytics3Queries {
       .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
     val daily = ev.groupBy(col("event_type"), col("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-    val perType = daily.groupBy(col("event_type"))
+    // ROLLUP serves the per-type cells and the grand total from ONE
+    // union pass over the daily sketches — the sketch-lattice shape
+    // (any cube cell is a union of finer sketches, never a re-scan)
+    val est = daily.rollup(col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-    val global = daily.groupBy()
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      .select(lit("_ALL_").as("event_type"), col("est"))
-    val exactT = ev.groupBy(col("event_type"))
+      .select(coalesce(col("event_type"), lit("_ALL_")).as("event_type"), col("est"))
+    val exact = ev.rollup(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
-    val exactG = ev.agg(countDistinct(col("user_id")).as("n_exact"))
-      .select(lit("_ALL_").as("event_type"), col("n_exact"))
-    perType.unionByName(global)
-      .join(exactT.unionByName(exactG), "event_type")
+      .select(coalesce(col("event_type"), lit("_ALL_")).as("e_type"), col("n_exact"))
+    est.join(exact, col("event_type") === col("e_type"))
       .select(col("event_type"), col("n_exact"),
         (abs(col("est") - col("n_exact")) <=
           col("n_exact") * lit(0.05) + lit(16.0)).as("within_5pct"))
