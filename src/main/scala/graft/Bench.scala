@@ -96,7 +96,7 @@ object Bench {
       // standing annotations: per-query costs that are designed-in, so
       // a round-over-round diff doesn't misread them as regressions
       val notes = Seq(
-        "q56_minhash_lsh" -> ("portable md5 signature path for DuckDB replay; " +
+        "q56_minhash_pairs" -> ("portable md5 signature path for DuckDB replay; " +
           "~+2.6s vs the native xxhash kernel used by q57/q58/q83 (see SURVEY)")
       ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"notes":$notes,"sf":"$sfDir"}"""
