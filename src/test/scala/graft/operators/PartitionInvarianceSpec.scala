@@ -40,7 +40,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q109_basket_pairs",
     "q168_equidepth_histogram",
     "q172_containment_join",
-    "q187_source_minhash_jaccard")
+    "q187_source_minhash_jaccard",
+    // round-5 continuation machinery: Q21's subset-key shuffle reuse,
+    // chunk first-occurrence via min(struct) partial aggregation, and
+    // HLL sketch union (commutative/associative → estimates must be
+    // bit-identical under any partitioning)
+    "q191_tpch_q21",
+    "q192_chunk_dedup",
+    "q193_hll_distinct")
 
   test("sampled declared queries are invariant to shuffle partitioning and AQE") {
     val conf = spark.conf
