@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The recording harness parses a JSON metric line out of the LAST ~2 KB
+// of `sbt "runMain graft.Bench"` stdout. Two sbt logger behaviors have
+// defeated that parse in every recorded round: forked-run output is
+// re-logged with an "[info] " prefix (so the metric line is not valid
+// JSON as printed), and "[success] Total time ..." prints AFTER it (so
+// it is never the final line). StdoutOutput passes the forked JVM's
+// stdout through verbatim; showSuccess=false drops the trailing success
+// line — together the bench metric line becomes the true, unprefixed
+// final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

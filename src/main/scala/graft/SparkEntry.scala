@@ -24,6 +24,19 @@ object SparkEntry {
       graft.sources.BucketedQueries.queries ++ graft.sources.ZOrderQueries.queries ++
       graft.sources.JdbcQueries.queries ++ graft.streaming.StreamingQueries.queries
 
+  /** Queries whose DataFrame side spins a non-relational LIFECYCLE —
+    * the real StreamExecution engine (checkpoints, RocksDB state) or an
+    * embedded-Derby JDBC round-trip. Shared by SqlParitySpec (their
+    * batch oracle SQL replays nothing the streaming specs don't already
+    * gate end-to-end) and tools/PlanAudit (no static batch plan exists
+    * to census). One list so the two consumers cannot drift when the
+    * next streaming query lands. */
+  val nonRelationalLifecycle: Set[String] = Set(
+    "q71_streaming_daily", "q92_streaming_dedup", "q95_streaming_sessions",
+    "q96_stream_stream_join", "q115_foreachbatch_merge", "q118_checkpoint_recovery",
+    "q131_mapgroups_totals", "q184_tws_profile", "q185_statestore_read",
+    "q72_jdbc_roundtrip")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check. */

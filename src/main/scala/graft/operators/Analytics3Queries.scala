@@ -450,7 +450,13 @@ object Analytics3Queries {
     * flips the boolean and fails the hash compare. The exact side
     * exists only to power that pin; production keeps sketches only. */
   def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    // event_type IS NOT NULL up front: the grand-total row is labeled
+    // by rollup's NULL → '_ALL_' coalesce, so a NULL (or literal
+    // '_ALL_') source event_type would collide with the total row and
+    // fan the est⋈exact join out 2×2. The fixture has no NULLs today;
+    // the filter keeps the query robust to fixture drift.
     val ev = t(s, dir, "events")
+      .filter(col("event_type").isNotNull && col("event_type") =!= "_ALL_")
       .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
     val daily = ev.groupBy(col("event_type"), col("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
@@ -488,11 +494,12 @@ object Analytics3Queries {
     "q193_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |       true AS within_5pct
-        |FROM events GROUP BY event_type
+        |FROM events WHERE event_type IS NOT NULL AND event_type <> '_ALL_'
+        |GROUP BY event_type
         |UNION ALL
         |SELECT '_ALL_' AS event_type, count(DISTINCT user_id) AS n_exact,
         |       true AS within_5pct
-        |FROM events
+        |FROM events WHERE event_type IS NOT NULL AND event_type <> '_ALL_'
         |ORDER BY event_type""".stripMargin,
     "q167_triangle_count" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),

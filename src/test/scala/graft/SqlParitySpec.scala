@@ -1,6 +1,5 @@
 package graft
 
-import scala.util.control.NonFatal
 import org.apache.spark.sql.{DataFrame, Row}
 
 /** Replays the declared oracle SQL inside SPARK's own SQL planner and
@@ -29,11 +28,7 @@ class SqlParitySpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private val excluded = Set(
-    "q71_streaming_daily", "q92_streaming_dedup", "q95_streaming_sessions",
-    "q96_stream_stream_join", "q115_foreachbatch_merge", "q118_checkpoint_recovery",
-    "q131_mapgroups_totals", "q184_tws_profile", "q185_statestore_read",
-    "q72_jdbc_roundtrip")
+  private val excluded = SparkEntry.nonRelationalLifecycle
 
   /** Engine-neutral value form: numbers through exact BigDecimal
     * canonicalization (so INT 1996, BIGINT 1996, and DOUBLE 1996.0 all
@@ -80,12 +75,25 @@ class SqlParitySpec extends SparkSpec {
     val failures = scala.collection.mutable.ListBuffer[String]()
     for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
          if !excluded.contains(name)) {
+      // the skip path is for DuckDB-only SURFACE only: spark.sql()
+      // parses and analyzes eagerly, so anything it throws means "Spark
+      // can't express this statement". NonFatal (not just
+      // AnalysisException) because analysis can surface non-Analysis
+      // throwables for foreign signatures — e.g. DuckDB's 4-arg
+      // regexp_replace(..., 'g') makes Spark cast the flag string to
+      // its INT position argument inside checkInputDataTypes, which
+      // under ANSI throws a cast error, not an AnalysisException.
+      // canon() runs OUTSIDE the catch — a statement that analyzes but
+      // fails at RUNTIME is an execution regression and must fail the
+      // gate, not count as a skip (it hid behind the old whole-body
+      // NonFatal before).
       val viaSql =
-        try Some(canon(spark.sql(sql)))
-        catch { case NonFatal(_) => None } // DuckDB-only surface
+        try Some(spark.sql(sql))
+        catch { case scala.util.control.NonFatal(_) => None } // DuckDB-only surface
       viaSql match {
         case None => skipped += 1
-        case Some(sqlRows) =>
+        case Some(df) =>
+          val sqlRows = canon(df)
           ran += 1
           val dfRows = canon(SparkEntry.queries(name)(spark, sf))
           if (sqlRows != dfRows) {
