@@ -17,7 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CandyQueries.queries ++ TextQueries.queries ++
       AnalyticsQueries.queries ++ Analytics2Queries.queries ++ Analytics3Queries.queries ++
-      Tpch2Queries.queries ++
+      Tpch2Queries.queries ++ Tpch3Queries.queries ++
       CdcOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       graft.multimodal.MultimodalOps.queries ++ graft.sources.LayoutQueries.queries ++
       graft.sources.v2.RangeSourceQueries.queries ++
@@ -33,9 +33,18 @@ object SparkEntry {
     * next streaming query lands. */
   val nonRelationalLifecycle: Set[String] = Set(
     "q71_streaming_daily", "q92_streaming_dedup", "q95_streaming_sessions",
-    "q96_stream_stream_join", "q115_foreachbatch_merge", "q118_checkpoint_recovery",
-    "q131_mapgroups_totals", "q184_tws_profile", "q185_statestore_read",
+    "q96_stream_stream_join", "q115_streaming_running_totals",
+    "q118_streaming_foreachbatch", "q131_stream_static_join",
+    "q184_transform_with_state", "q185_statestore_read",
     "q72_jdbc_roundtrip")
+
+  // every excluded name must exist — the predecessor of this list
+  // carried four misspelled entries for a full round, silently turning
+  // the exclusions into no-ops (zeros in the plan census, streaming
+  // engines spun inside the SQL-parity replay)
+  require(nonRelationalLifecycle.subsetOf(queries.keySet),
+    s"nonRelationalLifecycle names not in queries: " +
+      (nonRelationalLifecycle -- queries.keySet).mkString(", "))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -43,7 +52,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ CandyQueries.oracle ++ TextQueries.oracle ++
       AnalyticsQueries.oracle ++ Analytics2Queries.oracle ++ Analytics3Queries.oracle ++
-      Tpch2Queries.oracle ++
+      Tpch2Queries.oracle ++ Tpch3Queries.oracle ++
       CdcOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
       graft.multimodal.MultimodalOps.oracle ++ graft.sources.LayoutQueries.oracle ++
       graft.sources.v2.RangeSourceQueries.oracle ++
