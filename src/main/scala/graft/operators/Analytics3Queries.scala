@@ -476,7 +476,68 @@ object Analytics3Queries {
       .orderBy("event_type")
   }
 
+  /** Intersectable distinct sketches (KMV/theta — functions/KmvSketch):
+    * distinct users per event-type SEGMENT as bottom-k hash sketches,
+    * then per segment-PAIR both the union and the INTERSECTION
+    * cardinality estimated purely from the sketches — the set-algebra
+    * query q193's HLL lattice cannot answer ("distinct users in A∩B").
+    * The sketch build is one keyed aggregation whose partial-merge IS
+    * the sketch union (bottom-k of a hash union — commutative,
+    * idempotent); the pair stage joins n_types² sketch rows of ≤k longs
+    * (tiny by construction, the q187 shape), and every estimator runs
+    * in column space (array_intersect/filter/element_at) — no UDF, no
+    * driver math. At 100 TB only the sketch build touches the events;
+    * any segment algebra afterwards is milliseconds on sketch rows.
+    *
+    * Oracle strategy (q193's device): DuckDB can't replay sketch bits,
+    * so each pair row carries the EXACT intersection/union counts plus
+    * booleans pinning the estimates inside their published error
+    * envelopes (RSE ≈ 1/√(k−2) ≈ 3.1% at k=1024 for estimate/union →
+    * 10%·exact+16 envelope; intersection error grows with
+    * √(|A∪B|/|A∩B|) → 12%·exact+32). The exact side exists only to
+    * power the pin; production keeps sketches only. */
+  def kmvIntersect(s: SparkSession, dir: String, k: Int = 1024): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(k))
+    def u(h: Column): Column = h.cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+    def thetaOf(sk: Column): Column =
+      when(size(sk) < k, lit(1.0)).otherwise(u(element_at(sk, k)))
+    val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(kmv(xxhash64(col("user_id"))).as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+    val pairs = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+        col("n_exact").as("n_a"))
+      .join(broadcast(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+        col("n_exact").as("n_b"))), col("type_a") < col("type_b"))
+    // exact intersection per pair — distinct (type,user) self-joined on
+    // user; powers the envelope pin only (see scaladoc)
+    val tu = ev.distinct()
+    val exactI = tu.select(col("event_type").as("xa"), col("user_id").as("ua"))
+      .join(tu.select(col("event_type").as("xb"), col("user_id").as("ub")),
+        col("ua") === col("ub") && col("xa") < col("xb"))
+      .groupBy(col("xa"), col("xb")).agg(count(lit(1)).as("n_exact_intersect"))
+    val th = least(thetaOf(col("sk_a")), thetaOf(col("sk_b")))
+    val commonBelow = size(filter(array_intersect(col("sk_a"), col("sk_b")),
+      h => u(h) < th))
+    val merged = slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k)
+    val estU = when(size(merged) < k, size(merged).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / u(element_at(merged, k)))
+    pairs
+      .join(exactI, col("type_a") === col("xa") && col("type_b") === col("xb"))
+      .withColumn("est_i", commonBelow.cast("double") / th)
+      .withColumn("est_u", estU)
+      .withColumn("n_exact_union", col("n_a") + col("n_b") - col("n_exact_intersect"))
+      .select(col("type_a"), col("type_b"),
+        col("n_exact_intersect"), col("n_exact_union"),
+        (abs(col("est_i") - col("n_exact_intersect")) <=
+          col("n_exact_intersect") * lit(0.12) + lit(32.0)).as("intersect_ok"),
+        (abs(col("est_u") - col("n_exact_union")) <=
+          col("n_exact_union") * lit(0.10) + lit(16.0)).as("union_ok"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_kmv_intersect" -> ((s: SparkSession, d: String) => kmvIntersect(s, d)),
     "q193_hll_distinct" -> (hllDistinct _),
     "q167_triangle_count" -> (triangleCount _),
     "q168_equidepth_histogram" -> (equidepthHistogram _),
@@ -491,6 +552,22 @@ object Analytics3Queries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q199_kmv_intersect" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |per AS (SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS n_exact_intersect
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_exact_intersect,
+        |       pa.n + pb.n - p.n_exact_intersect AS n_exact_union,
+        |       true AS intersect_ok, true AS union_ok
+        |FROM pairs p
+        | JOIN per pa ON pa.event_type = p.type_a
+        | JOIN per pb ON pb.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     "q193_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |       true AS within_5pct
