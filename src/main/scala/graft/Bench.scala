@@ -188,5 +188,7 @@ object Bench {
     // q115/q118 share one split-3 staged source copy per JVM
     step(SparkEntry.queries("q115_streaming_running_totals")(spark, sfDir).count())
     step(SparkEntry.queries("q118_streaming_foreachbatch")(spark, sfDir).count())
+    // q200 stages its own time-split + sentinel source copy per JVM
+    step(SparkEntry.queries("q200_streaming_timers")(spark, sfDir).count())
   }
 }

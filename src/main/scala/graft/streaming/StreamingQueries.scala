@@ -136,39 +136,93 @@ object StreamingQueries {
     * The sentinel (user_id = -1, filtered from output) pushes the
     * frontier past every real session — the standard flush pattern for
     * draining an event-time stream to completion. */
+  /** Write the watermark-flushing sentinel row (user −1, event time
+    * far past every real event) into staging dir `p` — factored so the
+    * single-batch (q95) and time-split (q200) stagings share one
+    * sentinel definition. The sentinel file must carry the SAME
+    * physical ts type as the real event files (the stream reads both
+    * under one probe schema). */
+  private def writeSentinel(s: SparkSession, dir: String, p: java.nio.file.Path): Unit = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val maxTsMicros = graft.Tables.normalizeEventTs(ev)
+      .agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    // past max + gap(30 m) + watermark delay(1 h) + margin(1 h)
+    val sentinelMicros = maxTsMicros + 9000L * 1000000L
+    val sentinelTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(sentinelMicros * 1000L)
+      case t => timestamp_micros(lit(sentinelMicros)).cast(t)
+    }
+    val row = ev.limit(1)
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", sentinelTs)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("sentinel"))
+    val tmp = Files.createTempDirectory("graft_sentinel_write")
+    row.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val l = Files.list(tmp)
+      try l.filter(f => f.toString.endsWith(".parquet")).findFirst().get()
+      finally l.close()
+    }
+    Files.copy(part, p.resolve("zz_sentinel.parquet"))
+    val w = Files.walk(tmp)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => { Files.deleteIfExists(f); () })
+    finally w.close()
+  }
+
   private def stageDirWithSentinel(s: SparkSession, dir: String): String =
     staged.computeIfAbsent(dir + "#sentinel", { _ =>
       val p = graft.util.TempDirs.create("graft_stream_events_sn")
       copyEvents(dir, p, "events")
+      writeSentinel(s, dir, p)
+      p.toString
+    })
+
+  /** Stage events as THREE time-ordered slices (equal event-time
+    * thirds) plus the sentinel, with strictly increasing modification
+    * times so a maxFilesPerTrigger=1 stream replays them as four
+    * micro-batches in event-time order — files arriving in time order
+    * is how a real ingestion lands, and it is what lets the watermark
+    * advance batch-over-batch WITHOUT declaring mid-stream rows late
+    * (an event_id-based split interleaves times, so the batch-1
+    * watermark would discard most of batches 2-3). q200's timers need
+    * exactly this: sessions idle by batch N's watermark must fire
+    * their timers while later batches are still arriving. */
+  private def stageDirTimeSplitWithSentinel(s: SparkSession, dir: String): String =
+    staged.computeIfAbsent(dir + "#timesplit", { _ =>
+      val p = graft.util.TempDirs.create("graft_stream_events_tt")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = s.read.parquet(s"$dir/events.parquet")
-      val maxTsMicros = graft.Tables.normalizeEventTs(ev)
-        .agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
-      // past max + gap(30 m) + watermark delay(1 h) + margin(1 h)
-      val sentinelMicros = maxTsMicros + 9000L * 1000000L
-      // the sentinel file must carry the SAME physical ts type as the
-      // real event files (the stream reads both under one probe schema)
-      val sentinelTs = ev.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => lit(sentinelMicros * 1000L)
-        case t => timestamp_micros(lit(sentinelMicros)).cast(t)
+      // raw-shape slice key: monotone in event time for every physical
+      // ts shape the fixtures have shipped (int64 nanos / NTZ / TZ)
+      val tsKey = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts")
+        case _ => unix_micros(col("ts").cast("timestamp"))
       }
-      val row = ev.limit(1)
-        .withColumn("event_id", lit(-1L))
-        .withColumn("ts", sentinelTs)
-        .withColumn("user_id", lit(-1L))
-        .withColumn("event_type", lit("sentinel"))
-      val tmp = Files.createTempDirectory("graft_sentinel_write")
-      row.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = {
-        val l = Files.list(tmp)
-        try l.filter(f => f.toString.endsWith(".parquet")).findFirst().get()
-        finally l.close()
+      val mm = ev.agg(min(tsKey).as("lo"), max(tsKey).as("hi")).collect().head
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val w = (hi - lo) / 3 + 1
+      (0 until 3).foreach { i =>
+        val part = graft.util.TempDirs.create(s"graft_stream_tpart$i")
+        ev.filter(tsKey >= lo + i * w && tsKey < lo + (i + 1) * w)
+          .coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val f = {
+          val l = Files.list(part)
+          try l.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close()
+        }
+        val dst = Paths.get(s"$p/events_$i.parquet")
+        Files.move(f, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + i * 2000L))
       }
-      Files.copy(part, p.resolve("zz_sentinel.parquet"))
-      val w = Files.walk(tmp)
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { Files.deleteIfExists(f); () })
-      finally w.close()
+      writeSentinel(s, dir, p)
+      Files.setLastModifiedTime(p.resolve("zz_sentinel.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 10000L))
       p.toString
     })
 
@@ -544,7 +598,69 @@ object StreamingQueries {
     }
   }
 
+  /** Sessionization by EVENT-TIME TIMERS through transformWithState —
+    * the TWS feature q184 leaves untouched (it runs TimeMode.None).
+    * The SessionTimerProcessor holds one open session per user and one
+    * registered timer at (last event + gap); the time-split staging
+    * replays events as four micro-batches in event-time order, so
+    * sessions that go idle mid-stream are emitted BY TIMER EXPIRY in a
+    * later batch (not by any end-of-input sweep), and the sentinel's
+    * final watermark advance fires the rest. The gate rolls closed
+    * sessions up per user and must equal q95's batch sessionization
+    * oracle exactly — same semantics, third mechanism (q21 window
+    * arithmetic, q95 session_window aggregation, q200 explicit timers). */
+  def streamingSessionTimers(s: SparkSession, dir: String): DataFrame =
+    closedSessionsRaw(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy("user_id")
+
+  /** The raw closed-session stream output (one row per session, with
+    * the by_timer mechanism flag) as a batch snapshot — package-private
+    * so StreamingOpsSpec can assert the MECHANISM (every user's final
+    * session closes via timer; inline gap closures also occur), which
+    * the per-user rollup the gate sees necessarily erases. */
+  private[streaming] def closedSessionsRaw(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = stageDirTimeSplitWithSentinel(s, dir)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStatePartitions(s, 4) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .transform(graft.Tables.normalizeEventTs)
+        .withWatermark("ts", "1 hour")
+      val typed = stream
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[SessEvent]
+      val sessions = typed.groupByKey(_.user_id)
+        .transformWithState(new SessionTimerProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+      val name = s"graft_stream_timers_${runId.incrementAndGet()}"
+      val q = sessions.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val result = s.table(name)
+        .filter(col("user_id") >= 0) // the sentinel's session never closes anyway
+      val rows = result.collect()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+      s.catalog.dropTempView(name)
+      out
+    } finally oldProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_streaming_timers" -> (streamingSessionTimers _),
     "q131_stream_static_join" -> (streamingStaticJoin _),
     "q184_transform_with_state" -> (streamingTransformWithState _),
     "q185_statestore_read" -> (streamingStateStoreRead _),
@@ -556,6 +672,16 @@ object StreamingQueries {
     "q118_streaming_foreachbatch" -> (streamingForeachBatch _))
 
   val oracle: Map[String, String] = Map(
+    // identical semantics to q95 (>= gap starts a new session): the
+    // timer-driven state machine must converge to the same batch truth
+    "q200_streaming_timers" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE gap_us IS NULL OR gap_us >= 1800000000) AS n_sessions,
+        | count(*) AS n_events
+        |FROM (SELECT user_id,
+        |   epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the static-join stream must converge to the plain batch join
     "q131_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,

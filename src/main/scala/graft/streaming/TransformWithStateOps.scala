@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed input to the per-user profile processor (cents pre-computed —
   * the processor never touches floating point, so accumulation order
@@ -67,5 +67,97 @@ class UserProfileProcessor extends StatefulProcessor[Long, ProfileEvent, UserPro
     byType.keys().foreach(_ => nTypes += 1)
     val nErrors = if (byType.containsKey("error")) byType.getValue("error") else 0L
     Iterator.single(UserProfile(key, t.n, t.cents, nTypes, nErrors))
+  }
+}
+
+/** Typed input to the timer-driven sessionizer (event time in exact
+  * epoch micros — the processor never touches Timestamp objects). */
+case class SessEvent(user_id: Long, ts_us: Long)
+
+/** The open session per user: first/last event time + event count. */
+case class OpenSession(start_us: Long, last_us: Long, n: Long)
+
+/** One row per CLOSED session, emitted when the session ends — either
+  * by a large-enough intra-batch gap (by_timer = false) or by an
+  * event-time TIMER expiry (by_timer = true). The flag exists for the
+  * spec's mechanism assertions (every user's FINAL session can only
+  * close by timer — no later event exists to close it inline); the
+  * declared gate ignores it. */
+case class ClosedSession(user_id: Long, start_us: Long, n: Long, by_timer: Boolean)
+
+/** Gap-based sessionization driven by EVENT-TIME TIMERS — the
+  * transformWithState feature q184 doesn't touch. q95 sessionizes with
+  * the built-in session_window aggregation; this processor implements
+  * the same semantics (a gap ≥ 30 min starts a new session) as an
+  * explicit state machine that EMITS ON EXPIRY: each input batch folds
+  * the user's rows (sorted — shuffled rows arrive unordered) into the
+  * open session, closing intermediate sessions inline when an
+  * intra-batch gap crosses the threshold, then maintains EXACTLY ONE
+  * registered timer per user at (last event + gap); when the watermark
+  * passes it, [[handleExpiredTimer]] emits the now-idle session and
+  * clears state. Stale timers cannot fire wrong output twice over:
+  * input processing deletes-and-re-registers, and the expiry handler
+  * re-checks idleness against the CURRENT watermark — if new events
+  * extended the session after the timer was persisted, it re-arms
+  * instead of emitting (self-healing under any timer/batch interleave).
+  *
+  * At 100 TB the state is one (start, last, n) triple plus one timer
+  * per ACTIVE user — the minimal footprint gap-sessionization admits —
+  * and expired users leave the store the moment their timer fires.
+  */
+class SessionTimerProcessor(gapUs: Long = 1800L * 1000000L)
+    extends StatefulProcessor[Long, SessEvent, ClosedSession] {
+
+  @transient private var open: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession](
+      "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+  private def expiryMs(lastUs: Long): Long = (lastUs + gapUs) / 1000 + 1
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[SessEvent],
+      timerValues: TimerValues): Iterator[ClosedSession] = {
+    val ts = rows.map(_.ts_us).toArray
+    java.util.Arrays.sort(ts)
+    val closed = Seq.newBuilder[ClosedSession]
+    var cur = if (open.exists()) Some(open.get()) else None
+    ts.foreach { t =>
+      cur match {
+        case None => cur = Some(OpenSession(t, t, 1))
+        case Some(s) if t - s.last_us >= gapUs =>
+          closed += ClosedSession(key, s.start_us, s.n, by_timer = false)
+          cur = Some(OpenSession(t, t, 1))
+        case Some(s) =>
+          cur = Some(OpenSession(s.start_us, math.max(s.last_us, t), s.n + 1))
+      }
+    }
+    cur.foreach { s =>
+      open.update(s)
+      // exactly one armed timer per user: drop whatever was registered
+      // by earlier batches, then arm the current session's expiry
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(expiryMs(s.last_us))
+    }
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    if (!open.exists()) return Iterator.empty
+    val s = open.get()
+    if (timerValues.getCurrentWatermarkInMs * 1000L >= s.last_us + gapUs) {
+      open.clear()
+      Iterator.single(ClosedSession(key, s.start_us, s.n, by_timer = true))
+    } else {
+      // the session was extended after this timer persisted — re-arm
+      // for the true expiry instead of emitting a live session
+      getHandle.registerTimer(expiryMs(s.last_us))
+      Iterator.empty
+    }
   }
 }

@@ -168,4 +168,39 @@ class StreamingOpsSpec extends SparkSpec {
       assert(rows.toSeq === Seq((1L, 15.0, 2L), (2L, 7.0, 1L)))
     } finally q.stop()
   }
+
+  test("q200 session timers: both closure mechanisms fire; rollup equals batch truth") {
+    val sf = "/root/testdata/sf0.001"
+    val raw = StreamingQueries.closedSessionsRaw(spark, sf).cache()
+    val users = graft.Tables(spark, sf, "events")
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    val byTimer = raw.filter(col("by_timer")).count()
+    val inline = raw.filter(!col("by_timer")).count()
+    // every user's FINAL session has no later event to close it inline —
+    // only an expired event-time timer can emit it. A timer regression
+    // (never firing, firing on stale state, emitting live sessions)
+    // breaks this invariant before it breaks the rollup.
+    assert(byTimer >= users, s"timer closures $byTimer < users $users")
+    // and the intra-batch gap path must ALSO occur on a 30-day fixture
+    assert(inline > 0L, "no inline gap closures — time-split staging broken?")
+    // end-to-end: per-user rollup == batch lag-window sessionization
+    val got = raw.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = graft.Tables(spark, sf, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val expected = ev
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("gap_us").isNull ||
+          col("gap_us") >= 1800L * 1000000L, 1L).otherwise(0L)).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    raw.unpersist()
+    assert(got.toSeq === expected.toSeq)
+  }
 }
