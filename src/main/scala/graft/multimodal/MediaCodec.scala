@@ -75,6 +75,26 @@ object MediaCodec {
     * value) while still forcing the decoder through genuine container
     * parsing: signature, IHDR dimensions, zlib-inflated scanlines. */
   def encodeSolidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(width * height / 4 + 128)
+    ImageIO.write(solidImage(width, height, r, g, b), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode a deterministic solid-RGB image as real JPEG bytes (JDK
+    * com.sun.imageio JPEG plugin: YCbCr conversion, 8×8 DCT,
+    * quantization at the default ~0.75 quality, Huffman coding). JPEG
+    * is LOSSY, so unlike PNG the oracle cannot pin pixel sums exactly —
+    * q201 pins decoded DIMENSIONS, container magic, and channel means
+    * within a small tolerance instead (a solid fill survives the DCT as
+    * a pure DC coefficient; only color-space rounding and DC
+    * quantization can move it, by a few counts at most). */
+  def encodeSolidJpeg(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(width * height / 4 + 512)
+    ImageIO.write(solidImage(width, height, r, g, b), "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def solidImage(width: Int, height: Int, r: Int, g: Int, b: Int): BufferedImage = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
     var y = 0
@@ -83,9 +103,7 @@ object MediaCodec {
       while (x < width) { img.setRGB(x, y, rgb); x += 1 }
       y += 1
     }
-    val bos = new ByteArrayOutputStream(width * height / 4 + 128)
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
   }
 
   /** Decode any ImageIO-supported container (PNG/JPEG/BMP/GIF) and

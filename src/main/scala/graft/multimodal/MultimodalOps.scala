@@ -285,7 +285,46 @@ object MultimodalOps {
       .orderBy("n_samples")
   }
 
+  /** q201: LOSSY image-codec round trip — JPEG through the same
+    * javax.imageio path as q182's PNG (SPI registry is ImageIO's own,
+    * resolved once per class; the q183 ServiceLoader lesson applies to
+    * javax.sound only). JPEG quantizes, so exact pixel sums can't be
+    * the oracle; instead each row pins what lossy compression MUST
+    * preserve: container magic (FF D8 SOI), decoded dimensions equal
+    * to the encoded ones, and per-channel MEANS within ±4 of the solid
+    * fill (measured worst deviation 3.0 across the full id→color grid
+    * on this JDK's encoder — YCbCr rounding + DC quantization; a codec
+    * regression deviates by tens). DuckDB predicts (dims, n, true,
+    * true) from the same id arithmetic. Same scale shape as q182:
+    * fused encode→decode per row, map-only until a 40-group rollup. */
+  def jpegRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoded = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 16 + (id % 8).toInt
+          val h = 16 + (id % 5).toInt
+          val (r, g, b) = ((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt)
+          val jpg = MediaCodec.encodeSolidJpeg(w, h, r, g, b)
+          val d = MediaCodec.decodeImage(jpg)
+            .getOrElse(throw new IllegalStateException(s"JPEG decode failed for doc $id"))
+          val n = d.width.toLong * d.height
+          def near(sum: Long, v: Int): Boolean = math.abs(sum.toDouble / n - v) <= 4.0
+          val containerOk = jpg.length > 2 &&
+            (jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8 && // SOI magic
+            d.width == w && d.height == h
+          (id, w, h, containerOk, near(d.sumR, r) && near(d.sumG, g) && near(d.sumB, b))
+        }
+      }.toDF("doc_id", "w", "h", "container_ok", "color_ok")
+    decoded.groupBy(col("w"), col("h"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("container_ok")).as("container_ok"),
+        min(col("color_ok")).as("color_ok"))
+      .orderBy("w", "h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_jpeg_roundtrip" -> ((s: SparkSession, d: String) => jpegRoundtrip(s, d)),
     "q64_media_stats" -> ((s: SparkSession, d: String) => mediaStats(s, d)),
     "q91_frame_sample" -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "q182_image_roundtrip" -> ((s: SparkSession, d: String) => imageRoundtrip(s, d)),
@@ -295,6 +334,14 @@ object MultimodalOps {
   /** The payload is the document text's UTF-8 bytes, so DuckDB's byte
     * length (strlen) reproduces n_bytes exactly; kind = doc_id mod 3. */
   val oracle: Map[String, String] = Map(
+    // lossy codec: the oracle predicts dimensions + counts and asserts
+    // the container/color pins hold (see jpegRoundtrip scaladoc)
+    "q201_jpeg_roundtrip" ->
+      """SELECT CAST(16 + doc_id % 8 AS INT) AS w,
+        |       CAST(16 + doc_id % 5 AS INT) AS h,
+        |       count(*) AS n_images,
+        |       true AS container_ok, true AS color_ok
+        |FROM documents GROUP BY 1, 2 ORDER BY w, h""".stripMargin,
     "q64_media_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,

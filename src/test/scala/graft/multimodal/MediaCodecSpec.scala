@@ -22,6 +22,27 @@ class MediaCodecSpec extends SparkSpec {
     assert(d.sumB === 13L * 9 * 255)
   }
 
+  test("JPEG round trip: SOI magic, exact dimensions, channel means within tolerance") {
+    val jpg = MediaCodec.encodeSolidJpeg(21, 17, 180, 40, 220)
+    // real container: SOI marker, and the sniffer admits it
+    assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8)
+    assert(MediaCodec.looksLikeImage(jpg))
+    val d = MediaCodec.decodeImage(jpg).get
+    // dimensions survive the lossy codec exactly
+    assert(d.width === 21 && d.height === 17)
+    // a solid fill survives the DCT as a pure DC coefficient; only
+    // YCbCr rounding + DC quantization move the mean (measured worst
+    // 3.0 over the full q201 color grid on this JDK)
+    val n = 21.0 * 17
+    assert(math.abs(d.sumR / n - 180) <= 4.0)
+    assert(math.abs(d.sumG / n - 40) <= 4.0)
+    assert(math.abs(d.sumB / n - 220) <= 4.0)
+    // and lossy means NOT pixel-exact in general — the reason q201's
+    // oracle pins tolerance, not sums: encode is still deterministic
+    val again = MediaCodec.encodeSolidJpeg(21, 17, 180, 40, 220)
+    assert(jpg.toSeq === again.toSeq)
+  }
+
   test("PNG encode is deterministic; decode rejects non-image bytes") {
     val a = MediaCodec.encodeSolidPng(8, 8, 1, 2, 3)
     val b = MediaCodec.encodeSolidPng(8, 8, 1, 2, 3)
