@@ -872,7 +872,7 @@ object Analytics2Queries {
         |   sum(obs) OVER () AS n FROM cells)
         |SELECT event_type, dow, obs,
         | round(CAST(rt AS DOUBLE) * ct / n, 6) AS expected,
-        | round((obs - CAST(rt AS DOUBLE) * ct / n) ** 2
+        | round(power(obs - CAST(rt AS DOUBLE) * ct / n, 2)
         |   / (CAST(rt AS DOUBLE) * ct / n), 6) AS chi2_part
         |FROM tot ORDER BY event_type, dow""".stripMargin,
     "q141_group_ols_trend" ->
@@ -923,7 +923,7 @@ object Analytics2Queries {
       """WITH r AS (
         |  SELECT event_type, event_id, value,
         |   row_number() OVER (PARTITION BY event_type
-        |     ORDER BY md5(CAST(event_id AS VARCHAR) || ':s145'), event_id) AS rn
+        |     ORDER BY md5(CAST(event_id AS STRING) || ':s145'), event_id) AS rn
         |  FROM events)
         |SELECT event_type, rn, event_id, round(value, 2) AS value
         |FROM r WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
@@ -998,7 +998,7 @@ object Analytics2Queries {
         |FROM f GROUP BY col ORDER BY col""".stripMargin,
     "q151_value_histogram" ->
       """WITH b AS (
-        |  SELECT least(CAST(round(value*100) AS BIGINT) // 1000, 19) AS bin FROM events)
+        |  SELECT least(CAST(floor(CAST(round(value*100) AS BIGINT) / 1000) AS BIGINT), 19) AS bin FROM events)
         |SELECT bin, CAST(bin*10.0 AS DOUBLE) AS lo,
         | CASE WHEN bin = 19 THEN NULL ELSE CAST(bin*10.0+10 AS DOUBLE) END AS hi,
         | count(*) AS n
@@ -1022,7 +1022,7 @@ object Analytics2Queries {
     "q154_windowed_dedup" ->
       """WITH w AS (
         |  SELECT event_type,
-        |   row_number() OVER (PARTITION BY user_id, event_type, epoch_us(ts) // 600000000
+        |   row_number() OVER (PARTITION BY user_id, event_type, CAST(floor(epoch_us(ts) / 600000000) AS BIGINT)
         |                      ORDER BY ts, event_id) AS rn
         |  FROM events)
         |SELECT event_type, count(*) AS n_events,
@@ -1080,7 +1080,7 @@ object Analytics2Queries {
         |GROUP BY a, b, c ORDER BY n DESC, a, b, c LIMIT 20""".stripMargin,
     "q160_sketch_quantiles" ->
       """WITH b AS (
-        |  SELECT event_type, CAST(round(value*100) AS BIGINT) // 500 AS bin,
+        |  SELECT event_type, CAST(floor(CAST(round(value*100) AS BIGINT) / 500) AS BIGINT) AS bin,
         |   count(*) AS cnt
         |  FROM events GROUP BY 1, 2),
         |c AS (
@@ -1104,13 +1104,13 @@ object Analytics2Queries {
     "q161_gap_burstiness" ->
       """WITH g AS (
         |  SELECT event_type,
-        |   (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |     - epoch_us(ts)) // 1000000 AS gap
+        |   CAST(floor((lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     - epoch_us(ts)) / 1000000) AS BIGINT) AS gap
         |  FROM events),
         |m AS (
         |  SELECT event_type, CAST(count(gap) AS DOUBLE) AS n,
         |   CAST(sum(gap) AS DOUBLE) AS s1,
-        |   CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS s2
+        |   CAST(sum(gap * gap) AS DOUBLE) AS s2
         |  FROM g WHERE gap IS NOT NULL GROUP BY event_type)
         |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
         | round(s1 / n, 6) AS mean_gap_s,

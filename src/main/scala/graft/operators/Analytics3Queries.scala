@@ -95,13 +95,27 @@ object Analytics3Queries {
       .transform(graft.util.Checkpoints.truncate)
     // wedges at the triangle's minimum-(deg,id) vertex: two out-edges,
     // ordered by the destination key so each unordered pair appears once
+    // the closing-edge existence probe: the wedge frame is the LARGEST
+    // object in the query (Σ C(outdeg, 2) — 41M rows at sf1 against
+    // 1.2M edges), so it must never shuffle. The edge set packs into
+    // single longs (same <2^32/<2^30 bounds okey asserts on this very
+    // frame) and BROADCASTS: the probe becomes a map-side hash lookup
+    // and the round-5 plan's 41M-row SMJ exchange disappears (measured
+    // 11.9 → 9.5 s min-of-3 at sf1 on a noisy host; the residual cost
+    // is the edge build + wedge generation, which the probe shape
+    // doesn't touch). Scale guard: |E| is a dimension² object
+    // under a support cut (≤ C(|part|, 2)), not fact-scale — when a
+    // deployment's edge set outgrows broadcast, BloomFilterPrune
+    // (q123's operator) in front of a shuffled semi join is the
+    // drop-in fallback, at the price of re-shuffling true wedges.
+    val ekeys = e.select((col("pa") * lit(1L << 32) + col("pb")).as("ek"))
     val tri = oriented.as("x")
       .join(oriented.as("y"),
         col("x.src") === col("y.src") && col("x.dstk") < col("y.dstk"))
       .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
-      .join(e,
-        least(col("v"), col("w")) === col("pa") &&
-          greatest(col("v"), col("w")) === col("pb"),
+      .join(broadcast(ekeys),
+        least(col("v"), col("w")) * lit(1L << 32) +
+          greatest(col("v"), col("w")) === col("ek"),
         "left_semi")
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("p_partkey"))
       .groupBy(col("p_partkey"))
@@ -609,15 +623,15 @@ object Analytics3Queries {
         | count(DISTINCT v) AS n_distinct,
         | min(v) AS min_v, max(v) AS max_v
         |FROM (
-        |  SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS v FROM documents
+        |  SELECT 'doc_id' AS col, CAST(doc_id AS STRING) AS v FROM documents
         |  UNION ALL SELECT 'lang', lang FROM documents
-        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS STRING) FROM documents
         |  UNION ALL SELECT 'source', source FROM documents
-        |  UNION ALL SELECT 'text_len', CAST(length(text) AS VARCHAR) FROM documents)
+        |  UNION ALL SELECT 'text_len', CAST(length(text) AS STRING) FROM documents)
         |GROUP BY col ORDER BY col""".stripMargin,
     "q170_ab_welch_t" ->
       """WITH o AS (
-        |  SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':ab170'), 1, 4))
+        |  SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS STRING) || ':ab170'), 1, 4))
         |          AS BIGINT) % 2 AS arm,
         |   CAST(round(o_totalprice*100) AS BIGINT) AS c
         |  FROM orders),

@@ -390,7 +390,7 @@ object AnalyticsQueries {
       """WITH RECURSIVE walk(custkey, node, depth) AS (
         |  SELECT c_custkey, c_custkey, 0 FROM customer
         |  UNION ALL
-        |  SELECT custkey, node // 10, depth + 1 FROM walk WHERE node >= 10)
+        |  SELECT custkey, CAST(floor(node / 10) AS BIGINT), depth + 1 FROM walk WHERE node >= 10)
         |SELECT custkey, max(depth) AS depth, min(node) AS root
         |FROM walk GROUP BY custkey ORDER BY custkey""".stripMargin,
     // bloom filters have no false negatives: the oracle is the PLAIN join
@@ -428,7 +428,7 @@ object AnalyticsQueries {
         |   count(DISTINCT o_custkey) AS n_distinct,
         |   CAST(min(o_custkey) AS DOUBLE) AS min_num,
         |   CAST(max(o_custkey) AS DOUBLE) AS max_num,
-        |   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |   CAST(NULL AS STRING) AS min_str, CAST(NULL AS STRING) AS max_str
         |  FROM orders
         |  UNION ALL
         |  SELECT 'o_totalprice', count(o_totalprice), count(DISTINCT o_totalprice),

@@ -209,7 +209,7 @@ object CdcOps {
         |  UNION ALL
         |  SELECT -c_custkey - 1, 'I', 0 FROM customer WHERE c_custkey % 97 = 0)
         |SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
-        | coalesce(c.c_name, 'new#' || CAST(g.k AS VARCHAR)) AS c_name,
+        | coalesce(c.c_name, 'new#' || CAST(g.k AS STRING)) AS c_name,
         | CAST((coalesce(CAST(round(c.c_acctbal*100) AS BIGINT), 0)
         |       + coalesce(g.delta_cents, 0)) / 100.0 AS DOUBLE) AS c_acctbal
         |FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
@@ -230,7 +230,7 @@ object CdcOps {
         |  SELECT -c_custkey - 1, 'I', 0 FROM customer WHERE c_custkey % 97 = 0),
         |merged AS (
         |  SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
-        |   coalesce(c.c_name, 'new#' || CAST(g.k AS VARCHAR)) AS c_name,
+        |   coalesce(c.c_name, 'new#' || CAST(g.k AS STRING)) AS c_name,
         |   CAST((coalesce(CAST(round(c.c_acctbal*100) AS BIGINT), 0)
         |         + coalesce(g.delta_cents, 0)) / 100.0 AS DOUBLE) AS c_acctbal
         |  FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k

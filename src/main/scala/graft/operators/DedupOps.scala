@@ -491,7 +491,7 @@ object DedupOps {
       val slotMins = (0 until 16).map(i =>
         s"min((ha + $i * hb) % 4294967296) AS s$i").mkString(",\n        |    ")
       val bandRows = (0 until 4).map { b =>
-        val digest = (0 until 4).map(r => s"CAST(s${4 * b + r} AS VARCHAR)")
+        val digest = (0 until 4).map(r => s"CAST(s${4 * b + r} AS STRING)")
           .mkString(" || ':' || ")
         s"SELECT doc_id, $b AS band, $digest AS digest FROM sig"
       }.mkString("\n        |  UNION ALL ")

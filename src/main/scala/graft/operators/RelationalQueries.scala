@@ -1050,7 +1050,7 @@ object RelationalQueries {
     "q30_tumbling_window" ->
       """SELECT make_timestamp(bucket * 3600000000) AS hour_start, n, total_value
         |FROM (
-        |  SELECT epoch_us(ts) // 3600000000 AS bucket, count(*) AS n,
+        |  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bucket, count(*) AS n,
         |   sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
         |  FROM events GROUP BY bucket)
         |ORDER BY hour_start""".stripMargin,

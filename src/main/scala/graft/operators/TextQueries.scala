@@ -803,7 +803,7 @@ object TextQueries {
       """WITH w AS (
         |  SELECT doc_id, lang,
         |   (CASE WHEN lang = 'en' THEN 2.5 ELSE 1.25 END) AS wt,
-        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4)) AS INTEGER) AS v
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS STRING) || ':mix'), 1, 4)) AS INTEGER) AS v
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, lang,
@@ -921,10 +921,16 @@ object TextQueries {
          |FROM sums ORDER BY doc_id""".stripMargin
     },
     "q75_stratified_sample" ->
-      """SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+      """WITH h AS (
+        |  SELECT doc_id, lang, substr(md5(CAST(doc_id AS STRING) || ':sample'), 1, 4) AS hx
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM (SELECT doc_id, lang,
-        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 4)) AS INTEGER) AS v
-        | FROM documents)
+        |   (instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+        |   + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+        |   + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) AS v
+        | FROM h)
         |WHERE v < (CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END) * 65536
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q76_pack_sequences" ->
@@ -1003,7 +1009,7 @@ object TextQueries {
         |      WHEN v < round(0.9*65536) THEN 'val'
         |      ELSE 'test' END AS split
         |FROM (SELECT doc_id,
-        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4)) AS INTEGER) AS v
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS STRING) || ':graft'), 1, 4)) AS INTEGER) AS v
         |  FROM deduped
         |  WHERE doc_id NOT IN (SELECT doc_id FROM removed)) keep
         | JOIN documents doc ON doc.doc_id = keep.doc_id
@@ -1016,8 +1022,12 @@ object TextQueries {
         |        WHEN v < round(0.9*65536) THEN 'val'
         |        ELSE 'test' END AS split
         |  FROM (SELECT doc_id,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 4)) AS INTEGER) AS v
-        |   FROM documents))
+        |     (instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+        |     + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+        |     + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+        |     + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) AS v
+        |   FROM (SELECT doc_id, substr(md5(CAST(doc_id AS STRING) || ':graft'), 1, 4) AS hx
+        |         FROM documents)))
         |GROUP BY split ORDER BY split""".stripMargin,
     "q38_repetition" ->
       """SELECT doc_id,

@@ -373,9 +373,118 @@ object GraftExpressions {
 
   /** Register the SQL functions on an already-built session. */
   def registerAll(spark: SparkSession): Unit =
-    registrations.foreach { case (id, info, builder) =>
+    (registrations ++ DuckDialect.registrations).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+}
+
+/** DuckDB-dialect SQL compatibility functions — thin builders over
+  * Spark's own Catalyst expressions, registered by GraftExtensions so
+  * SQL written for DuckDB (the repo's oracle dialect, and a common
+  * analyst dialect) runs on this engine unchanged:
+  *
+  *  - `epoch_us/epoch_ms(ts)` → unix_micros/unix_millis (BIGINT);
+  *    `epoch(ts)` → DOUBLE seconds with fraction (DuckDB semantics);
+  *  - `quantile_cont(x, q)` → exact interpolated `percentile` (both
+  *    engines define it as the linear-interpolation continuous
+  *    quantile);
+  *  - `isodow(ts)` → ISO day-of-week, Monday = 1 (Spark's weekday is
+  *    Monday = 0);
+  *  - `string_split_regex(s, p)` → `split(s, p)` (identical regex
+  *    split semantics, different name);
+  *  - `datediff('day', s, e)` / `date_diff('day', s, e)` — DuckDB's
+  *    quoted-unit 3-arg form, mapped to Spark's datediff(end, start)
+  *    day count. Spark's native signatures (2-arg, and 3-arg with an
+  *    UNQUOTED unit keyword) fall through to the builtin builder
+  *    unchanged — the override only claims a call shape that
+  *    previously errored, so nothing narrows;
+  *  - `make_timestamp(us)` — DuckDB's 1-arg epoch-micros constructor
+  *    → timestamp_micros; the native 6-arg form falls through.
+  *
+  * These are COMPATIBILITY surface, not new semantics: every builder
+  * returns a stock Catalyst expression, so codegen/pushdown behave as
+  * if the user had written the Spark spelling. SqlParitySpec leans on
+  * them: each one widens the share of the declared oracle SQL that
+  * replays verbatim through spark.sql.
+  */
+object DuckDialect {
+  import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry => FR}
+  import org.apache.spark.sql.catalyst.expressions.{Add, Cast, DateDiff, Divide, MicrosToTimestamp, UnixMicros, UnixMillis, StringSplit, WeekDay}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+  import org.apache.spark.sql.types.{DateType, TimestampType}
+
+  private def badArgs(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  private def info(clazz: Class[_], name: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  private def isDayLit(e: Expression): Boolean = e match {
+    case Literal(u: UTF8String, _) => u.toString.equalsIgnoreCase("day")
+    case _ => false
+  }
+
+  /** The stock builder for a builtin name — delegation target for the
+    * call shapes the override does NOT claim. */
+  private def builtin(name: String): Seq[Expression] => Expression =
+    FR.builtin.lookupFunctionBuilder(FunctionIdentifier(name)).getOrElse(
+      (_: Seq[Expression]) => badArgs(s"no builtin builder for $name"))
+
+  private def dayDiffBuilder(name: String): Seq[Expression] => Expression = {
+    val orig = builtin(name)
+    (args: Seq[Expression]) => args match {
+      // DuckDB: date_diff('day', start, end) = end − start in days
+      case Seq(u, s, e) if isDayLit(u) => DateDiff(Cast(e, DateType), Cast(s, DateType))
+      case other => orig(other)
+    }
+  }
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("epoch_us"), info(classOf[UnixMicros], "epoch_us"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => UnixMicros(Cast(c, TimestampType))
+        case _ => badArgs("epoch_us takes exactly 1 arg")
+      }),
+    (FunctionIdentifier("epoch_ms"), info(classOf[UnixMillis], "epoch_ms"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => UnixMillis(Cast(c, TimestampType))
+        case _ => badArgs("epoch_ms takes exactly 1 arg")
+      }),
+    (FunctionIdentifier("epoch"), info(classOf[UnixMicros], "epoch"),
+      (args: Seq[Expression]) => args match {
+        // DuckDB epoch() is DOUBLE seconds including the fraction
+        case Seq(c) => Divide(
+          Cast(UnixMicros(Cast(c, TimestampType)), DoubleType), Literal(1e6))
+        case _ => badArgs("epoch takes exactly 1 arg")
+      }),
+    (FunctionIdentifier("quantile_cont"), info(classOf[Percentile], "quantile_cont"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, q) => new Percentile(c, q)
+        case _ => badArgs("quantile_cont takes exactly 2 args")
+      }),
+    (FunctionIdentifier("isodow"), info(classOf[WeekDay], "isodow"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => Add(WeekDay(c), Literal(1))
+        case _ => badArgs("isodow takes exactly 1 arg")
+      }),
+    (FunctionIdentifier("string_split_regex"), info(classOf[StringSplit], "string_split_regex"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, p) => new StringSplit(s, p)
+        case _ => badArgs("string_split_regex takes exactly 2 args")
+      }),
+    (FunctionIdentifier("datediff"), info(classOf[DateDiff], "datediff"),
+      dayDiffBuilder("datediff")),
+    (FunctionIdentifier("date_diff"), info(classOf[DateDiff], "date_diff"),
+      dayDiffBuilder("date_diff")),
+    (FunctionIdentifier("make_timestamp"), info(classOf[MicrosToTimestamp], "make_timestamp"),
+      {
+        val orig = builtin("make_timestamp")
+        (args: Seq[Expression]) => args match {
+          // DuckDB: make_timestamp(epoch_micros)
+          case Seq(us) => MicrosToTimestamp(us)
+          case other => orig(other)
+        }
+      }))
 }
 
 /** SparkSessionExtensions entry point:
@@ -384,6 +493,7 @@ object GraftExpressions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExpressions.registrations.foreach(ext.injectFunction)
+    DuckDialect.registrations.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => BucketedRangeJoinRule())
     ext.injectPlannerStrategy(_ => new AsofJoinStrategy)
   }

@@ -72,6 +72,7 @@ class SqlParitySpec extends SparkSpec {
       Tables(spark, sf, n).createOrReplaceTempView(n)
     }
     var ran, skipped = 0
+    val skippedNames = scala.collection.mutable.ListBuffer[String]()
     val failures = scala.collection.mutable.ListBuffer[String]()
     for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
          if !excluded.contains(name)) {
@@ -91,7 +92,7 @@ class SqlParitySpec extends SparkSpec {
         try Some(spark.sql(sql))
         catch { case scala.util.control.NonFatal(_) => None } // DuckDB-only surface
       viaSql match {
-        case None => skipped += 1
+        case None => skipped += 1; skippedNames += name
         case Some(df) =>
           val sqlRows = canon(df)
           ran += 1
@@ -104,11 +105,14 @@ class SqlParitySpec extends SparkSpec {
       }
     }
     info(s"replayed $ran oracle statements through spark.sql; $skipped DuckDB-only skipped")
+    info(s"skipped: ${skippedNames.mkString(" ")}")
     assert(failures.isEmpty, failures.mkString("\n"))
-    // erosion floor: half the declared surface must stay directly
-    // Spark-replayable (measured: 90 replayed / 86 DuckDB-only at the
-    // time of writing; small slack so an added DuckDB-only oracle
-    // doesn't trip it)
-    assert(ran >= 85, s"only $ran oracle statements still parse in Spark SQL")
+    // erosion floor: most of the declared surface must stay directly
+    // Spark-replayable (measured: 114 replayed / 66 DuckDB-only after
+    // the round-6 DuckDialect compat functions + portable-SQL ports;
+    // small slack so an added DuckDB-only oracle doesn't trip it).
+    // A drop below the floor means either a compat function was lost
+    // or new oracles are being written in gratuitously foreign SQL.
+    assert(ran >= 110, s"only $ran oracle statements still parse in Spark SQL")
   }
 }
