@@ -107,4 +107,19 @@ object KmvSketch {
     val common = a.count(h => bs.contains(h) && u(h) < th)
     common / th
   }
+
+  /** Theta-style A-NOT-B (set difference) estimate — the third leg of
+    * the sketch lattice (union = merge, intersect, difference). Below
+    * θ = min(θ_a, θ_b) BOTH sketches observe the hash space
+    * completely, so a hash in A's sketch below θ that is absent from
+    * B's sketch is genuinely absent from B — the below-θ members of
+    * A\B are a uniform sample and D̂(A∖B) = |{h ∈ A, h < θ, h ∉ B}|/θ.
+    * (Restricting to below-θ is what makes this sound: above θ_b, B's
+    * sketch is silent and absence means nothing.) */
+  def differenceEstimate(a: Array[Long], b: Array[Long], k: Int): Double = {
+    val th = math.min(theta(a, k), theta(b, k))
+    val bs = b.toSet
+    val only = a.count(h => u(h) < th && !bs.contains(h))
+    only / th
+  }
 }

@@ -550,7 +550,69 @@ object Analytics3Queries {
       .orderBy("type_a", "type_b")
   }
 
+  /** KMV A-NOT-B (q199's lattice completed: union = merge, intersect,
+    * and now DIFFERENCE — "users who did X early but not late", the
+    * churn/retention set algebra). Segments are (event_type, month
+    * period early/mid/late), so differences are genuinely non-empty:
+    * within each event type, the three ordered period pairs estimate
+    * |A∖B| and |B∖A| purely from the two bottom-k sketches (below
+    * θ = min(θ_a, θ_b) both sketches observe the hash space
+    * completely, so absence from B's sketch below θ IS absence from
+    * B — KmvSketch.differenceEstimate's soundness argument), pinned
+    * against exact counts with the q193/q199 envelope device. Exact
+    * |A∖B| derives as n_a − |A∩B| — no third join. Estimators stay in
+    * column space; at 100 TB only the sketch build touches events. */
+  def kmvDifference(s: SparkSession, dir: String, k: Int = 1024): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(k))
+    def u(h: Column): Column = h.cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+    def thetaOf(sk: Column): Column =
+      when(size(sk) < k, lit(1.0)).otherwise(u(element_at(sk, k)))
+    val seg = t(s, dir, "events").select(col("event_type"), col("user_id"),
+      when(dayofmonth(col("ts")) <= 10, lit(0)).when(dayofmonth(col("ts")) <= 20, lit(1))
+        .otherwise(lit(2)).as("p"))
+    val sk = seg.groupBy(col("event_type"), col("p"))
+      .agg(kmv(xxhash64(col("user_id"))).as("sk"),
+        countDistinct(col("user_id")).as("n"))
+    val pairs = sk.select(col("event_type"), col("p").as("p_a"),
+        col("sk").as("sk_a"), col("n").as("n_a"))
+      .join(broadcast(sk.select(col("event_type").as("et_b"), col("p").as("p_b"),
+        col("sk").as("sk_b"), col("n").as("n_b"))),
+        col("event_type") === col("et_b") && col("p_a") < col("p_b"))
+    val tu = seg.distinct()
+    val exactI = tu.select(col("event_type").as("xt"), col("p").as("xa"), col("user_id").as("ua"))
+      .join(tu.select(col("event_type").as("yt"), col("p").as("xb"), col("user_id").as("ub")),
+        col("ua") === col("ub") && col("xt") === col("yt") && col("xa") < col("xb"))
+      .groupBy(col("xt"), col("xa"), col("xb")).agg(count(lit(1)).as("n_i"))
+    val th = least(thetaOf(col("sk_a")), thetaOf(col("sk_b")))
+    def diffEst(x: Column, y: Column): Column =
+      size(filter(x, h => u(h) < th && !array_contains(y, h))).cast("double") / th
+    pairs
+      .join(exactI, col("event_type") === col("xt") &&
+        col("p_a") === col("xa") && col("p_b") === col("xb"))
+      .withColumn("n_exact_anotb", col("n_a") - col("n_i"))
+      .withColumn("n_exact_bnota", col("n_b") - col("n_i"))
+      // self-scaling envelope: a NEEDLE difference (|A∖B| ≪ |A∪B| —
+      // exactly this fixture's shape, ~200 of 15k at sf1) is sampled
+      // below θ as X ~ Binomial(D, θ), est = X/θ, so σ = √(D(1−θ)/θ)
+      // ≤ √(D/θ). A fixed relative envelope is meaningless there (σ
+      // can exceed D itself); 4σ from the sketch's OWN θ is the honest
+      // bound, collapsing to 0 when the sketches are exact (θ = 1 →
+      // est exact) and the oracle still just predicts `true`.
+      .withColumn("env",
+        lit(4.0) * sqrt((col("n_exact_anotb").cast("double") + 1.0) / th) + lit(8.0))
+      .withColumn("env_b",
+        lit(4.0) * sqrt((col("n_exact_bnota").cast("double") + 1.0) / th) + lit(8.0))
+      .select(col("event_type"), col("p_a"), col("p_b"),
+        col("n_exact_anotb"), col("n_exact_bnota"),
+        (abs(diffEst(col("sk_a"), col("sk_b")) - col("n_exact_anotb")) <=
+          col("env")).as("anotb_ok"),
+        (abs(diffEst(col("sk_b"), col("sk_a")) - col("n_exact_bnota")) <=
+          col("env_b")).as("bnota_ok"))
+      .orderBy("event_type", "p_a", "p_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_kmv_difference" -> ((s: SparkSession, d: String) => kmvDifference(s, d)),
     "q199_kmv_intersect" -> ((s: SparkSession, d: String) => kmvIntersect(s, d)),
     "q193_hll_distinct" -> (hllDistinct _),
     "q167_triangle_count" -> (triangleCount _),
@@ -566,6 +628,25 @@ object Analytics3Queries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q202_kmv_difference" ->
+      """WITH seg AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |   CASE WHEN day(ts) <= 10 THEN 0 WHEN day(ts) <= 20 THEN 1 ELSE 2 END AS p
+        |  FROM events),
+        |per AS (SELECT event_type, p, count(*) AS n FROM seg GROUP BY event_type, p),
+        |ints AS (
+        |  SELECT a.event_type, a.p AS p_a, b.p AS p_b, count(*) AS n_i
+        |  FROM seg a JOIN seg b
+        |    ON a.user_id = b.user_id AND a.event_type = b.event_type AND a.p < b.p
+        |  GROUP BY 1, 2, 3)
+        |SELECT i.event_type, i.p_a, i.p_b,
+        |       pa.n - i.n_i AS n_exact_anotb,
+        |       pb.n - i.n_i AS n_exact_bnota,
+        |       true AS anotb_ok, true AS bnota_ok
+        |FROM ints i
+        | JOIN per pa ON pa.event_type = i.event_type AND pa.p = i.p_a
+        | JOIN per pb ON pb.event_type = i.event_type AND pb.p = i.p_b
+        |ORDER BY i.event_type, p_a, p_b""".stripMargin,
     "q199_kmv_intersect" ->
       """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
         |per AS (SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),

@@ -66,6 +66,23 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(estDisjoint === 0.0)
   }
 
+  test("difference estimate tracks a known A-not-B; identical sets estimate zero") {
+    val shared = hashes(10, 20000).distinct
+    val onlyA = hashes(11, 10000).distinct
+    val skA = sketchOf(shared ++ onlyA)
+    val skB = sketchOf(shared)
+    val est = KmvSketch.differenceEstimate(skA, skB, k)
+    val exact = onlyA.size.toDouble
+    // |A∪B|/|A\B| ~ 3 -> RSE ~ sqrt(3)/sqrt(k) ~ 11%; 3-sigma
+    assert(math.abs(est - exact) < exact * 0.33, s"est $est vs exact $exact")
+    // A\A must be EXACTLY zero (identical sketches, identical theta)
+    assert(KmvSketch.differenceEstimate(skA, skA, k) === 0.0)
+    // and the lattice closes: |A| ~ |A∩B| + |A\B| within error
+    val viaParts = KmvSketch.intersectEstimate(skA, skB, k) + est
+    val whole = KmvSketch.estimate(skA, k)
+    assert(math.abs(viaParts - whole) < whole * 0.25, s"$viaParts vs $whole")
+  }
+
   test("union estimate == estimate of the concatenated stream's sketch") {
     val a = hashes(8, 30000)
     val b = hashes(9, 30000)
