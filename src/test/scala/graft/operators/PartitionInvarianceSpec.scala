@@ -47,7 +47,16 @@ class PartitionInvarianceSpec extends SparkSpec {
     // bit-identical under any partitioning)
     "q191_tpch_q21",
     "q192_chunk_dedup",
-    "q193_hll_distinct")
+    "q193_hll_distinct",
+    // round-6 machinery: the synthesized-partsupp family's UNION-dedup
+    // generator + window argmin (Q2) and nested-IN flattening (Q20),
+    // and the KMV sketches — bottom-k is a commutative, idempotent
+    // monoid, so estimates (and their envelope booleans) must be
+    // bit-identical under any partitioning or merge order
+    "q194_tpch_q2",
+    "q198_tpch_q20",
+    "q199_kmv_intersect",
+    "q202_kmv_difference")
 
   test("sampled declared queries are invariant to shuffle partitioning and AQE") {
     val conf = spark.conf
