@@ -878,7 +878,7 @@ object Analytics2Queries {
     "q141_group_ols_trend" ->
       """WITH daily AS (
         |  SELECT c_nationkey AS nationkey,
-        |   datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+        |   CAST((epoch(CAST(o_orderdate AS DATE)) - epoch(DATE '1995-01-01')) / 86400 AS BIGINT) AS x,
         |   sum(CAST(round(o_totalprice*100) AS BIGINT)) AS y
         |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
         |s AS (

@@ -518,7 +518,7 @@ object AnalyticsQueries {
     "q133_activity_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |isl AS (SELECT user_id, day,
-        |  datediff('day', DATE '1970-01-01', day)
+        |  CAST(epoch(day) / 86400 AS BIGINT)
         |   - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
         | FROM days),
         |st AS (SELECT user_id, island, count(*) AS len FROM isl GROUP BY 1, 2)

@@ -256,10 +256,10 @@ object CdcOps {
         |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
         |SELECT cohort_week,
-        | CAST(date_diff('day', cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_offset,
+        | CAST((epoch(CAST(date_trunc('week', e.ts) AS DATE)) - epoch(cohort_week)) / 604800 AS INT) AS week_offset,
         | count(DISTINCT e.user_id) AS n_active
         |FROM events e JOIN cohort USING (user_id)
-        |WHERE date_diff('day', cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) BETWEEN 0 AND 56
+        |WHERE (epoch(CAST(date_trunc('week', e.ts) AS DATE)) - epoch(cohort_week)) / 86400 BETWEEN 0 AND 56
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q108_moving_window" ->
       """SELECT event_id, user_id,

@@ -392,14 +392,17 @@ object GraftExpressions {
   *    Monday = 0);
   *  - `string_split_regex(s, p)` → `split(s, p)` (identical regex
   *    split semantics, different name);
-  *  - `datediff('day', s, e)` / `date_diff('day', s, e)` — DuckDB's
-  *    quoted-unit 3-arg form, mapped to Spark's datediff(end, start)
-  *    day count. Spark's native signatures (2-arg, and 3-arg with an
-  *    UNQUOTED unit keyword) fall through to the builtin builder
-  *    unchanged — the override only claims a call shape that
-  *    previously errored, so nothing narrows;
   *  - `make_timestamp(us)` — DuckDB's 1-arg epoch-micros constructor
-  *    → timestamp_micros; the native 6-arg form falls through.
+  *    → timestamp_micros; the native 6-arg form falls through to the
+  *    builtin builder unchanged (the override only claims a call
+  *    shape that previously errored, so nothing narrows).
+  *
+  * NOT shimmable: DuckDB's quoted-unit `datediff('day', s, e)` —
+  * Spark's PARSER validates the datetime unit before function
+  * resolution ever happens (INVALID_PARAMETER_VALUE.DATETIME_UNIT at
+  * parse time), so no registry builder can claim that shape; oracle
+  * SQL uses `epoch()` day arithmetic instead where cross-engine day
+  * diffs are needed.
   *
   * These are COMPATIBILITY surface, not new semantics: every builder
   * returns a stock Catalyst expression, so codegen/pushdown behave as
@@ -409,34 +412,20 @@ object GraftExpressions {
   */
 object DuckDialect {
   import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry => FR}
-  import org.apache.spark.sql.catalyst.expressions.{Add, Cast, DateDiff, Divide, MicrosToTimestamp, UnixMicros, UnixMillis, StringSplit, WeekDay}
+  import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, MicrosToTimestamp, UnixMicros, UnixMillis, StringSplit, WeekDay}
   import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
-  import org.apache.spark.sql.types.{DateType, TimestampType}
+  import org.apache.spark.sql.types.TimestampType
 
   private def badArgs(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
   private def info(clazz: Class[_], name: String): ExpressionInfo =
     new ExpressionInfo(clazz.getName, name)
 
-  private def isDayLit(e: Expression): Boolean = e match {
-    case Literal(u: UTF8String, _) => u.toString.equalsIgnoreCase("day")
-    case _ => false
-  }
-
   /** The stock builder for a builtin name — delegation target for the
     * call shapes the override does NOT claim. */
   private def builtin(name: String): Seq[Expression] => Expression =
     FR.builtin.lookupFunctionBuilder(FunctionIdentifier(name)).getOrElse(
       (_: Seq[Expression]) => badArgs(s"no builtin builder for $name"))
-
-  private def dayDiffBuilder(name: String): Seq[Expression] => Expression = {
-    val orig = builtin(name)
-    (args: Seq[Expression]) => args match {
-      // DuckDB: date_diff('day', start, end) = end − start in days
-      case Seq(u, s, e) if isDayLit(u) => DateDiff(Cast(e, DateType), Cast(s, DateType))
-      case other => orig(other)
-    }
-  }
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -472,10 +461,6 @@ object DuckDialect {
         case Seq(s, p) => new StringSplit(s, p)
         case _ => badArgs("string_split_regex takes exactly 2 args")
       }),
-    (FunctionIdentifier("datediff"), info(classOf[DateDiff], "datediff"),
-      dayDiffBuilder("datediff")),
-    (FunctionIdentifier("date_diff"), info(classOf[DateDiff], "date_diff"),
-      dayDiffBuilder("date_diff")),
     (FunctionIdentifier("make_timestamp"), info(classOf[MicrosToTimestamp], "make_timestamp"),
       {
         val orig = builtin("make_timestamp")

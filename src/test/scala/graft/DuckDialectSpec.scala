@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Contract of the DuckDB-dialect compatibility functions registered
+  * by GraftExtensions (org.apache.spark.sql.graft.DuckDialect): each
+  * shim must equal its Spark-native spelling value-for-value, and the
+  * overridden builtins (datediff/date_diff/make_timestamp) must keep
+  * their NATIVE call shapes byte-identical — the override only claims
+  * shapes that previously errored. */
+class DuckDialectSpec extends SparkSpec {
+
+  private def one[T](sql: String): T =
+    spark.sql(s"SELECT $sql").collect().head.get(0).asInstanceOf[T]
+
+  test("epoch family: micros/millis/fractional seconds of a known instant") {
+    val ts = "TIMESTAMP '2024-01-02 03:04:05.678901'"
+    assert(one[Long](s"epoch_us($ts)") === one[Long](s"unix_micros($ts)"))
+    assert(one[Long](s"epoch_ms($ts)") === one[Long](s"unix_millis($ts)"))
+    // DuckDB epoch() is DOUBLE seconds WITH the fraction
+    val e = one[Double](s"epoch($ts)")
+    assert(e === one[Long](s"unix_micros($ts)") / 1e6)
+    assert(e % 1 !== 0.0, "fractional seconds must survive")
+  }
+
+  test("quantile_cont == exact interpolated percentile") {
+    spark.sql("SELECT * FROM VALUES (1.0),(2.0),(3.0),(10.0) t(x)")
+      .createOrReplaceTempView("qv")
+    val a = spark.sql("SELECT quantile_cont(x, 0.25) FROM qv").collect().head.getDouble(0)
+    val b = spark.sql("SELECT percentile(x, 0.25) FROM qv").collect().head.getDouble(0)
+    assert(a === b)
+    assert(a === 1.75) // linear interpolation between 1 and 2
+  }
+
+  test("isodow: Monday = 1 ... Sunday = 7 (ISO numbering)") {
+    assert(one[Int]("isodow(TIMESTAMP '2024-01-01 12:00:00')") === 1) // a Monday
+    assert(one[Int]("isodow(TIMESTAMP '2024-01-07 12:00:00')") === 7) // a Sunday
+  }
+
+  test("string_split_regex == split") {
+    val got = spark.sql("SELECT string_split_regex('a  b\tc', '[ \\t]+')")
+      .collect().head.getSeq[String](0)
+    assert(got.toSeq === Seq("a", "b", "c"))
+  }
+
+  test("epoch on DATE: UTC midnight — the portable day-diff device") {
+    // DuckDB's quoted-unit datediff('day', ...) is NOT shimmable
+    // (Spark's parser validates datetime units before function
+    // resolution), so oracle SQL computes day diffs as
+    // (epoch(b) - epoch(a)) / 86400; pin the device's exactness
+    assert(one[Double]("epoch(DATE '1970-01-01')") === 0.0)
+    assert(one[Double](
+      "(epoch(DATE '2024-03-01') - epoch(DATE '2024-01-01')) / 86400") === 60.0)
+  }
+
+  test("make_timestamp: 1-arg epoch-micros form; native 6-arg falls through") {
+    assert(one[Timestamp]("make_timestamp(1704164645678901)").toInstant ===
+      one[Timestamp]("timestamp_micros(1704164645678901)").toInstant)
+    assert(one[Timestamp]("make_timestamp(2024, 1, 2, 3, 4, 5.5)").toInstant ===
+      one[Timestamp]("TIMESTAMP '2024-01-02 03:04:05.5'").toInstant)
+  }
+}
