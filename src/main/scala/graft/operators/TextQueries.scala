@@ -1049,15 +1049,15 @@ object TextQueries {
       """SELECT doc_id,
         | CAST(length(text) AS INTEGER) AS n_chars,
         | CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS INTEGER) AS n_tokens,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INTEGER) AS n_alpha,
-        | CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digit,
-        | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0b\f\r]')) AS INTEGER) AS n_punct,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]', 0)) AS INTEGER) AS n_alpha,
+        | CAST(len(regexp_extract_all(text, '[0-9]', 0)) AS INTEGER) AS n_digit,
+        | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0b\f\r]', 0)) AS INTEGER) AS n_punct,
         | round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
         |   / len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')), 6) AS stopword_ratio,
         | round(CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')), 6) AS avg_token_span,
         | round(CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
         |    / len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) * 0.5
-        |  + CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) * 0.5, 6) AS quality_score
+        |  + CAST(len(regexp_extract_all(text, '[A-Za-z]', 0)) AS DOUBLE) / length(text) * 0.5, 6) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q52_lang_id" ->
       """SELECT doc_id, lang AS lang_label,
@@ -1072,12 +1072,12 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS INTEGER) AS de_hits,
         |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS INTEGER) AS fr_hits,
         |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una)\b')) AS INTEGER) AS es_hits,
-        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS INTEGER) AS cjk_hits
+        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]', 0)) AS INTEGER) AS cjk_hits
         | FROM documents) ORDER BY doc_id""".stripMargin,
     "q53_token_count" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS INTEGER) AS ws_tokens,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS INTEGER) AS bpe_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]', 0)) AS INTEGER) AS bpe_tokens,
         | round(CAST(length(text) AS DOUBLE) / 4.0, 2) AS approx_llm_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q54_fingerprint" ->

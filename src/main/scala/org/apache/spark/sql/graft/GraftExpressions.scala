@@ -416,6 +416,27 @@ object DuckDialect {
   import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
   import org.apache.spark.sql.types.TimestampType
 
+  /** DuckDB's polymorphic `len`: character length for strings/binary
+    * (exactly Spark's own `len`/`length`), ELEMENT COUNT for arrays
+    * and maps (Spark spells that `size`). Registered over the builtin
+    * `len` alias — a strict widening: the string behavior delegates to
+    * the same Length expression the builtin builds, and array/map
+    * inputs previously failed analysis. RuntimeReplaceable, so the
+    * analyzer swaps in the typed delegate and codegen/pushdown see
+    * only stock expressions. */
+  case class DuckLen(child: Expression)
+      extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+    import org.apache.spark.sql.catalyst.expressions.{Length, Size}
+    override lazy val replacement: Expression = child.dataType match {
+      case _: ArrayType | _: org.apache.spark.sql.types.MapType =>
+        Size(child, legacySizeOfNull = false)
+      case _ => Length(child)
+    }
+    override def prettyName: String = "len"
+    override protected def withNewChildInternal(newChild: Expression): DuckLen =
+      copy(child = newChild)
+  }
+
   private def badArgs(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
   private def info(clazz: Class[_], name: String): ExpressionInfo =
@@ -460,6 +481,11 @@ object DuckDialect {
       (args: Seq[Expression]) => args match {
         case Seq(s, p) => new StringSplit(s, p)
         case _ => badArgs("string_split_regex takes exactly 2 args")
+      }),
+    (FunctionIdentifier("len"), info(classOf[DuckLen], "len"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => DuckLen(c)
+        case _ => badArgs("len takes exactly 1 arg")
       }),
     (FunctionIdentifier("make_timestamp"), info(classOf[MicrosToTimestamp], "make_timestamp"),
       {

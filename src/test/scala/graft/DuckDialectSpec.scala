@@ -43,6 +43,14 @@ class DuckDialectSpec extends SparkSpec {
     assert(got.toSeq === Seq("a", "b", "c"))
   }
 
+  test("len: character length for strings (builtin behavior), element count for arrays") {
+    assert(one[Int]("len('héllo')") === 5)
+    assert(one[Int]("len(array(10, 20, 30))") === 3)
+    assert(one[Int]("len(map('a', 1, 'b', 2))") === 2)
+    // the string path must remain byte-identical to Spark's own length
+    assert(one[Int]("len('héllo')") === one[Int]("length('héllo')"))
+  }
+
   test("epoch on DATE: UTC midnight — the portable day-diff device") {
     // DuckDB's quoted-unit datediff('day', ...) is NOT shimmable
     // (Spark's parser validates datetime units before function

@@ -71,6 +71,18 @@ class SqlParitySpec extends SparkSpec {
     Tables.all.foreach { n =>
       Tables(spark, sf, n).createOrReplaceTempView(n)
     }
+    // the oracle dialect is STANDARD-SQL string literals (DuckDB keeps
+    // backslashes raw; regex escapes like \x{4e00}, \x0b, \b reach the
+    // regex engine). Spark's default literal mode eats those
+    // backslashes ('\b' → backspace, '\x' → 'x'), silently changing
+    // pattern semantics — so the replay runs under Spark's own ANSI
+    // literal mode, which is also what a DuckDB-dialect user would set
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try runParity()
+    finally spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+  }
+
+  private def runParity(): Unit = {
     var ran, skipped = 0
     val skippedNames = scala.collection.mutable.ListBuffer[String]()
     val failures = scala.collection.mutable.ListBuffer[String]()
