@@ -100,10 +100,10 @@ object Analytics3Queries {
     // 1.2M edges), so it must never shuffle. The edge set packs into
     // single longs (same <2^32/<2^30 bounds okey asserts on this very
     // frame) and BROADCASTS: the probe becomes a map-side hash lookup
-    // and the round-5 plan's 41M-row SMJ exchange disappears (measured
-    // 11.9 → 9.5 s min-of-3 at sf1 on a noisy host; the residual cost
-    // is the edge build + wedge generation, which the probe shape
-    // doesn't touch). Scale guard: |E| is a dimension² object
+    // and the round-5 plan's 41M-row SMJ exchange disappears (round-5
+    // sweeps: 10.6 s at sf1; round-6 min-merged sweeps: 4.45 s — the
+    // residual is the edge build + wedge generation, which the probe
+    // shape doesn't touch). Scale guard: |E| is a dimension² object
     // under a support cut (≤ C(|part|, 2)), not fact-scale — when a
     // deployment's edge set outgrows broadcast, BloomFilterPrune
     // (q123's operator) in front of a shuffled semi join is the

@@ -392,6 +392,10 @@ object GraftExpressions {
   *    Monday = 0);
   *  - `string_split_regex(s, p)` → `split(s, p)` (identical regex
   *    split semantics, different name);
+  *  - `len(x)` → character length for strings (the builtin), element
+  *    count for arrays/maps (DuckDB's polymorphic len — see DuckLen);
+  *  - `json_extract(j, path)` → `get_json_object` (NULL on absent
+  *    paths in both engines);
   *  - `make_timestamp(us)` — DuckDB's 1-arg epoch-micros constructor
   *    → timestamp_micros; the native 6-arg form falls through to the
   *    builtin builder unchanged (the override only claims a call
@@ -481,6 +485,15 @@ object DuckDialect {
       (args: Seq[Expression]) => args match {
         case Seq(s, p) => new StringSplit(s, p)
         case _ => badArgs("string_split_regex takes exactly 2 args")
+      }),
+    (FunctionIdentifier("json_extract"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.GetJsonObject], "json_extract"),
+      (args: Seq[Expression]) => args match {
+        // DuckDB json_extract(json, '$.path') ~ Spark get_json_object:
+        // both return NULL for an absent path; scalar values compare
+        // equal after the CAST every consumer applies
+        case Seq(j, path) => org.apache.spark.sql.catalyst.expressions.GetJsonObject(j, path)
+        case _ => badArgs("json_extract takes exactly 2 args")
       }),
     (FunctionIdentifier("len"), info(classOf[DuckLen], "len"),
       (args: Seq[Expression]) => args match {

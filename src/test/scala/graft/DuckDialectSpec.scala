@@ -51,6 +51,13 @@ class DuckDialectSpec extends SparkSpec {
     assert(one[Int]("len('héllo')") === one[Int]("length('héllo')"))
   }
 
+  test("json_extract == get_json_object; NULL on absent paths") {
+    assert(one[String]("""json_extract('{"k": 5}', '$.k')""") === "5")
+    assert(one[String]("""json_extract('{"k": 5}', '$.absent')""") === null)
+    assert(one[String]("""json_extract('{"k": 5}', '$.k')""") ===
+      one[String]("""get_json_object('{"k": 5}', '$.k')"""))
+  }
+
   test("epoch on DATE: UTC midnight — the portable day-diff device") {
     // DuckDB's quoted-unit datediff('day', ...) is NOT shimmable
     // (Spark's parser validates datetime units before function
