@@ -441,6 +441,37 @@ object DuckDialect {
       copy(child = newChild)
   }
 
+  /** DuckDB's `list_sum` in DOUBLE accumulation: a left fold
+    * aggregate(x, 0.0, (acc, v) -> acc + v) built with pre-resolved
+    * lambda variables. Declared double-typed regardless of element
+    * type (DuckDB widens int lists to HUGEINT; every oracle usage
+    * transforms elements to DOUBLE first, where the two engines'
+    * left folds agree bit-for-bit). */
+  case class ListSum(child: Expression)
+      extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+    import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, LambdaFunction, NamedLambdaVariable}
+    override lazy val replacement: Expression = {
+      val et = child.dataType match {
+        case ArrayType(e, cn) => (e, cn)
+        case other => throw new IllegalArgumentException(
+          s"list_sum expects an array, got $other")
+      }
+      val acc = NamedLambdaVariable("acc", DoubleType, nullable = true)
+      val x = NamedLambdaVariable("x", et._1, et._2)
+      // 4-arg ctor with an explicit PRE-RESOLVED identity finish lambda:
+      // the 3-arg convenience ctor builds its finish lambda from
+      // UnresolvedNamedLambdaVariable, and RuntimeReplaceable.dataType
+      // is consulted before the analyzer would resolve it
+      val out = NamedLambdaVariable("out", DoubleType, nullable = true)
+      new ArrayAggregate(child, Literal(0.0d),
+        LambdaFunction(Add(acc, Cast(x, DoubleType)), Seq(acc, x), hidden = false),
+        LambdaFunction(out, Seq(out), hidden = false))
+    }
+    override def prettyName: String = "list_sum"
+    override protected def withNewChildInternal(newChild: Expression): ListSum =
+      copy(child = newChild)
+  }
+
   private def badArgs(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
   private def info(clazz: Class[_], name: String): ExpressionInfo =
@@ -485,6 +516,19 @@ object DuckDialect {
       (args: Seq[Expression]) => args match {
         case Seq(s, p) => new StringSplit(s, p)
         case _ => badArgs("string_split_regex takes exactly 2 args")
+      }),
+    (FunctionIdentifier("list_transform"), info(classOf[DuckLen], "list_transform"),
+      builtin("transform")),
+    (FunctionIdentifier("list_filter"), info(classOf[DuckLen], "list_filter"),
+      builtin("filter")),
+    (FunctionIdentifier("list_max"), info(classOf[DuckLen], "list_max"),
+      builtin("array_max")),
+    (FunctionIdentifier("list_min"), info(classOf[DuckLen], "list_min"),
+      builtin("array_min")),
+    (FunctionIdentifier("list_sum"), info(classOf[ListSum], "list_sum"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => ListSum(c)
+        case _ => badArgs("list_sum takes exactly 1 arg")
       }),
     (FunctionIdentifier("json_extract"),
       info(classOf[org.apache.spark.sql.catalyst.expressions.GetJsonObject], "json_extract"),

@@ -51,6 +51,17 @@ class DuckDialectSpec extends SparkSpec {
     assert(one[Int]("len('héllo')") === one[Int]("length('héllo')"))
   }
 
+  test("list_* family: transform/filter/max/min aliases and the double-fold list_sum") {
+    assert(one[Double]("list_sum(list_transform(array(1.0D, 2.5D), x -> x * 2))") === 7.0)
+    assert(one[Double]("list_sum(array(1, 2, 3))") === 6.0) // int lists fold in DOUBLE
+    assert(one[Int]("len(list_filter(array(1, -2, 3), x -> x > 0))") === 2)
+    assert(one[Double]("list_max(array(1.5D, 9.25D, 2.0D))") === 9.25)
+    assert(one[Double]("list_min(array(1.5D, 9.25D, 2.0D))") === 1.5)
+    // the fold must equal Spark's own aggregate() spelling exactly
+    assert(one[Double]("list_sum(array(0.1D, 0.2D, 0.3D))") ===
+      one[Double]("aggregate(array(0.1D, 0.2D, 0.3D), 0.0D, (a, v) -> a + v)"))
+  }
+
   test("json_extract == get_json_object; NULL on absent paths") {
     assert(one[String]("""json_extract('{"k": 5}', '$.k')""") === "5")
     assert(one[String]("""json_extract('{"k": 5}', '$.absent')""") === null)
