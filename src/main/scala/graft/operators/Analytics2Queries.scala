@@ -1015,7 +1015,7 @@ object Analytics2Queries {
         |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin,
     "q153_regex_token_mine" ->
       """WITH e AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '\bs[a-z]+')) AS tok
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\bs[a-z]+', 0)) AS tok
         |  FROM documents)
         |SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
         |FROM e GROUP BY tok ORDER BY n DESC, tok""".stripMargin,

@@ -500,8 +500,22 @@ object DedupOps {
         |  FROM documents),
         |g AS (
         |  SELECT doc_id,
-        |   CAST(('0x' || substr(h, 1, 8)) AS BIGINT) AS ha,
-        |   CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS hb
+        |   (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * CAST(268435456 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * CAST(16777216 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * CAST(1048576 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * CAST(65536 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * CAST(4096 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * CAST(256 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * CAST(16 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 8, 1)) - 1) * CAST(1 AS BIGINT) AS ha,
+        |   (instr('0123456789abcdef', substr(h, 9, 1)) - 1) * CAST(268435456 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 10, 1)) - 1) * CAST(16777216 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 11, 1)) - 1) * CAST(1048576 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 12, 1)) - 1) * CAST(65536 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 13, 1)) - 1) * CAST(4096 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 14, 1)) - 1) * CAST(256 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 15, 1)) - 1) * CAST(16 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 16, 1)) - 1) * CAST(1 AS BIGINT) AS hb
         |  FROM (
         |   SELECT doc_id, md5(substr(t, CAST(i AS INTEGER), 5)) AS h
         |   FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i
@@ -529,8 +543,22 @@ object DedupOps {
         |  FROM documents),
         |g AS (
         |  SELECT source,
-        |   CAST(('0x' || substr(h, 1, 8)) AS BIGINT) AS ha,
-        |   CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS hb
+        |   (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * CAST(268435456 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * CAST(16777216 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * CAST(1048576 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * CAST(65536 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * CAST(4096 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * CAST(256 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * CAST(16 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 8, 1)) - 1) * CAST(1 AS BIGINT) AS ha,
+        |   (instr('0123456789abcdef', substr(h, 9, 1)) - 1) * CAST(268435456 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 10, 1)) - 1) * CAST(16777216 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 11, 1)) - 1) * CAST(1048576 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 12, 1)) - 1) * CAST(65536 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 13, 1)) - 1) * CAST(4096 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 14, 1)) - 1) * CAST(256 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 15, 1)) - 1) * CAST(16 AS BIGINT)
+        |     + (instr('0123456789abcdef', substr(h, 16, 1)) - 1) * CAST(1 AS BIGINT) AS hb
         |  FROM (
         |   SELECT source, md5(substr(t, CAST(i AS INTEGER), 5)) AS h
         |   FROM (SELECT source, t, unnest(range(1, length(t) - 3)) AS i
@@ -597,9 +625,11 @@ object DedupOps {
     // q172: brute-force containment truth over the same word-3-shingle
     // sets — the prefix filter on the Spark side is candidate PRUNING
     // only (provably lossless), so the oracle needs no knowledge of it.
-    // DuckDB list indexing is 1-based where Spark subscripts are
-    // 0-based; range(0, len-2) with toks[i+1 .. i+3] mirrors Spark's
-    // sequence(0, size-3) with toks[i .. i+2] exactly.
+    // list_extract (1-based in BOTH engines once the DuckDialect shim
+    // maps it to try_element_at) replaces bracket subscripts, which are
+    // 1-based in DuckDB but 0-based AND bounds-throwing in Spark —
+    // range(0, len-2) with elements i+1 .. i+3 mirrors Spark's
+    // sequence(0, size-3) with subscripts i .. i+2 exactly.
     "q172_containment_join" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -607,7 +637,9 @@ object DedupOps {
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id,
-        |   toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)] AS g
+        |   list_extract(toks, CAST(i+1 AS INT)) || ' '
+        |    || list_extract(toks, CAST(i+2 AS INT)) || ' '
+        |    || list_extract(toks, CAST(i+3 AS INT)) AS g
         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i
         |        FROM d WHERE len(toks) >= 3)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),

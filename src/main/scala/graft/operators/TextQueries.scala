@@ -878,9 +878,9 @@ object TextQueries {
         |  FROM documents),
         |scrub AS (
         |  SELECT doc_id,
-        |   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
-        |   CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_%+#?&=-]+')) AS INTEGER) AS n_urls,
-        |   CAST(len(regexp_extract_all(t, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS INTEGER) AS n_phones,
+        |   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', 0)) AS INTEGER) AS n_emails,
+        |   CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_%+#?&=-]+', 0)) AS INTEGER) AS n_urls,
+        |   CAST(len(regexp_extract_all(t, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', 0)) AS INTEGER) AS n_phones,
         |   CAST(length(t) AS INTEGER) AS len_raw,
         |   CAST(length(
         |     regexp_replace(
@@ -897,7 +897,7 @@ object TextQueries {
     // expressions exactly (same md5 on the same UTF-8 gram bytes).
     "q78_simhash_portable" -> {
       val digitExprs = (0 until 16)
-        .map(i => s"CAST(('0x' || substr(h, ${i + 1}, 1)) AS INTEGER) AS d$i")
+        .map(i => s"(instr('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) AS d$i")
         .mkString(", ")
       val sumExprs = (0 until 64)
         .map(b => s"sum(CASE WHEN ((d${b / 4} >> ${3 - (b % 4)}) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -970,7 +970,7 @@ object TextQueries {
     "q68_clean_corpus" ->
       """WITH lang AS (
         |  SELECT doc_id FROM documents
-        |  WHERE len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) = 0
+        |  WHERE len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]', 0)) = 0
         |   AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) >=
         |       greatest(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')),
         |                len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')),
@@ -1004,14 +1004,18 @@ object TextQueries {
         |  WHERE isz * 10 >= (sa.sz + sb.sz - isz) * 7),
         |removed AS (SELECT DISTINCT n.b AS doc_id FROM neardup n JOIN deduped s ON s.doc_id = n.a)
         |SELECT doc.doc_id,
-        | CAST(len(regexp_extract_all(doc.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS INTEGER) AS bpe_tokens,
+        | CAST(len(regexp_extract_all(doc.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]', 0)) AS INTEGER) AS bpe_tokens,
         | CASE WHEN v < round(0.8*65536) THEN 'train'
         |      WHEN v < round(0.9*65536) THEN 'val'
         |      ELSE 'test' END AS split
         |FROM (SELECT doc_id,
-        |   CAST(('0x' || substr(md5(CAST(doc_id AS STRING) || ':graft'), 1, 4)) AS INTEGER) AS v
-        |  FROM deduped
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM removed)) keep
+        |     (instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+        |     + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+        |     + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+        |     + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) AS v
+        |  FROM (SELECT doc_id, substr(md5(CAST(doc_id AS STRING) || ':graft'), 1, 4) AS hx
+        |        FROM deduped
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM removed))) keep
         | JOIN documents doc ON doc.doc_id = keep.doc_id
         |ORDER BY doc.doc_id""".stripMargin,
     "q39_hash_split" ->

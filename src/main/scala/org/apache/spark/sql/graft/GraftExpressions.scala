@@ -517,6 +517,26 @@ object DuckDialect {
         case Seq(s, p) => new StringSplit(s, p)
         case _ => badArgs("string_split_regex takes exactly 2 args")
       }),
+    (FunctionIdentifier("range"), info(classOf[org.apache.spark.sql.catalyst.expressions.Sequence], "range"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{CaseWhen, GreaterThan, Sequence, Subtract}
+        import org.apache.spark.sql.catalyst.util.GenericArrayData
+        // DuckDB's SCALAR range: [lo, hi) step 1, EMPTY when hi <= lo.
+        // Spark's sequence(lo, hi-1) is inclusive and auto-descends on
+        // hi-1 < lo, so the empty case needs an explicit guard. Only
+        // the scalar form is claimed — range(...) in a FROM clause
+        // resolves through the separate table-function registry.
+        def halfOpen(lo: Expression, hi: Expression): Expression =
+          CaseWhen(Seq((GreaterThan(hi, lo),
+            new Sequence(lo, Subtract(hi, Literal(1L)) ))),
+            Some(Literal.create(new GenericArrayData(Array.emptyLongArray),
+              ArrayType(LongType, containsNull = false))))
+        args match {
+          case Seq(hi) => halfOpen(Literal(0L), Cast(hi, LongType))
+          case Seq(lo, hi) => halfOpen(Cast(lo, LongType), Cast(hi, LongType))
+          case _ => badArgs("range takes 1-2 args (scalar form)")
+        }
+      }),
     (FunctionIdentifier("list_transform"), info(classOf[DuckLen], "list_transform"),
       builtin("transform")),
     (FunctionIdentifier("list_filter"), info(classOf[DuckLen], "list_filter"),
@@ -525,10 +545,97 @@ object DuckDialect {
       builtin("array_max")),
     (FunctionIdentifier("list_min"), info(classOf[DuckLen], "list_min"),
       builtin("array_min")),
+    (FunctionIdentifier("list_distinct"), info(classOf[DuckLen], "list_distinct"),
+      builtin("array_distinct")),
+    (FunctionIdentifier("list_intersect"), info(classOf[DuckLen], "list_intersect"),
+      builtin("array_intersect")),
+    (FunctionIdentifier("list_extract"), info(classOf[DuckLen], "list_extract"),
+      // 1-based, NULL past either end — DuckDB's list_extract is
+      // exactly Spark's try_element_at (bracket subscripts are NOT
+      // portable: 1-based in DuckDB, 0-based + bounds-throwing here)
+      builtin("try_element_at")),
+    (FunctionIdentifier("string_split"), info(classOf[StringSplit], "string_split"),
+      (args: Seq[Expression]) => args match {
+        // DuckDB string_split splits on a LITERAL separator; Spark's
+        // split takes a regex — quote the literal so regex
+        // metacharacters in the separator split literally
+        case Seq(str, Literal(sep: UTF8String, _)) =>
+          new StringSplit(str, Literal(java.util.regex.Pattern.quote(sep.toString)))
+        case Seq(_, _) => badArgs(
+          "string_split requires a literal separator (regex-quoted into split)")
+        case _ => badArgs("string_split takes exactly 2 args")
+      }),
+    (FunctionIdentifier("encode"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.Encode], "encode"),
+      {
+        val orig = builtin("encode")
+        (args: Seq[Expression]) => args match {
+          // DuckDB encode(str) = the UTF-8 bytes; Spark's native
+          // 2-arg (str, charset) falls through
+          case Seq(str) =>
+            org.apache.spark.sql.catalyst.expressions.Encode(str, Literal("UTF-8"))
+          case other => orig(other)
+        }
+      }),
+    (FunctionIdentifier("generate_series"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.Sequence], "generate_series"),
+      (args: Seq[Expression]) => args match {
+        // DuckDB's SCALAR generate_series(lo, hi[, step]) is an
+        // INCLUSIVE list — exactly Spark's sequence. The FROM-position
+        // table function of the same name stays DuckDB-only.
+        case Seq(lo, hi) =>
+          new org.apache.spark.sql.catalyst.expressions.Sequence(lo, hi)
+        case Seq(lo, hi, step) =>
+          new org.apache.spark.sql.catalyst.expressions.Sequence(lo, hi, step)
+        case _ => badArgs("generate_series takes 2-3 args (scalar form)")
+      }),
+    (FunctionIdentifier("generate_subscripts"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.Sequence], "generate_subscripts"),
+      (args: Seq[Expression]) => args match {
+        // 1-based subscripts of a (1-dimensional) list
+        case Seq(arr, Literal(1, _)) =>
+          new org.apache.spark.sql.catalyst.expressions.Sequence(Literal(1),
+            org.apache.spark.sql.catalyst.expressions.Size(arr, legacySizeOfNull = false))
+        case _ => badArgs("generate_subscripts supports (list, 1) only")
+      }),
+    (FunctionIdentifier("strlen"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.OctetLength], "strlen"),
+      (args: Seq[Expression]) => args match {
+        // DuckDB strlen is BYTE length (UTF-8), not character length
+        case Seq(c) => org.apache.spark.sql.catalyst.expressions.OctetLength(c)
+        case _ => badArgs("strlen takes exactly 1 arg")
+      }),
+    (FunctionIdentifier("unnest"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.Explode], "unnest"),
+      (args: Seq[Expression]) => args match {
+        // DuckDB's SELECT-position unnest(arr) is Spark's explode
+        // generator (one output row per element; generators are legal
+        // scalar-registry entries — explode itself is one). FROM-ative
+        // LATERAL unnest stays DuckDB-only: that is the table-function
+        // namespace with correlated arguments.
+        case Seq(c) => org.apache.spark.sql.catalyst.expressions.Explode(c)
+        case _ => badArgs("unnest takes exactly 1 arg (scalar position)")
+      }),
     (FunctionIdentifier("list_sum"), info(classOf[ListSum], "list_sum"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => ListSum(c)
         case _ => badArgs("list_sum takes exactly 1 arg")
+      }),
+    (FunctionIdentifier("regexp_replace"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace], "regexp_replace"),
+      {
+        val orig = builtin("regexp_replace")
+        (args: Seq[Expression]) => args match {
+          // DuckDB's regexp_replace(s, p, r, 'g') — global replace,
+          // which is Spark's DEFAULT 3-arg behavior (Spark's own 4th
+          // arg is an INT start position; a string flag previously
+          // died in a cast error inside checkInputDataTypes). Only
+          // the 'g' flag maps; other flag strings keep erroring.
+          case Seq(str, pat, rep, Literal(u: UTF8String, _))
+              if u.toString.equalsIgnoreCase("g") =>
+            org.apache.spark.sql.catalyst.expressions.RegExpReplace(str, pat, rep)
+          case other => orig(other)
+        }
       }),
     (FunctionIdentifier("json_extract"),
       info(classOf[org.apache.spark.sql.catalyst.expressions.GetJsonObject], "json_extract"),

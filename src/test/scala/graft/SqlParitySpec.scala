@@ -108,7 +108,16 @@ class SqlParitySpec extends SparkSpec {
         case Some(df) =>
           val sqlRows = canon(df)
           ran += 1
-          val dfRows = canon(SparkEntry.queries(name)(spark, sf))
+          // the DataFrame side must build under Spark's DEFAULT literal
+          // mode — its own embedded expr("... '\\\\b...' ...") strings
+          // were authored for it, and literal interpretation happens at
+          // PARSE time (the oracle plan above is already parsed, so
+          // flipping the conf here cannot retroactively change it)
+          val dfRows = {
+            spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+            try canon(SparkEntry.queries(name)(spark, sf))
+            finally spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+          }
           if (sqlRows != dfRows) {
             val firstDiff = sqlRows.zipAll(dfRows, "<missing>", "<missing>")
               .find { case (a, b) => a != b }
@@ -119,12 +128,14 @@ class SqlParitySpec extends SparkSpec {
     info(s"replayed $ran oracle statements through spark.sql; $skipped DuckDB-only skipped")
     info(s"skipped: ${skippedNames.mkString(" ")}")
     assert(failures.isEmpty, failures.mkString("\n"))
-    // erosion floor: most of the declared surface must stay directly
-    // Spark-replayable (measured: 114 replayed / 66 DuckDB-only after
-    // the round-6 DuckDialect compat functions + portable-SQL ports;
-    // small slack so an added DuckDB-only oracle doesn't trip it).
-    // A drop below the floor means either a compat function was lost
-    // or new oracles are being written in gratuitously foreign SQL.
-    assert(ran >= 110, s"only $ran oracle statements still parse in Spark SQL")
+    // erosion floor: the vast majority of the declared surface must
+    // stay directly Spark-replayable (measured: 150 replayed / 31
+    // DuckDB-only after the round-6 DuckDialect compat functions +
+    // portable-SQL ports; the residue is genuinely foreign syntax —
+    // ASOF joins, recursive-CTE UNION, struct literals, LATERAL
+    // unnest, list slicing/zip with positional struct access). A drop
+    // below the floor means either a compat function was lost or new
+    // oracles are being written in gratuitously foreign SQL.
+    assert(ran >= 145, s"only $ran oracle statements still parse in Spark SQL")
   }
 }
