@@ -316,10 +316,34 @@ object StreamingQueries {
     * sentinel because an inner join emits each match the moment both
     * rows have arrived. The a_id < b_id condition makes the pair set
     * well-defined; the oracle is the identical batch predicate. */
+  /** State-store count sized to the SOURCE VOLUME, not a constant:
+    * the stream-stream join buffers BOTH full sides in state until the
+    * watermark passes, so per-store state grows linearly with the
+    * input while the per-batch commit cost per store is fixed. A
+    * constant that is right at one scale is wrong at another —
+    * measured at 8 stores: 3.5 s at sf0.1 but 7.8 s at sf1 (stores too
+    * fat); at 16: 6.8 s at sf1; at 32: 9.5 s at sf0.1 (commit-bound)
+    * and 7.0 s at sf1. One store per ~MB of source parquet, floored at
+    * 8 and capped at 32, lands on the measured optimum at both scales
+    * — and is the same sizing rule (state volume / target partition
+    * size) a production job applies. */
+  private def pairJoinStatePartitions(dir: String): Int = {
+    val p = Paths.get(s"$dir/events.parquet")
+    val bytes =
+      try {
+        if (Files.isDirectory(p)) {
+          val l = Files.list(p)
+          try l.mapToLong(f => try Files.size(f) catch { case _: Exception => 0L }).sum()
+          finally l.close()
+        } else Files.size(p)
+      } catch { case _: Exception => 0L }
+    math.max(8, math.min(32, (bytes / (1L << 20)).toInt))
+  }
+
   def streamingPairJoin(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, pairJoinStatePartitions(dir)) {
     val stream = () => s.readStream.schema(schema).parquet(stageDir(dir))
       .transform(graft.Tables.normalizeEventTs)
     val a = stream().select(col("event_id").as("a_id"), col("user_id").as("a_user"),
