@@ -309,7 +309,18 @@ object MultimodalOps {
           val d = MediaCodec.decodeImage(jpg)
             .getOrElse(throw new IllegalStateException(s"JPEG decode failed for doc $id"))
           val n = d.width.toLong * d.height
-          def near(sum: Long, v: Int): Boolean = math.abs(sum.toDouble / n - v) <= 4.0
+          // ±8, not the worst case measured on one JDK (3.0): the bound
+          // must hold for any conformant encoder, and a solid fill's
+          // mean error is bounded by YCbCr round-trip rounding (±1 per
+          // conversion leg) plus DC quantization of each 8×8 block —
+          // luma/chroma DC steps at ImageIO's default 0.75 quality are
+          // ≤ 2/FDCT-scale ≈ 2, so ≤ ~6 total through the color
+          // transform; 8 leaves headroom for a different JDK/ImageIO
+          // plugin's tables while a real codec regression (wrong
+          // channel order, dropped plane) still deviates by tens. If
+          // color_ok ever reads false here, suspect the ImageIO JPEG
+          // plugin's quantization tables before the graft codec path.
+          def near(sum: Long, v: Int): Boolean = math.abs(sum.toDouble / n - v) <= 8.0
           val containerOk = jpg.length > 2 &&
             (jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8 && // SOI magic
             d.width == w && d.height == h

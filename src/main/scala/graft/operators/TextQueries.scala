@@ -156,7 +156,7 @@ object TextQueries {
       s"""WITH n AS (
          |  SELECT doc_id,
          |    lower(regexp_replace(text,
-         |      concat('[ ', chr(9), chr(10), chr(11), chr(12), chr(13), ']+'), ' ')) AS t
+         |      concat('[ ', chr(9), chr(10), chr(11), chr(12), chr(13), ']+'), ' ', 'g')) AS t
          |  FROM ${v("documents")} WHERE length(text) >= 5),
          |g AS (SELECT doc_id, t, gram_set(t, 5) AS gs FROM n),
          |gg AS (SELECT doc_id, t, gs FROM g WHERE size(gs) > 0),

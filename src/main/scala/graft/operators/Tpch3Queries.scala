@@ -167,8 +167,18 @@ object Tpch3Queries {
       .groupBy(col("ps_partkey"))
       .agg(sum(col("ps_costc") * col("ps_availqty")).as("v_c"))
     val total = valByPart.agg(sum(col("v_c")).as("t_c"), count(lit(1)).as("n_parts"))
+    // cross-multiply in DECIMAL(38,0), not BIGINT: v_c (cents·qty per
+    // part, up to ~1e9 at TPC-H column bounds) times a 100 TB-scale
+    // part count (~1e10) tops 1e19 > Long.MaxValue, where BIGINT
+    // arithmetic wraps (non-ANSI) or aborts (ANSI) while the DuckDB
+    // oracle would error — decimal holds the product exactly to 1e38,
+    // far past any reachable scale (both factors are < 1e19 by column
+    // bounds). The oracle SQL applies the identical casts; DuckDB
+    // widens DECIMAL(38,0) internally to hugeint, so the two engines
+    // compare the same exact integers.
     valByPart.crossJoin(broadcast(total))
-      .filter(col("v_c") * col("n_parts") > lit(2L) * col("t_c"))
+      .filter(col("v_c").cast("decimal(38,0)") * col("n_parts") >
+        lit(2L) * col("t_c").cast("decimal(38,0)"))
       .select(col("ps_partkey"), (col("v_c").cast("double") / 100.0).as("value"))
       .orderBy(col("value").desc, col("ps_partkey"))
   }
@@ -301,7 +311,7 @@ object Tpch3Queries {
         |tot AS (SELECT sum(v_c) AS t_c, count(*) AS n_parts FROM val)
         |SELECT ps_partkey, CAST(v_c AS DOUBLE)/100.0 AS value
         |FROM val, tot
-        |WHERE v_c * n_parts > 2 * t_c
+        |WHERE CAST(v_c AS DECIMAL(38,0)) * n_parts > 2 * CAST(t_c AS DECIMAL(38,0))
         |ORDER BY value DESC, ps_partkey""".stripMargin),
     "q197_tpch_q16" -> (psSql +
       """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt

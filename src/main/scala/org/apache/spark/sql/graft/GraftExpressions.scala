@@ -414,6 +414,22 @@ object GraftExpressions {
   * them: each one widens the share of the declared oracle SQL that
   * replays verbatim through spark.sql.
   */
+/** Runtime kernel for DuckDB's 3-arg regexp_replace (FIRST match only —
+  * Spark's builtin replaces ALL). Top-level object so scalac emits a
+  * static forwarder for StaticInvoke's codegen'd call. The compiled
+  * pattern is memoized: the dialect builder only claims literal
+  * patterns, so the cache is bounded by the number of distinct pattern
+  * literals in the workload (belt-and-braces cap anyway). */
+object DuckRegexpFirst {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  def replaceFirst(s: UTF8String, p: UTF8String, r: UTF8String): UTF8String = {
+    if (cache.size > 128) cache.clear()
+    val pat = cache.computeIfAbsent(p.toString, java.util.regex.Pattern.compile(_))
+    UTF8String.fromString(pat.matcher(s.toString)
+      .replaceFirst(java.util.regex.Matcher.quoteReplacement(r.toString)))
+  }
+}
+
 object DuckDialect {
   import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry => FR}
   import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, MicrosToTimestamp, UnixMicros, UnixMillis, StringSplit, WeekDay}
@@ -579,15 +595,28 @@ object DuckDialect {
       }),
     (FunctionIdentifier("generate_series"),
       info(classOf[org.apache.spark.sql.catalyst.expressions.Sequence], "generate_series"),
-      (args: Seq[Expression]) => args match {
-        // DuckDB's SCALAR generate_series(lo, hi[, step]) is an
-        // INCLUSIVE list — exactly Spark's sequence. The FROM-position
-        // table function of the same name stays DuckDB-only.
-        case Seq(lo, hi) =>
-          new org.apache.spark.sql.catalyst.expressions.Sequence(lo, hi)
-        case Seq(lo, hi, step) =>
-          new org.apache.spark.sql.catalyst.expressions.Sequence(lo, hi, step)
-        case _ => badArgs("generate_series takes 2-3 args (scalar form)")
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{CaseWhen, GreaterThanOrEqual, Literal => Lit, Sequence, Slice}
+        args match {
+          // DuckDB's SCALAR generate_series(lo, hi) is an INCLUSIVE
+          // ASCENDING list, EMPTY when lo > hi. Spark's 2-arg sequence
+          // auto-DESCENDS on lo > hi (sequence(5,1) = [5,4,3,2,1]), so
+          // the reversed-bounds case needs the same explicit guard as
+          // the `range` shim. The else branch's empty array borrows its
+          // element type from a zero-length slice of sequence(lo, lo) —
+          // no hand-built typed literal, so int/bigint/date inputs all
+          // type out. The FROM-position table function of the same name
+          // stays DuckDB-only.
+          case Seq(lo, hi) =>
+            CaseWhen(Seq((GreaterThanOrEqual(hi, lo), new Sequence(lo, hi))),
+              Some(Slice(new Sequence(lo, lo), Lit(1), Lit(0))))
+          // the explicit-step form keeps Spark's sequence verbatim:
+          // with a signed step both engines agree (DuckDB's 3-arg form
+          // descends for negative steps exactly like Spark's)
+          case Seq(lo, hi, step) =>
+            new org.apache.spark.sql.catalyst.expressions.Sequence(lo, hi, step)
+          case _ => badArgs("generate_series takes 2-3 args (scalar form)")
+        }
       }),
     (FunctionIdentifier("generate_subscripts"),
       info(classOf[org.apache.spark.sql.catalyst.expressions.Sequence], "generate_subscripts"),
@@ -624,7 +653,6 @@ object DuckDialect {
     (FunctionIdentifier("regexp_replace"),
       info(classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace], "regexp_replace"),
       {
-        val orig = builtin("regexp_replace")
         (args: Seq[Expression]) => args match {
           // DuckDB's regexp_replace(s, p, r, 'g') — global replace,
           // which is Spark's DEFAULT 3-arg behavior (Spark's own 4th
@@ -634,7 +662,25 @@ object DuckDialect {
           case Seq(str, pat, rep, Literal(u: UTF8String, _))
               if u.toString.equalsIgnoreCase("g") =>
             org.apache.spark.sql.catalyst.expressions.RegExpReplace(str, pat, rep)
-          case other => orig(other)
+          // DuckDB's 3-arg form replaces the FIRST match only — Spark's
+          // builtin replaces ALL, so falling through would silently
+          // diverge from the DuckDB driver truth while passing the
+          // Spark-vs-Spark parity replay. Claimed subset: literal
+          // pattern (bounds the compiled-pattern cache) and a literal
+          // replacement with no backreference syntax (`\1` is RE2
+          // spelling, `$1` is java.util.regex — rejecting both ends of
+          // that ambiguity keeps the claim exact). Everything else
+          // errors loudly rather than borrowing Spark semantics.
+          case Seq(str, pat @ Literal(_: UTF8String, _), rep @ Literal(rs: UTF8String, _))
+              if !rs.toString.exists(c => c == '\\' || c == '$') =>
+            org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+              classOf[DuckRegexpFirst.type], StringType, "replaceFirst",
+              Seq(str, pat, rep), Seq(StringType, StringType, StringType))
+          case Seq(_, _, _) => badArgs(
+            "3-arg regexp_replace (DuckDB: first match only) requires a literal " +
+            "pattern and a backreference-free literal replacement; use the " +
+            "4-arg 'g' form for global replace")
+          case _ => badArgs("regexp_replace takes 3-4 args")
         }
       }),
     (FunctionIdentifier("json_extract"),

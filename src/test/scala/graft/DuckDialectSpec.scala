@@ -85,4 +85,29 @@ class DuckDialectSpec extends SparkSpec {
     assert(one[Timestamp]("make_timestamp(2024, 1, 2, 3, 4, 5.5)").toInstant ===
       one[Timestamp]("TIMESTAMP '2024-01-02 03:04:05.5'").toInstant)
   }
+
+  test("generate_series: inclusive ascending; EMPTY on reversed bounds (DuckDB), never auto-descending") {
+    assert(one[Seq[Int]]("generate_series(1, 5)") === Seq(1, 2, 3, 4, 5))
+    assert(one[Seq[Int]]("generate_series(3, 3)") === Seq(3))
+    // DuckDB: generate_series(5, 1) = [] — Spark's bare sequence would
+    // auto-descend to [5,4,3,2,1] here
+    assert(one[Seq[Int]]("generate_series(5, 1)") === Seq.empty[Int])
+    // explicit-step form keeps the signed-step contract both engines share
+    assert(one[Seq[Int]]("generate_series(5, 1, -2)") === Seq(5, 3, 1))
+  }
+
+  test("regexp_replace: 3-arg replaces FIRST match only (DuckDB); 4-arg 'g' replaces all") {
+    assert(one[String]("regexp_replace('a1b2c3', '[0-9]', 'X')") === "aXb2c3")
+    assert(one[String]("regexp_replace('a1b2c3', '[0-9]', 'X', 'g')") === "aXbXcX")
+    // replacement is literal text, not java-regex replacement syntax
+    assert(one[String]("regexp_replace('abc', 'b', '.')") === "a.c")
+    // null propagation matches the builtin
+    assert(spark.sql("SELECT regexp_replace(CAST(NULL AS STRING), 'a', 'b')")
+      .collect().head.isNullAt(0))
+    // backreference-ambiguous replacements are rejected loudly, not
+    // silently given Spark semantics
+    intercept[Exception] {
+      spark.sql("SELECT regexp_replace('ab', '(a)(b)', '\\\\2\\\\1')").collect()
+    }
+  }
 }
