@@ -18,7 +18,7 @@ object SparkEntry {
     RelationalQueries.queries ++ CandyQueries.queries ++ TextQueries.queries ++
       AnalyticsQueries.queries ++ Analytics2Queries.queries ++ Analytics3Queries.queries ++
       Tpch2Queries.queries ++ Tpch3Queries.queries ++
-      CdcOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      CdcOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++ AnnIndex.queries ++
       graft.multimodal.MultimodalOps.queries ++ graft.sources.LayoutQueries.queries ++
       graft.sources.v2.RangeSourceQueries.queries ++
       graft.sources.BucketedQueries.queries ++ graft.sources.ZOrderQueries.queries ++
@@ -54,7 +54,7 @@ object SparkEntry {
     RelationalQueries.oracle ++ CandyQueries.oracle ++ TextQueries.oracle ++
       AnalyticsQueries.oracle ++ Analytics2Queries.oracle ++ Analytics3Queries.oracle ++
       Tpch2Queries.oracle ++ Tpch3Queries.oracle ++
-      CdcOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++
+      CdcOps.oracle ++ DedupOps.oracle ++ SimilarityOps.oracle ++ AnnIndex.oracle ++
       graft.multimodal.MultimodalOps.oracle ++ graft.sources.LayoutQueries.oracle ++
       graft.sources.v2.RangeSourceQueries.oracle ++
       graft.sources.BucketedQueries.oracle ++ graft.sources.ZOrderQueries.oracle ++

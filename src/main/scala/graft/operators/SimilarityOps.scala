@@ -29,7 +29,7 @@ object SimilarityOps {
     * cache (the source tables are immutable for a JVM's lifetime —
     * same assumption as the staged-layout caches elsewhere). */
   private val embCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def embCount(s: SparkSession, dir: String): Long =
+  private[operators] def embCount(s: SparkSession, dir: String): Long =
     embCounts.computeIfAbsent(dir, d => t(s, d, "embeddings").count())
 
   /** Cosine via the native CosineSimF expression: one codegen'd pass
