@@ -13,7 +13,14 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[8]")
+      // local[8,2]: 8 threads, spark.task.maxFailures=2 — one task
+      // RETRY, matching any real cluster (local[8]'s fail-fast
+      // maxFailures=1 exists nowhere in production). Lets
+      // RetryInvarianceSpec inject fail-once tasks and pin that
+      // results are unchanged; inert for every other suite (a test
+      // that deliberately fails a job still fails it, one attempt
+      // later).
+      .master("local[8,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
