@@ -1090,8 +1090,8 @@ object Analytics2Queries {
         |  FROM b),
         |pick AS (
         |  SELECT event_type, p, min(bin) AS qbin FROM c
-        |  CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
-        |                             CAST(0.99 AS DOUBLE)]) AS p) ps
+        |  CROSS JOIN (SELECT unnest(list_value(CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+        |                                       CAST(0.99 AS DOUBLE))) AS p) ps
         |  WHERE cum >= p * n GROUP BY event_type, p),
         |est AS (
         |  SELECT pk.event_type AS event_type, pk.p AS p, pk.qbin AS qbin,

@@ -418,7 +418,8 @@ object AnalyticsQueries {
       """SELECT wstart AS win_start, count(*) AS n,
         | CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
         |FROM (SELECT value,
-        |       unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+        |       unnest(list_value(date_trunc('hour', ts),
+        |                         date_trunc('hour', ts) - INTERVAL 1 HOUR))
         |        AS wstart
         |      FROM events)
         |GROUP BY wstart ORDER BY wstart""".stripMargin,

@@ -1024,15 +1024,30 @@ object RelationalQueries {
         | sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_price, count(*) AS n
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY flag, status""".stripMargin,
+    // portable argmin/argmax: the original DuckDB struct-literal form
+    // (max({'p':..,'k':..})).k is lexicographic max-price-then-max-key;
+    // the window rewrite reproduces exactly that tie-break and parses
+    // in BOTH engines (DuckDB-verified identical on sf0.001/sf0.01)
     "q26_argminmax" ->
-      """SELECT o_orderstatus,
-        | (max({'p': o_totalprice, 'k': o_orderkey})).k AS max_order,
-        | (max({'p': o_totalprice, 'k': o_orderkey})).p AS max_price,
-        | (min({'p': o_totalprice, 'k': o_orderkey})).k AS min_order,
-        | (min({'p': o_totalprice, 'k': o_orderkey})).p AS min_price
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_orderstatus
+        |     ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |   row_number() OVER (PARTITION BY o_orderstatus
+        |     ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        | max(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_order,
+        | max(CASE WHEN rmax = 1 THEN o_totalprice END) AS max_price,
+        | max(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_order,
+        | max(CASE WHEN rmin = 1 THEN o_totalprice END) AS min_price
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // portable ordered string-agg: DuckDB's `string_agg(x, ',' ORDER BY x)`
+    // is parse-foreign to Spark (and DuckDB rejects WITHIN GROUP for
+    // string_agg); list → list_sort → array_to_string parses in both
+    // (list/list_sort/array_to_string ride the DuckDialect shims)
     "q27_string_agg" ->
-      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q28_conditional_agg" ->

@@ -803,7 +803,10 @@ object TextQueries {
       """WITH w AS (
         |  SELECT doc_id, lang,
         |   (CASE WHEN lang = 'en' THEN 2.5 ELSE 1.25 END) AS wt,
-        |   CAST(('0x' || substr(md5(CAST(doc_id AS STRING) || ':mix'), 1, 4)) AS INTEGER) AS v
+        |   (position(substr(md5(CAST(doc_id AS STRING) || ':mix'), 1, 1) IN '0123456789abcdef') - 1) * 4096
+        |   + (position(substr(md5(CAST(doc_id AS STRING) || ':mix'), 2, 1) IN '0123456789abcdef') - 1) * 256
+        |   + (position(substr(md5(CAST(doc_id AS STRING) || ':mix'), 3, 1) IN '0123456789abcdef') - 1) * 16
+        |   + (position(substr(md5(CAST(doc_id AS STRING) || ':mix'), 4, 1) IN '0123456789abcdef') - 1) AS v
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, lang,

@@ -372,10 +372,14 @@ object GraftExpressions {
       }))
 
   /** Register the SQL functions on an already-built session. */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     (registrations ++ DuckDialect.registrations).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    DuckDialect.tableFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+    }
+  }
 }
 
 /** DuckDB-dialect SQL compatibility functions — thin builders over
@@ -542,15 +546,27 @@ object DuckDialect {
         // hi-1 < lo, so the empty case needs an explicit guard. Only
         // the scalar form is claimed — range(...) in a FROM clause
         // resolves through the separate table-function registry.
-        def halfOpen(lo: Expression, hi: Expression): Expression =
-          CaseWhen(Seq((GreaterThan(hi, lo),
-            new Sequence(lo, Subtract(hi, Literal(1L)) ))),
+        def halfOpen(lo: Expression, hi: Expression,
+            step: Option[Expression] = None): Expression =
+          CaseWhen(Seq((GreaterThan(hi, lo), step match {
+            case None => new Sequence(lo, Subtract(hi, Literal(1L)))
+            case Some(s) => new Sequence(lo, Subtract(hi, Literal(1L)), s)
+          })),
             Some(Literal.create(new GenericArrayData(Array.emptyLongArray),
               ArrayType(LongType, containsNull = false))))
         args match {
           case Seq(hi) => halfOpen(Literal(0L), Cast(hi, LongType))
           case Seq(lo, hi) => halfOpen(Cast(lo, LongType), Cast(hi, LongType))
-          case _ => badArgs("range takes 1-2 args (scalar form)")
+          // positive-literal-step half-open form: Sequence(lo, hi-1, s)
+          // hits the same value set (lo, lo+s, ... < hi) for any s >= 1.
+          // Negative steps stay unclaimed — DuckDB's descending range is
+          // exclusive at the END bound, which Sequence can't spell with
+          // a constant end offset
+          case Seq(lo, hi, Literal(s: Long, _)) if s > 0 =>
+            halfOpen(Cast(lo, LongType), Cast(hi, LongType), Some(Literal(s)))
+          case Seq(lo, hi, Literal(s: Int, _)) if s > 0 =>
+            halfOpen(Cast(lo, LongType), Cast(hi, LongType), Some(Literal(s.toLong)))
+          case _ => badArgs("range takes 1-3 args (scalar form, positive literal step)")
         }
       }),
     (FunctionIdentifier("list_transform"), info(classOf[DuckLen], "list_transform"),
@@ -705,7 +721,126 @@ object DuckDialect {
           case Seq(us) => MicrosToTimestamp(us)
           case other => orig(other)
         }
+      }),
+    (FunctionIdentifier("list_value"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.CreateArray], "list_value"),
+      // DuckDB's explicit list constructor (the bracket literal [a, b]
+      // is parse-foreign here; list_value is the spelling both engines
+      // parse)
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.CreateArray(args)),
+    (FunctionIdentifier("list"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectList], "list"),
+      (args: Seq[Expression]) => args match {
+        // DuckDB's list(x) aggregate = collect_list; ORDER wihin the
+        // list is nondeterministic in BOTH engines, so portable oracle
+        // SQL always wraps it in list_sort before comparing
+        case Seq(c) =>
+          org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(c)
+        case _ => badArgs("list takes exactly 1 arg")
+      }),
+    (FunctionIdentifier("list_sort"), info(classOf[DuckLen], "list_sort"),
+      (args: Seq[Expression]) => args match {
+        // 1-arg ascending sort only. Null placement diverges between
+        // the engines (DuckDB: NULLS LAST on ASC... but NULLS FIRST
+        // pre-0.8 configs; Spark array_sort: nulls last) — the claim
+        // is non-null element lists, which is every oracle usage
+        case Seq(_) => builtin("array_sort")(args)
+        case _ => badArgs("list_sort takes exactly 1 arg (ascending)")
+      }),
+    (FunctionIdentifier("array_to_string"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.ArrayJoin], "array_to_string"),
+      (args: Seq[Expression]) => args match {
+        // both engines: join elements with the separator, skip NULLs
+        case Seq(arr, sep) =>
+          org.apache.spark.sql.catalyst.expressions.ArrayJoin(arr, sep, None)
+        case _ => badArgs("array_to_string takes exactly 2 args")
+      }),
+    (FunctionIdentifier("strftime"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.DateFormatClass], "strftime"),
+      (args: Seq[Expression]) => args match {
+        // DuckDB strftime(ts, '%Y-%m') → date_format with the C
+        // specifiers translated to their Java pattern letters. Claimed
+        // subset: a LITERAL format string of known %-specifiers joined
+        // by plain separator characters — anything else errors loudly
+        // instead of borrowing the (different) Java pattern alphabet
+        case Seq(ts, Literal(f: UTF8String, StringType)) =>
+          val fmt = f.toString
+          val sb = new StringBuilder
+          var i = 0
+          while (i < fmt.length) {
+            val c = fmt.charAt(i)
+            if (c == '%') {
+              if (i + 1 >= fmt.length) badArgs("strftime: dangling %")
+              fmt.charAt(i + 1) match {
+                case 'Y' => sb ++= "yyyy"
+                case 'y' => sb ++= "yy"
+                case 'm' => sb ++= "MM"
+                case 'd' => sb ++= "dd"
+                case 'H' => sb ++= "HH"
+                case 'M' => sb ++= "mm"
+                case 'S' => sb ++= "ss"
+                case 'j' => sb ++= "DDD"
+                case other => badArgs(s"strftime: unsupported specifier %$other")
+              }
+              i += 2
+            } else if ("-/:. _".indexOf(c.toInt) >= 0) { sb += c; i += 1 }
+            else badArgs(
+              "strftime: only %-specifiers and -/:. _ separators are claimed")
+          }
+          org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+            Cast(ts, TimestampType), Literal(sb.toString))
+        case _ => badArgs("strftime takes (expr, literal format)")
       }))
+
+  /** DuckDB-dialect TABLE functions — FROM-position surface, resolved
+    * through Spark's separate TableFunctionRegistry:
+    *
+    *  - `generate_series(lo, hi)` (inclusive, literal bounds) → the
+    *    Range logical plan — a leaf source that parallelizes by slice,
+    *    never a driver-side collect;
+    *  - `unnest(arr)` → a Generate(Explode) over OneRowRelation, the
+    *    exact plan shape the builtin `explode` table function builds.
+    *    With a CORRELATED argument (`FROM t, LATERAL unnest(range(0,
+    *    t.n)) AS x(i)`) the analyzer's lateral-join resolution applies
+    *    unchanged, so DuckDB's row-expansion idiom runs verbatim.
+    *
+    * Spark's builtin `range(lo, hi)` table function already matches
+    * DuckDB's half-open FROM-position `range` (both [lo, hi) step 1);
+    * only the default column name differs (`id` vs `range`), which
+    * every oracle statement papers over with an explicit `t(i)` alias.
+    */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, OneRowRelation, Range => LRange}
+    def longLit(e: Expression, what: String): Long = e match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case Literal(v: Short, _) => v.toLong
+      case _ => badArgs(s"$what requires literal integer bounds in FROM position")
+    }
+    Seq(
+      (FunctionIdentifier("generate_series"),
+        info(classOf[LRange], "generate_series"),
+        (args: Seq[Expression]) => args match {
+          // INCLUSIVE both ends (the scalar shim's guard isn't needed:
+          // Range with start >= end under a positive step is empty,
+          // matching DuckDB's empty series for lo > hi)
+          case Seq(lo, hi) =>
+            LRange(longLit(lo, "generate_series"),
+              longLit(hi, "generate_series") + 1L, 1L, None)
+          case _ => badArgs("generate_series table function takes 2 args")
+        }),
+      (FunctionIdentifier("unnest"),
+        info(classOf[org.apache.spark.sql.catalyst.expressions.Explode], "unnest"),
+        (args: Seq[Expression]) => args match {
+          case Seq(c) => Generate(
+            org.apache.spark.sql.catalyst.expressions.Explode(c),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Nil, child = OneRowRelation())
+          case _ => badArgs("unnest table function takes exactly 1 arg")
+        }))
+  }
 }
 
 /** SparkSessionExtensions entry point:
@@ -715,6 +850,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExpressions.registrations.foreach(ext.injectFunction)
     DuckDialect.registrations.foreach(ext.injectFunction)
+    DuckDialect.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => BucketedRangeJoinRule())
     ext.injectPlannerStrategy(_ => new AsofJoinStrategy)
   }
