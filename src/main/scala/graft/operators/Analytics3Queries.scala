@@ -710,15 +710,24 @@ object Analytics3Queries {
         |  UNION ALL SELECT 'source', source FROM documents
         |  UNION ALL SELECT 'text_len', CAST(length(text) AS STRING) FROM documents)
         |GROUP BY col ORDER BY col""".stripMargin,
+    // portable spelling: arm parity comes from the LAST hex nibble
+    // alone ((16a+b) % 2 = b % 2), read via position() instead of the
+    // hex-string cast Spark lacks; the sums ride DECIMAL instead of
+    // HUGEINT, sized so every product stays exactly representable —
+    // c ≤ 1e10 cents fits (13,0)/(19,0), ss ≤ 1e25 fits (25,0), and
+    // the cross products cap at 13+25 = 19+19 = 38 digits, the exact
+    // upper bound BOTH engines multiply without rounding. All integer
+    // algebra, so t_stat is bit-identical across engines
     "q170_ab_welch_t" ->
       """WITH o AS (
-        |  SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS STRING) || ':ab170'), 1, 4))
-        |          AS BIGINT) % 2 AS arm,
+        |  SELECT (position(substr(md5(CAST(o_custkey AS STRING) || ':ab170'), 4, 1)
+        |          IN '0123456789abcdef') - 1) % 2 AS arm,
         |   CAST(round(o_totalprice*100) AS BIGINT) AS c
         |  FROM orders),
         |m AS (
         |  SELECT arm, count(*) AS n,
-        |   sum(CAST(c AS HUGEINT)) AS s, sum(CAST(c AS HUGEINT)*c) AS ss
+        |   sum(CAST(c AS DECIMAL(19,0))) AS s,
+        |   sum(CAST(c AS DECIMAL(13,0)) * CAST(c AS DECIMAL(25,0))) AS ss
         |  FROM o GROUP BY arm),
         |p AS (
         |  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
@@ -733,8 +742,8 @@ object Analytics3Queries {
         | round(CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)/100.0, 6) AS mean_b,
         | round((CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)/100.0
         |        - CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)/100.0)
-        |   / sqrt(CAST(n1*ss1 - s1*s1 AS DOUBLE)/CAST(n1 AS DOUBLE)/(CAST(n1 AS DOUBLE)-1.0)/CAST(n1 AS DOUBLE)/10000.0
-        |        + CAST(n0*ss0 - s0*s0 AS DOUBLE)/CAST(n0 AS DOUBLE)/(CAST(n0 AS DOUBLE)-1.0)/CAST(n0 AS DOUBLE)/10000.0), 6)
+        |   / sqrt(CAST(CAST(n1 AS DECIMAL(13,0))*CAST(ss1 AS DECIMAL(25,0)) - CAST(s1 AS DECIMAL(19,0))*CAST(s1 AS DECIMAL(19,0)) AS DOUBLE)/CAST(n1 AS DOUBLE)/(CAST(n1 AS DOUBLE)-1.0)/CAST(n1 AS DOUBLE)/10000.0
+        |        + CAST(CAST(n0 AS DECIMAL(13,0))*CAST(ss0 AS DECIMAL(25,0)) - CAST(s0 AS DECIMAL(19,0))*CAST(s0 AS DECIMAL(19,0)) AS DOUBLE)/CAST(n0 AS DOUBLE)/(CAST(n0 AS DOUBLE)-1.0)/CAST(n0 AS DOUBLE)/10000.0), 6)
         |  AS t_stat
         |FROM p""".stripMargin,
     "q174_tpch_q19" ->

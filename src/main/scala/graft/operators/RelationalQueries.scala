@@ -930,23 +930,36 @@ object RelationalQueries {
         | round((sxy - sx*sy/nd) / (nd-1.0) / 100.0, 4) AS covar_qty_price,
         | round(sqrt((syy - sy*sy/nd) / (nd-1.0)) / 100.0, 4) AS sd_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // portable spelling: the generator sits at the top level of its own
+    // SELECT (Spark can't parse a generator nested inside CAST), and the
+    // forward fill uses the count-partition trick — count(cents) OVER
+    // increments only on non-null rows, so max() within (user, grp)
+    // recovers the carried value without IGNORE NULLS, whose placement
+    // is parse-incompatible between the engines (DuckDB: inside the
+    // parens; Spark: after them)
     "q121_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
         |   sum(CAST(round(value*100) AS BIGINT)) AS cents
         |  FROM events GROUP BY 1, 2),
         |grid AS (
-        |  SELECT user_id,
-        |   CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
-        |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1)),
+        |  SELECT user_id, CAST(day_ts AS DATE) AS day FROM (
+        |    SELECT user_id,
+        |     unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |                            INTERVAL 1 DAY)) AS day_ts
+        |    FROM (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1))),
         |j AS (SELECT g.user_id, g.day, d.cents
-        |      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+        |      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day),
+        |f AS (
+        |  SELECT user_id, day, cents,
+        |   count(cents) OVER (PARTITION BY user_id ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM j)
         |SELECT user_id, day,
-        | CAST(last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+        | CAST(max(cents) OVER (PARTITION BY user_id, grp) AS DOUBLE) / 100
         |  AS daily_value,
         | cents IS NULL AS was_filled
-        |FROM j ORDER BY user_id, day""".stripMargin,
+        |FROM f ORDER BY user_id, day""".stripMargin,
     "q32_bag_ops" ->
       """SELECT op, id, count(*) AS n FROM (
         |  SELECT 'intersect_all' AS op, id FROM (

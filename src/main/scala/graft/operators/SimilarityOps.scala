@@ -423,10 +423,15 @@ object SimilarityOps {
     "q67_ann_ivf_trained" -> ((s: SparkSession, d: String) => annIvf(s, d, trainIters = 2)),
   )
 
-  /** Exact double cosine of two embedding columns in DuckDB SQL —
-    * fold order identical to the CosineSimF kernel. */
+  /** Exact double cosine of two embedding columns in PORTABLE SQL —
+    * fold order identical to the CosineSimF kernel. The dot product
+    * walks 1-based subscripts through list_extract (= try_element_at
+    * via the DuckDialect shim) instead of DuckDB's list_zip positional
+    * structs, which Spark cannot parse — same products, same
+    * left-to-right double accumulation, DuckDB-verified bit-identical,
+    * and the statement now replays through spark.sql as well. */
   private def cosSqlOf(x: String, y: String): String =
-    s"""list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+    s"""list_sum(list_transform(range(1, len($x) + 1), i -> CAST(list_extract($x, i) AS DOUBLE)*CAST(list_extract($y, i) AS DOUBLE)))
        |   / (sqrt(list_sum(list_transform($x, v -> CAST(v AS DOUBLE)*v)))
        |      * sqrt(list_sum(list_transform($y, v -> CAST(v AS DOUBLE)*v))))""".stripMargin
 
@@ -484,18 +489,21 @@ object SimilarityOps {
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
         |scored AS (
         |  SELECT e.vec_id, c.cid,
-        |   list_sum(list_transform(list_zip(e.embedding, c.cv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+        |   list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(list_extract(e.embedding, i) AS DOUBLE)*CAST(list_extract(c.cv, i) AS DOUBLE)))
         |   / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE)*v)))
         |      * sqrt(list_sum(list_transform(c.cv, v -> CAST(v AS DOUBLE)*v)))) AS sim
         |  FROM embeddings e CROSS JOIN c),
         |assigned AS (
-        |  SELECT vec_id, (max({'s': sim, 'c': cid})).c AS cell FROM scored GROUP BY vec_id),
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        |    FROM scored) WHERE rn = 1),
         |qcells AS (
         |  SELECT cid AS cell FROM scored WHERE vec_id = 0 ORDER BY sim DESC, cid LIMIT 4),
         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS vec_id, e.label,
         | round(
-        |   list_sum(list_transform(list_zip(e.embedding, qv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+        |   list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(list_extract(e.embedding, i) AS DOUBLE)*CAST(list_extract(qv, i) AS DOUBLE)))
         |   / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE)*v)))
         |      * sqrt(list_sum(list_transform(qv, v -> CAST(v AS DOUBLE)*v)))), 6) AS cos_sim
         |FROM embeddings e
@@ -534,7 +542,7 @@ object SimilarityOps {
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,
         | round(
-        |   list_sum(list_transform(list_zip(embedding, qv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+        |   list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(list_extract(embedding, i) AS DOUBLE)*CAST(list_extract(qv, i) AS DOUBLE)))
         |   / (sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE)*v)))
         |      * sqrt(list_sum(list_transform(qv, v -> CAST(v AS DOUBLE)*v)))), 6) AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
@@ -546,36 +554,48 @@ object SimilarityOps {
     // 16 lowest ids, argmax assignment, float32 centroid storage, probe)
     // is the same deterministic algebra both engines already agree on.
     "q67_ann_ivf_trained" -> {
-      def cosSql(x: String, y: String): String =
-        s"""list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
-           | / (sqrt(list_sum(list_transform($x, v -> CAST(v AS DOUBLE)*v)))
-           |    * sqrt(list_sum(list_transform($y, v -> CAST(v AS DOUBLE)*v))))""".stripMargin
+      // portable spellings throughout (the statement replays through
+      // spark.sql as well as DuckDB): cosine via cosSqlOf's subscript
+      // walk; per-vector argmax via a deterministic row_number window
+      // (max-sim, tie → max cid — the exact lexicographic order of the
+      // original struct-literal max); the (dimension, value) expansion
+      // via a single unnest-range lateral + list_extract instead of
+      // DuckDB's two-generator lockstep SELECT; and the ordered FLOAT
+      // centroid list via sort-of-[d,v]-pairs (d is distinct per cid,
+      // so the lexicographic array sort IS the ORDER BY d).
+      def argmax(src: String): String =
+        s"""(SELECT vec_id, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |     row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+           |    FROM $src) WHERE rn = 1)""".stripMargin
+      val centsList =
+        "list_transform(list_sort(list(list_value(CAST(d AS DOUBLE), v))), p -> CAST(list_extract(p, 2) AS FLOAT))"
       def iteration(i: Int): String = {
         val p = i - 1
-        s"""scored$i AS (SELECT e.vec_id, cl.cid, ${cosSql("e.embedding", "cl.cv")} AS sim
+        s"""scored$i AS (SELECT e.vec_id, cl.cid, ${cosSqlOf("e.embedding", "cl.cv")} AS sim
            |  FROM embeddings e CROSS JOIN cents${p}_list cl),
-           |assigned$i AS (SELECT vec_id, (max({'s': sim, 'c': cid})).c AS cell FROM scored$i GROUP BY vec_id),
+           |assigned$i AS ${argmax(s"scored$i")},
            |sums$i AS (
-           |  SELECT a.cell AS cid, u.d, CAST(sum(CAST(round(u.x*1000000.0) AS BIGINT)) AS DOUBLE)/count(*)/1000000.0 AS v
+           |  SELECT a.cell AS cid, u.d, CAST(sum(CAST(round(CAST(list_extract(e.embedding, u.d) AS DOUBLE)*1000000.0) AS BIGINT)) AS DOUBLE)/count(*)/1000000.0 AS v
            |  FROM assigned$i a JOIN embeddings e ON e.vec_id = a.vec_id,
-           |   LATERAL (SELECT unnest(e.embedding) AS x, generate_subscripts(e.embedding, 1) AS d) u
+           |   LATERAL unnest(range(1, len(e.embedding) + 1)) AS u(d)
            |  GROUP BY a.cell, u.d),
            |c$i AS (SELECT p.cid, p.d, coalesce(s.v, p.v) AS v
            |  FROM c$p p LEFT JOIN sums$i s ON s.cid = p.cid AND s.d = p.d),
-           |cents${i}_list AS (SELECT cid, list(CAST(v AS FLOAT) ORDER BY d) AS cv FROM c$i GROUP BY cid)""".stripMargin
+           |cents${i}_list AS (SELECT cid, $centsList AS cv FROM c$i GROUP BY cid)""".stripMargin
       }
       s"""WITH seed AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
-         |c0 AS (SELECT s.vec_id AS cid, u.d, CAST(u.x AS DOUBLE) AS v
-         |  FROM seed s, LATERAL (SELECT unnest(s.embedding) AS x, generate_subscripts(s.embedding, 1) AS d) u),
-         |cents0_list AS (SELECT cid, list(CAST(v AS FLOAT) ORDER BY d) AS cv FROM c0 GROUP BY cid),
+         |c0 AS (SELECT s.vec_id AS cid, u.d, CAST(list_extract(s.embedding, u.d) AS DOUBLE) AS v
+         |  FROM seed s, LATERAL unnest(range(1, len(s.embedding) + 1)) AS u(d)),
+         |cents0_list AS (SELECT cid, $centsList AS cv FROM c0 GROUP BY cid),
          |${iteration(1)},
          |${iteration(2)},
-         |fscored AS (SELECT e.vec_id, cl.cid, ${cosSql("e.embedding", "cl.cv")} AS sim
+         |fscored AS (SELECT e.vec_id, cl.cid, ${cosSqlOf("e.embedding", "cl.cv")} AS sim
          |  FROM embeddings e CROSS JOIN cents2_list cl),
-         |fassigned AS (SELECT vec_id, (max({'s': sim, 'c': cid})).c AS cell FROM fscored GROUP BY vec_id),
+         |fassigned AS ${argmax("fscored")},
          |qcells AS (SELECT cid AS cell FROM fscored WHERE vec_id = 0 ORDER BY sim DESC, cid LIMIT 4),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-         |SELECT e.vec_id AS vec_id, e.label, round(${cosSql("e.embedding", "qv")}, 6) AS cos_sim
+         |SELECT e.vec_id AS vec_id, e.label, round(${cosSqlOf("e.embedding", "qv")}, 6) AS cos_sim
          |FROM embeddings e JOIN fassigned a ON e.vec_id = a.vec_id JOIN qcells ON a.cell = qcells.cell, q
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 50""".stripMargin
@@ -608,11 +628,16 @@ object SimilarityOps {
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM lab WHERE cluster <> id)
         |ORDER BY vec_id""".stripMargin,
+    // (dimension, value) pairs via a single-generator lateral +
+    // list_extract — portable to spark.sql, where DuckDB's two
+    // set-returning functions in one SELECT (lockstep expansion) can't
+    // be spelled
     "q86_embedding_quantize" ->
       """WITH e AS (
-        |  SELECT CAST(u.d - 1 AS INT) AS dim, CAST(u.x AS DOUBLE) AS x
+        |  SELECT CAST(t.d - 1 AS INT) AS dim,
+        |   CAST(list_extract(embedding, t.d) AS DOUBLE) AS x
         |  FROM embeddings,
-        |   LATERAL (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d) u),
+        |   LATERAL unnest(range(1, len(embedding) + 1)) AS t(d)),
         |st AS (SELECT dim, max(abs(x)) AS maxabs FROM e GROUP BY dim
         |       HAVING max(abs(x)) > 0),
         |q AS (

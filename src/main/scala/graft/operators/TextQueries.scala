@@ -721,7 +721,7 @@ object TextQueries {
     "q192_chunk_dedup" ->
       """WITH ch AS (
         |  SELECT doc_id, i AS ix,
-        |         array_to_string(ws[(i*4+1):(i*4+4)], ' ') AS chunk
+        |         array_to_string(array_slice(ws, i*4+1, i*4+4), ' ') AS chunk
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |   LATERAL unnest(range(0, CAST(ceil(len(ws)/4.0) AS BIGINT))) AS g(i)),
         |r AS (
@@ -730,7 +730,9 @@ object TextQueries {
         |  FROM ch),
         |kept AS (
         |  SELECT doc_id AS k_doc, count(*) AS n_kept,
-        |         md5(string_agg(chunk, ' ' ORDER BY ix)) AS kept_md5
+        |         md5(array_to_string(list_transform(
+        |           list_sort(list(lpad(CAST(ix AS STRING), 10, '0') || chunk)),
+        |           s -> substr(s, 11)), ' ')) AS kept_md5
         |  FROM r WHERE rn = 1 GROUP BY doc_id),
         |stats AS (
         |  SELECT doc_id,
@@ -791,7 +793,7 @@ object TextQueries {
         |dd AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 5),
         |grams AS (
         |  SELECT DISTINCT doc_id,
-        |   array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS g
+        |   array_to_string(array_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' ') AS g
         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM dd)),
         |freq AS (SELECT g, count(*) AS n_docs FROM grams GROUP BY g)
         |SELECT doc_id, count(*) AS n_grams,

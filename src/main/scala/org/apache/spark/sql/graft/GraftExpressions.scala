@@ -584,8 +584,16 @@ object DuckDialect {
     (FunctionIdentifier("list_extract"), info(classOf[DuckLen], "list_extract"),
       // 1-based, NULL past either end — DuckDB's list_extract is
       // exactly Spark's try_element_at (bracket subscripts are NOT
-      // portable: 1-based in DuckDB, 0-based + bounds-throwing here)
-      builtin("try_element_at")),
+      // portable: 1-based in DuckDB, 0-based + bounds-throwing here).
+      // The index narrows to INT (ElementAt requires it, and the
+      // portable subscript idiom feeds BIGINT range() indices); the
+      // name claims LISTS only, so the int cast never mistypes a map
+      // key
+      (args: Seq[Expression]) => args match {
+        case Seq(arr, idx) =>
+          builtin("try_element_at")(Seq(arr, Cast(idx, IntegerType)))
+        case _ => badArgs("list_extract takes exactly 2 args")
+      }),
     (FunctionIdentifier("string_split"), info(classOf[StringSplit], "string_split"),
       (args: Seq[Expression]) => args match {
         // DuckDB string_split splits on a LITERAL separator; Spark's
@@ -755,6 +763,25 @@ object DuckDialect {
         case Seq(arr, sep) =>
           org.apache.spark.sql.catalyst.expressions.ArrayJoin(arr, sep, None)
         case _ => badArgs("array_to_string takes exactly 2 args")
+      }),
+    (FunctionIdentifier("array_slice"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.Slice], "array_slice"),
+      (args: Seq[Expression]) => args match {
+        // DuckDB array_slice(l, begin, end): 1-based INCLUSIVE end →
+        // Spark's Slice(l, begin, end - begin + 1). Both engines clamp
+        // a past-the-end bound and return empty for begin > len; the
+        // negative-index forms are unclaimed (DuckDB counts from the
+        // back, Spark's slice errors on start = 0 only)
+        // int casts: Slice requires INT positions, while DuckDB call
+        // sites produce BIGINT bounds (range() indices); list positions
+        // fit INT by construction
+        case Seq(arr, begin, end) =>
+          org.apache.spark.sql.catalyst.expressions.Slice(arr,
+            Cast(begin, IntegerType),
+            Cast(Add(org.apache.spark.sql.catalyst.expressions.Subtract(
+              Cast(end, LongType), Cast(begin, LongType)), Literal(1L)),
+              IntegerType))
+        case _ => badArgs("array_slice takes exactly 3 args (1-based inclusive end)")
       }),
     (FunctionIdentifier("strftime"),
       info(classOf[org.apache.spark.sql.catalyst.expressions.DateFormatClass], "strftime"),

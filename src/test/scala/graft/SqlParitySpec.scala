@@ -12,11 +12,12 @@ import org.apache.spark.sql.{DataFrame, Row}
   * statement Spark can parse must produce the SAME rows as the
   * hand-tuned DataFrame plan it documents — a divergence means either
   * the declared SQL or the declared plan is lying about the semantics.
-  * Statements that use DuckDB-only surface (string_split, LATERAL
-  * unnest, list slicing, recursive CTEs, FILTER over string_agg, ...)
-  * don't parse in Spark and are skipped; the floor below pins how much
-  * of the surface must stay Spark-replayable so silent erosion fails
-  * the suite.
+  * The handful of statements Spark genuinely cannot express (ASOF JOIN
+  * grammar, recursive-CTE shapes outside Spark's UNION-ALL-linear
+  * subset) are skipped against a CLOSED per-statement classification —
+  * an unclassified skip or a stale entry both fail the suite, and the
+  * floor pins how much of the surface must stay Spark-replayable so
+  * silent erosion fails loudly.
   *
   * The streaming family is excluded by name: their DataFrame side spins
   * the real StreamExecution engine (checkpoints, RocksDB state) and is
@@ -128,14 +129,29 @@ class SqlParitySpec extends SparkSpec {
     info(s"replayed $ran oracle statements through spark.sql; $skipped DuckDB-only skipped")
     info(s"skipped: ${skippedNames.mkString(" ")}")
     assert(failures.isEmpty, failures.mkString("\n"))
-    // erosion floor: the vast majority of the declared surface must
-    // stay directly Spark-replayable (measured: 150 replayed / 31
-    // DuckDB-only after the round-6 DuckDialect compat functions +
-    // portable-SQL ports; the residue is genuinely foreign syntax —
-    // ASOF joins, recursive-CTE UNION, struct literals, LATERAL
-    // unnest, list slicing/zip with positional struct access). A drop
-    // below the floor means either a compat function was lost or new
-    // oracles are being written in gratuitously foreign SQL.
-    assert(ran >= 145, s"only $ran oracle statements still parse in Spark SQL")
+    // CLOSED skip classification: after the round-7 portable-SQL sweep
+    // (TVF injection, subscript dot products, argmax windows, decimal
+    // Welch sums, array_slice/strftime/list_value shims, ...) every
+    // remaining skip is one of exactly TWO language features Spark
+    // cannot express, named per statement below. The equality is
+    // two-sided on purpose: a NEW skip without a registered reason
+    // fails loudly (gratuitously foreign oracle SQL or a lost compat
+    // function), and a registered reason whose statement now REPLAYS
+    // also fails (stale classification — delete the entry).
+    val skipReasons = Map(
+      "q36_asof_join" -> "ASOF JOIN grammar (DuckDB join-type keyword; engine ships a native as-of join instead, gated by its portable window-twin oracle)",
+      "q93_asof_physical" -> "ASOF JOIN grammar (same statement family as q36)",
+      "q114_asof_forward" -> "ASOF JOIN grammar (forward direction)",
+      "q83_neardup_clusters" -> "recursive CTE with UNION-dedup recursion (Spark supports UNION ALL recursion only: UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE)",
+      "q87_semdedup_corpus" -> "recursive CTE with UNION-dedup recursion (transitive-closure reach())",
+      "q129_pagerank_nations" -> "recursive member aggregates + re-joins the recursion (INVALID_RECURSIVE_REFERENCE.PLACE)",
+      "q173_bfs_distances" -> "recursive CTE with UNION-dedup recursion (BFS frontier)")
+    assert(skippedNames.toSet == skipReasons.keySet,
+      s"skip set drifted from the registered classification: " +
+        s"unclassified=${(skippedNames.toSet -- skipReasons.keySet).toSeq.sorted.mkString(",")} " +
+        s"stale=${(skipReasons.keySet -- skippedNames.toSet).toSeq.sorted.mkString(",")}")
+    // erosion floor beneath the exact classification above (belt and
+    // braces for a partial refactor of this block)
+    assert(ran >= 170, s"only $ran oracle statements still parse in Spark SQL")
   }
 }
