@@ -43,14 +43,14 @@ object AnnIndex {
     * not the map, so staleness can force a rebuild within one app. */
   private val roots = new ConcurrentHashMap[String, String]()
 
-  /** Visible to the spec: how many times the expensive build ran. */
-  private[operators] val buildCount = new AtomicInteger()
+  /** Visible to the specs: how many times the expensive build ran. */
+  private[graft] val buildCount = new AtomicInteger()
 
   private def metaPath(root: String) = Paths.get(root, "meta.json")
 
   /** Spec hook: corrupt the recorded corpus count to simulate a stale
     * index without mutating the read-only corpus. */
-  private[operators] def invalidate(s: SparkSession, dir: String): Unit = {
+  private[graft] def invalidate(s: SparkSession, dir: String): Unit = {
     val root = roots.get(s.sparkContext.applicationId + ":" + dir)
     if (root != null)
       Files.write(metaPath(root), "{\"rows\":-1}".getBytes(StandardCharsets.UTF_8))
@@ -61,14 +61,20 @@ object AnnIndex {
     val root = roots.computeIfAbsent(s.sparkContext.applicationId + ":" + dir,
       _ => graft.util.TempDirs.create("graft_ivf_index_").toString)
     val n = SimilarityOps.embCount(s, dir)
-    val fresh = Files.exists(metaPath(root)) &&
+    def fresh = Files.exists(metaPath(root)) &&
       new String(Files.readAllBytes(metaPath(root)), StandardCharsets.UTF_8)
         .contains(s"""\"rows\":$n""")
+    // double-checked: the staleness probe outside the lock keeps warm
+    // probes lock-free; re-checking INSIDE the lock stops two cold (or
+    // concurrently-invalidated) probes from both building into the
+    // same root — ConcurrencySpec pins exactly-one rebuild
     if (!fresh) synchronized {
-      build(s, dir, root)
-      Files.write(metaPath(root),
-        s"""{\"rows\":$n}""".getBytes(StandardCharsets.UTF_8))
-      buildCount.incrementAndGet()
+      if (!fresh) {
+        build(s, dir, root)
+        Files.write(metaPath(root),
+          s"""{\"rows\":$n}""".getBytes(StandardCharsets.UTF_8))
+        buildCount.incrementAndGet()
+      }
     }
     root
   }

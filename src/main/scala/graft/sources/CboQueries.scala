@@ -63,33 +63,33 @@ object CboQueries {
   }
 
   /** The declared join, built against the analyzed catalog tables with
-    * an explicit CBO setting. Planning is forced EAGERLY inside the
-    * conf window (QueryExecution memoizes its lazy executedPlan), so
-    * the returned DataFrame keeps the CBO-chosen plan even though the
-    * session conf is restored before it executes — a declared query
-    * must not leak conf changes into whoever runs next. */
+    * an explicit CBO setting. The CBO confs are set on a SESSION CLONE
+    * (own SQLConf, shared SparkContext + catalog — so the clone sees
+    * the ANALYZE'd statistics), never on the caller's session: the
+    * save/restore-on-the-shared-conf pattern this replaces has a TOCTOU
+    * under concurrent callers (A saves false and sets true; B saves A's
+    * true; B "restores" true — the flag leaks permanently). A declared
+    * query must not leak conf changes into whoever runs next, including
+    * a concurrent next — ConcurrencySpec pins it. Planning is still
+    * forced eagerly (QueryExecution memoizes its lazy executedPlan), so
+    * the returned DataFrame keeps the CBO-chosen plan no matter when
+    * the caller executes it. */
   private[sources] def statsJoinPlanned(s: SparkSession, dir: String,
       cbo: Boolean): DataFrame = {
-    val (ot, ct) = analyzedTables(s, dir)
-    val confs = Seq(
-      "spark.sql.cbo.enabled" -> cbo.toString,
-      "spark.sql.cbo.joinReorder.enabled" -> cbo.toString)
-    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-    confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try {
-      val df = s.table(ot)
-        .join(s.table(ct), col("o_custkey") === col("c_custkey"))
-        .filter(col("c_mktsegment") === "BUILDING")
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          count(lit(1)).as("n_orders"),
-          Exact.sumMoney(col("o_totalprice")).as("revenue"))
-        .orderBy(col("o_orderpriority"))
-      df.queryExecution.executedPlan // force planning under `confs`
-      df
-    } finally saved.foreach { case (k, ov) =>
-      ov.fold(s.conf.unset(k))(s.conf.set(k, _))
-    }
+    val (ot, ct) = analyzedTables(s, dir) // staged + ANALYZE'd once, base session
+    val ss = org.apache.spark.sql.graft.SessionClone(s)
+    ss.conf.set("spark.sql.cbo.enabled", cbo.toString)
+    ss.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+    val df = ss.table(ot)
+      .join(ss.table(ct), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Exact.sumMoney(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+    df.queryExecution.executedPlan // force planning under the clone's conf
+    df
   }
 
   /** q203: revenue by order priority for one market segment, planned
