@@ -29,8 +29,23 @@ object Bench {
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=q206_x,q77_y restricts the run to named
+    // queries — the dev path for APPENDING scaling rows when a query
+    // lands mid-round without re-sweeping the whole surface (per-query
+    // timings are independent measurements; the merged table is
+    // assembled by tools/scaling_table.py from however many sidecars
+    // cover the surface). Unknown names fail loudly: a typo must not
+    // silently record an empty pass as "measured".
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: $unknown")
+    }
     warmup(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // each query is timed twice and the MIN is recorded: the number
       // should be a property of the code, not of whatever else the box
       // was doing during one of the runs (two recorded rounds each

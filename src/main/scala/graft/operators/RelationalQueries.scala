@@ -666,6 +666,26 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** q206: q36's as-of semantics written in DuckDB's ASOF LEFT JOIN
+    * GRAMMAR and executed by spark.sql through the injected parser
+    * (org.apache.spark.sql.graft.AsofSqlParser → AsofJoinResolution →
+    * the native AsofJoinExec merge) — the statement a reference analyst
+    * pastes runs VERBATIM on this engine. The oracle is the same text
+    * over the raw tables; grammar must change nothing but the front
+    * door. The events `ts` arrives through Tables' normalization
+    * (micros TimestampType), so the SQL compares like-typed columns —
+    * the same contract every other declared query inherits. */
+  def asofSqlGrammar(s: SparkSession, dir: String): DataFrame =
+    sqlOn(s, dir, Seq("events", "orders")) { v =>
+      s"""WITH r AS (
+         |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+         |  FROM ${v("orders")} GROUP BY o_custkey, o_orderdate)
+         |SELECT e.event_id, e.user_id, r.o_orderkey AS last_order
+         |FROM ${v("events")} e ASOF LEFT JOIN r
+         |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+         |ORDER BY e.event_id""".stripMargin
+    }
+
   /** FORWARD as-of join (Ops.asofJoinForward): each event picks up the
     * user's EARLIEST order at-or-after the event time — "what did this
     * session lead to". Same oracle machinery as q36 with the ASOF
@@ -856,6 +876,7 @@ object RelationalQueries {
     "q33_window_firstlast" -> (windowFirstLast _),
     "q34_window_ranks" -> (windowRanks _),
     "q36_asof_join" -> (asofJoin _),
+    "q206_asof_sql_grammar" -> (asofSqlGrammar _),
     "q37_range_join" -> (rangeJoinBucketed _),
     "q31_approx_distinct" -> (approxDistinct _),
     "q25_grouping_sets" -> (groupingSets _),
@@ -986,6 +1007,16 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "q36_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, r.o_orderkey AS last_order
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    // q206 replays the IDENTICAL grammar the declared query executes —
+    // both engines parse this text (Spark via the injected ASOF parser)
+    "q206_asof_sql_grammar" ->
       """WITH r AS (
         |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
         |  FROM orders GROUP BY o_custkey, o_orderdate)

@@ -34,7 +34,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTime: Attribute, rightTime: Attribute) extends BinaryNode {
+    leftTime: Attribute, rightTime: Attribute,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -44,15 +45,24 @@ case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 class AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lt, rt, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
 
+/** `forward = false` (the default): for every left row, the LATEST
+  * right row with rightTime <= leftTime in the key group. `forward =
+  * true`: the EARLIEST right row with rightTime >= leftTime — the same
+  * one-pass merge (both sides ascend by (key, time), the right cursor
+  * only ever advances), but the match is the lookahead row itself
+  * instead of the last row left behind, so forward needs no buffered
+  * copy at all. Ties (rightTime == leftTime) match in both directions,
+  * like DuckDB's ASOF >= / <=. */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
-    leftTime: Attribute, rightTime: Attribute) extends BinaryExecNode {
+    leftTime: Attribute, rightTime: Attribute,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -119,6 +129,20 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           if (k == null || t == null) {
             // null key/time never matches; right state is untouched
             joined(l, nullRight)
+          } else if (forward) {
+            // advance past right rows strictly BEFORE (k, t); the
+            // cursor row is then the earliest at-or-after candidate.
+            // It is NOT consumed on match — the next left row (same
+            // key, later time) may still be at or before it.
+            var scanning = true
+            while (scanning && rNext != null) {
+              val c = keyOrd.compare(rkB.eval(rNext), k)
+              if (c < 0 || (c == 0 && timeOrd.compare(rtB.eval(rNext), t) < 0)) {
+                rNext = advanceRight()
+              } else scanning = false
+            }
+            val hit = rNext != null && keyOrd.compare(rkB.eval(rNext), k) == 0
+            joined(l, if (hit) rNext else nullRight)
           } else {
             if (!haveKey || keyOrd.compare(k, lastKey) != 0) {
               lastMatch = null

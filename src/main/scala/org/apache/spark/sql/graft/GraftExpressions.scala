@@ -880,5 +880,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     DuckDialect.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => BucketedRangeJoinRule())
     ext.injectPlannerStrategy(_ => new AsofJoinStrategy)
+    // ASOF JOIN grammar: parse-time rewrite → marker function →
+    // resolution-time swap onto the native as-of plan (AsofSql.scala)
+    ext.injectFunction(AsofMarker.registration)
+    ext.injectParser((_, delegate) => new AsofSqlParser(delegate))
+    ext.injectResolutionRule(_ => AsofJoinResolution())
   }
 }

@@ -12,9 +12,10 @@ import org.apache.spark.sql.{DataFrame, Row}
   * statement Spark can parse must produce the SAME rows as the
   * hand-tuned DataFrame plan it documents — a divergence means either
   * the declared SQL or the declared plan is lying about the semantics.
-  * The handful of statements Spark genuinely cannot express (ASOF JOIN
-  * grammar, recursive-CTE shapes outside Spark's UNION-ALL-linear
-  * subset) are skipped against a CLOSED per-statement classification —
+  * The handful of statements Spark genuinely cannot express
+  * (recursive-CTE shapes outside Spark's UNION-ALL-linear subset — the
+  * ASOF JOIN family replays since the injected parser grew the
+  * grammar) are skipped against a CLOSED per-statement classification —
   * an unclassified skip or a stale entry both fail the suite, and the
   * floor pins how much of the surface must stay Spark-replayable so
   * silent erosion fails loudly.
@@ -131,17 +132,18 @@ class SqlParitySpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
     // CLOSED skip classification: after the round-7 portable-SQL sweep
     // (TVF injection, subscript dot products, argmax windows, decimal
-    // Welch sums, array_slice/strftime/list_value shims, ...) every
-    // remaining skip is one of exactly TWO language features Spark
-    // cannot express, named per statement below. The equality is
+    // Welch sums, array_slice/strftime/list_value shims, ASOF JOIN
+    // grammar via the injected parser, ...) every remaining skip is
+    // exactly ONE language feature Spark cannot express — recursive
+    // CTEs beyond the UNION-ALL-linear subset. The equality is
     // two-sided on purpose: a NEW skip without a registered reason
     // fails loudly (gratuitously foreign oracle SQL or a lost compat
     // function), and a registered reason whose statement now REPLAYS
     // also fails (stale classification — delete the entry).
     val skipReasons = Map(
-      "q36_asof_join" -> "ASOF JOIN grammar (DuckDB join-type keyword; engine ships a native as-of join instead, gated by its portable window-twin oracle)",
-      "q93_asof_physical" -> "ASOF JOIN grammar (same statement family as q36)",
-      "q114_asof_forward" -> "ASOF JOIN grammar (forward direction)",
+      // the ASOF JOIN family replays since the injected parser grew the
+      // grammar (AsofSqlParser → AsofJoinResolution → native merge) —
+      // q36/q93/q114/q206 now run verbatim and are gated above
       "q83_neardup_clusters" -> "recursive CTE with UNION-dedup recursion (Spark supports UNION ALL recursion only: UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE)",
       "q87_semdedup_corpus" -> "recursive CTE with UNION-dedup recursion (transitive-closure reach())",
       "q129_pagerank_nations" -> "recursive member aggregates + re-joins the recursion (INVALID_RECURSIVE_REFERENCE.PLACE)",
@@ -152,6 +154,6 @@ class SqlParitySpec extends SparkSpec {
         s"stale=${(skipReasons.keySet -- skippedNames.toSet).toSeq.sorted.mkString(",")}")
     // erosion floor beneath the exact classification above (belt and
     // braces for a partial refactor of this block)
-    assert(ran >= 170, s"only $ran oracle statements still parse in Spark SQL")
+    assert(ran >= 175, s"only $ran oracle statements still parse in Spark SQL")
   }
 }

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{AsofSqlRewrite, GraftPlans}
+
+/** ASOF JOIN grammar through the injected parser: the pure text
+  * rewrite, the analysis-time swap onto AsofJoinExec, direction and
+  * inner/outer semantics, coercion/multi-key shapes, and the loud
+  * failures for shapes the operator cannot mean. */
+class AsofSqlSpec extends SparkSpec {
+
+  private def sql(q: String): DataFrame = spark.sql(q)
+
+  private def views(): Unit = {
+    import spark.implicits._
+    Seq((1L, 1L, 5L), (2L, 1L, 1L), (3L, 2L, 10L), (4L, 3L, 7L))
+      .toDF("eid", "uid", "et").createOrReplaceTempView("asof_l")
+    Seq((1L, 3L, "a"), (1L, 5L, "b"), (1L, 9L, "c"), (2L, 20L, "d"))
+      .toDF("ruid", "rt", "pay").createOrReplaceTempView("asof_r")
+  }
+
+  // ---- the pure rewrite ----
+
+  test("rewrite: ASOF LEFT JOIN brands the ON condition and drops the keyword") {
+    val got = AsofSqlRewrite(
+      "SELECT * FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.t ORDER BY 1")
+    assert("""(?i)(?<![_a-z0-9])ASOF(?![_a-z0-9])""".r.findFirstIn(got).isEmpty, got)
+    assert(got.contains("LEFT JOIN r ON graft_asof_marker() AND ("), got)
+    assert(got.contains("l.t >= r.t ) ORDER BY 1"), got)
+  }
+
+  test("rewrite: statements without ASOF come back byte-identical") {
+    val q = "SELECT 'ASOF JOIN inside a string literal', asof_col FROM t -- ASOF JOIN comment"
+    assert(AsofSqlRewrite(q) eq q) // the identifier/string/comment hits must not edit
+    val plain = "SELECT a FROM t JOIN u ON t.k = u.k WHERE a > 1"
+    assert(AsofSqlRewrite(plain) eq plain)
+  }
+
+  test("rewrite: subquery right side, trailing WHERE, and two ASOF joins") {
+    val got = AsofSqlRewrite(
+      "SELECT * FROM a ASOF JOIN (SELECT k, t FROM x WHERE x.on_col = 1) s " +
+        "ON a.k = s.k AND a.t >= s.t ASOF LEFT JOIN r ON a.k = r.k AND a.t <= r.t WHERE a.id < 5")
+    assert(got.count(_ == '(') === got.count(_ == ')'), got)
+    assert("graft_asof_marker".r.findAllIn(got).size === 2, got)
+    assert(got.contains(") WHERE a.id < 5"), got)
+    assert(!"""(?i)\bASOF\b""".r.findFirstIn(got).isDefined, got)
+  }
+
+  test("rewrite: unsupported shapes fail loudly") {
+    for ((q, frag) <- Seq(
+      "SELECT * FROM a ASOF RIGHT JOIN b ON a.k = b.k AND a.t >= b.t" -> "LEFT [OUTER] JOIN only",
+      "SELECT * FROM a ASOF JOIN b USING (k)" -> "ON condition",
+      "SELECT * FROM a ASOF JOIN b" -> "ON condition",
+      "SELECT * FROM a ASOF" -> "dangling ASOF")) {
+      val e = intercept[IllegalArgumentException](AsofSqlRewrite(q))
+      assert(e.getMessage.contains(frag), s"$q → ${e.getMessage}")
+    }
+  }
+
+  // ---- end-to-end through spark.sql ----
+
+  test("ASOF LEFT JOIN == native GraftPlans.asofJoin; plans the custom exec") {
+    views()
+    val df = sql("""SELECT eid, pay FROM asof_l ASOF LEFT JOIN asof_r
+                   | ON uid = ruid AND et >= rt ORDER BY eid""".stripMargin)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("AsofJoin"), phys)
+    assert(!phys.contains("SortMergeJoin") && !phys.contains("Window"), phys)
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toList
+    // uid=1: et=5 → rt=5 tie wins ("b"); et=1 → none; uid=2: et=10 → no rt<=10
+    // for ruid=2 (rt=20) → null; uid=3 → no key
+    assert(got === List(1L -> "b", 2L -> null, 3L -> null, 4L -> null))
+    val native = GraftPlans.asofJoin(
+      spark.table("asof_l"), spark.table("asof_r"), "uid", "ruid", "et", "rt")
+      .select(col("eid"), col("pay")).orderBy("eid")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toList
+    assert(got === native)
+  }
+
+  test("forward direction (<=): earliest right row at-or-after, ties match") {
+    views()
+    val got = sql("""SELECT eid, pay FROM asof_l ASOF LEFT JOIN asof_r
+                    | ON uid = ruid AND et <= rt ORDER BY eid""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toList
+    // uid=1 et=5 → rt=5 tie ("b") beats rt=9; et=1 → rt=3 ("a");
+    // uid=2 et=10 → rt=20 ("d"); uid=3 → null
+    assert(got === List(1L -> "b", 2L -> "a", 3L -> "d", 4L -> null))
+  }
+
+  test("inner ASOF JOIN drops unmatched left rows") {
+    views()
+    val got = sql("""SELECT eid, pay FROM asof_l ASOF JOIN asof_r
+                    | ON uid = ruid AND et >= rt ORDER BY eid""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toList
+    assert(got === List(1L -> "b"))
+  }
+
+  test("reversed spelling and coercion: r.date <= l.ts is still backward") {
+    import spark.implicits._
+    Seq((1L, "2024-03-05 00:00:00"), (2L, "2024-01-01 00:00:00"))
+      .toDF("id", "ts_s").selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts")
+      .createOrReplaceTempView("asof_tl")
+    Seq((1L, "2024-03-01"), (1L, "2024-03-04"), (1L, "2024-06-01"))
+      .toDF("rid", "d_s").selectExpr("rid", "CAST(d_s AS DATE) AS d")
+      .createOrReplaceTempView("asof_tr")
+    // DATE vs TIMESTAMP forces analyzer coercion (a Cast around d) —
+    // the rule materializes it as a projected column; reversed operand
+    // order must mean the same backward join
+    val got = sql("""SELECT id, d FROM asof_tl ASOF LEFT JOIN asof_tr
+                    | ON rid = id AND d <= ts ORDER BY id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> String.valueOf(r.get(1))).toList
+    assert(got === List(1L -> "2024-03-04", 2L -> "null"))
+  }
+
+  test("multi-key equality packs a struct key; zero-key degrades to one group") {
+    import spark.implicits._
+    Seq((1L, 10L, 100L, "x1"), (1L, 20L, 50L, "x2"))
+      .toDF("a1", "a2", "lt", "tag").createOrReplaceTempView("asof_ml")
+    Seq((1L, 10L, 90L, "p"), (1L, 20L, 60L, "q"), (1L, 20L, 10L, "r"))
+      .toDF("b1", "b2", "rt", "pay").createOrReplaceTempView("asof_mr")
+    val two = sql("""SELECT tag, pay FROM asof_ml ASOF LEFT JOIN asof_mr
+                    | ON a1 = b1 AND a2 = b2 AND lt >= rt ORDER BY tag""".stripMargin)
+    assert(two.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    assert(two.collect().map(r => (r.getString(0), r.getString(1))).toList ===
+      List(("x1", "p"), ("x2", "r")))
+    val zero = sql("""SELECT tag, pay FROM asof_ml ASOF LEFT JOIN asof_mr
+                     | ON lt >= rt ORDER BY tag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    // one global group: x1 (lt=100) → latest rt<=100 is 90 ("p");
+    // x2 (lt=50) → rt=10 ("r")
+    assert(zero === List(("x1", "p"), ("x2", "r")))
+  }
+
+  test("shapes the operator cannot mean fail analysis loudly") {
+    views()
+    for ((q, frag) <- Seq(
+      ("SELECT * FROM asof_l ASOF LEFT JOIN asof_r ON uid = ruid AND et > rt",
+        "unsupported conjunct"),
+      ("SELECT * FROM asof_l ASOF LEFT JOIN asof_r ON uid = ruid AND et >= rt AND et <= rt",
+        "more than one inequality"),
+      ("SELECT * FROM asof_l ASOF LEFT JOIN asof_r ON uid = ruid",
+        "no >= / <= inequality"),
+      ("SELECT * FROM asof_l ASOF LEFT JOIN asof_r ON uid = ruid OR et >= rt",
+        "unsupported conjunct"))) {
+      val e = intercept[Throwable](sql(q).queryExecution.analyzed)
+      def msgs(t: Throwable): List[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)), s"$q → ${msgs(e)}")
+    }
+  }
+
+  test("q206 (SQL grammar) equals the q36 DataFrame plan on real data") {
+    val sf = "/root/testdata/sf0.001"
+    val viaSql = RelationalQueries.asofSqlGrammar(spark, sf).collect().toSeq
+    val viaApi = RelationalQueries.asofJoin(spark, sf).collect().toSeq
+    assert(viaSql === viaApi)
+  }
+}
