@@ -516,6 +516,55 @@ object RelationalQueries {
       .orderBy("s_nationkey")
   }
 
+  /** q207: the OTHER half of the skew playbook next to q70's manual
+    * salting — AQE's RUNTIME re-plan. A deterministic hot key
+    * (three quarters of lineitem collapse onto suppkey 1 via a CASE
+    * both engines compute identically) makes one shuffle partition
+    * dwarf the rest; the join runs as sort-merge (broadcast disabled —
+    * broadcast joins cannot skew) on a SESSION CLONE whose AQE
+    * thresholds are sized to the fixture (skewedPartitionThreshold
+    * 64k / advisory 16k / factor 2 against lz4-compressed shuffle
+    * bytes — production keeps the 256m/64m defaults; the RATIO is the
+    * contract, the absolute is fixture
+    * scale), and OptimizeSkewedJoin splits the hot partition into
+    * advisory-sized chunks at runtime — no salting column, no code
+    * change, the optimizer's own answer to the problem q70 solves by
+    * hand. AqeSkewSpec pins `skew=true` in the final adaptive plan and
+    * byte-equality with the AQE-off plan; the oracle is the plain join
+    * over the same CASE mapping — the re-plan changes the schedule,
+    * never the answer. Clone isolation (SessionClone, the q203
+    * device): the caller's conf never sees these thresholds. */
+  def aqeSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ss = org.apache.spark.sql.graft.SessionClone(s)
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE splits a skewed partition by regrouping MAP-OUTPUT BLOCKS,
+    // so the skewed side needs >1 map task to be splittable at all.
+    // The fixture is one single-row-group parquet file per table — ONE
+    // non-empty scan task no matter the split size (measured: the rule
+    // saw the 468 KB hot partition, counted "skewed: 0", because all
+    // its bytes sat in one block). A production fact scan has
+    // thousands of map tasks; the round-robin repartition restores
+    // that multi-mapper shuffle shape (same valve as Bench's 1 MB
+    // maxPartitionBytes, documented in SCALING.md "Fixture splits").
+    val large = t(ss, dir, "lineitem").select(
+      when(col("l_suppkey") % 4 =!= 0, lit(1L))
+        .otherwise(col("l_suppkey")).as("suppkey"),
+      col("l_extendedprice"))
+      .repartition(16)
+    val small = t(ss, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    large.join(small, "suppkey")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   /** Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
     * and grand-total rows in one aggregation pass. */
   def groupingSets(s: SparkSession, dir: String): DataFrame =
@@ -920,6 +969,7 @@ object RelationalQueries {
     "q24_percentiles" -> (percentiles _),
     "q69_approx_percentiles" -> (approxPercentiles _),
     "q70_skew_salted_join" -> (skewSaltedJoin _),
+    "q207_aqe_skew_join" -> (aqeSkewJoin _),
     "q119_fuzzy_dim_pairs" -> ((s: SparkSession, d: String) => fuzzyDimPairs(s, d)),
     "q120_stats_profile" -> (statsProfile _),
     "q121_gap_fill" -> (gapFill _),
@@ -1326,6 +1376,15 @@ object RelationalQueries {
       """SELECT s_nationkey, count(*) AS n_items,
         | sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // q207: the plain join over the same deterministic hot-key CASE —
+    // AQE's runtime skew split changes the schedule, never the answer
+    "q207_aqe_skew_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue
+        |FROM (SELECT CASE WHEN l_suppkey % 4 <> 0 THEN 1 ELSE l_suppkey END AS suppkey,
+        |             l_extendedprice FROM lineitem) l
+        |JOIN supplier ON l.suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q24_percentiles" ->
       """SELECT o_orderstatus,
