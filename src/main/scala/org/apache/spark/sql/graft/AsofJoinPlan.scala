@@ -35,7 +35,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false, strict: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -45,8 +45,8 @@ case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 class AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt, fwd) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lt, rt, fwd, st) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, st) :: Nil
     case _ => Nil
   }
 }
@@ -58,11 +58,16 @@ class AsofJoinStrategy extends SparkStrategy {
   * only ever advances), but the match is the lookahead row itself
   * instead of the last row left behind, so forward needs no buffered
   * copy at all. Ties (rightTime == leftTime) match in both directions,
-  * like DuckDB's ASOF >= / <=. */
+  * like DuckDB's ASOF >= / <= — unless `strict` (the < / > comparator
+  * family), which excludes the tie row. Strictness is safe under the
+  * one-pass cursor in both directions: backward leaves the tie row as
+  * the lookahead (a LATER left row with a larger time may still claim
+  * it), and forward discards it (no later left row, with its
+  * greater-or-equal time, could match it strictly either). */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false, strict: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -137,9 +142,12 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
             var scanning = true
             while (scanning && rNext != null) {
               val c = keyOrd.compare(rkB.eval(rNext), k)
-              if (c < 0 || (c == 0 && timeOrd.compare(rtB.eval(rNext), t) < 0)) {
-                rNext = advanceRight()
-              } else scanning = false
+              val before = {
+                val ct = timeOrd.compare(rtB.eval(rNext), t)
+                if (strict) ct <= 0 else ct < 0 // strict: ties advance past too
+              }
+              if (c < 0 || (c == 0 && before)) rNext = advanceRight()
+              else scanning = false
             }
             val hit = rNext != null && keyOrd.compare(rkB.eval(rNext), k) == 0
             joined(l, if (hit) rNext else nullRight)
@@ -157,8 +165,14 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
             var scanning = true
             while (scanning && rNext != null) {
               val c = keyOrd.compare(rkB.eval(rNext), k)
+              val atOrBefore = {
+                val ct = timeOrd.compare(rtB.eval(rNext), t)
+                // strict: a tie row is NOT consumed — it stays as the
+                // lookahead for a later (larger-time) left row
+                if (strict) ct < 0 else ct <= 0
+              }
               if (c < 0) rNext = advanceRight()
-              else if (c == 0 && timeOrd.compare(rtB.eval(rNext), t) <= 0) {
+              else if (c == 0 && atOrBefore) {
                 lastMatch = rNext.copy()
                 rNext = advanceRight()
               } else scanning = false

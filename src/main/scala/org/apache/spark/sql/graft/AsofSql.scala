@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import scala.collection.mutable.ListBuffer
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, BinaryComparison, CreateNamedStruct, EqualTo, Expression, ExpressionInfo, GreaterThanOrEqual, IsNotNull, LeafExpression, LessThanOrEqual, Literal, NamedExpression, SubqueryExpression, Unevaluable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, BinaryComparison, CreateNamedStruct, EqualTo, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, IsNotNull, LeafExpression, LessThan, LessThanOrEqual, Literal, NamedExpression, SubqueryExpression, Unevaluable}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
@@ -30,14 +30,17 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   *     the analyzed join condition.
   *  3. [[AsofJoinResolution]] (a resolution rule) finds the branded,
   *     fully-resolved Join, decomposes the conjunction into equi-keys +
-  *     exactly one >=/<= time inequality, and swaps the Join for the
-  *     native AsofJoinNode — one merge pass over co-partitioned sorted
-  *     children instead of the O(matches-per-key) range join a plain
-  *     inequality join would plan. Direction comes from the inequality
-  *     (left >= right → latest-at-or-before; left <= right →
-  *     earliest-at-or-after), INNER drops unmatched left rows via an
-  *     IsNotNull filter on the matched right time (never null on a
-  *     match by construction — the merge skips null-time right rows).
+  *     exactly one time inequality (all four DuckDB comparators), and
+  *     swaps the Join for the native AsofJoinNode — one merge pass over
+  *     co-partitioned sorted children instead of the O(matches-per-key)
+  *     range join a plain inequality join would plan. Direction comes
+  *     from the inequality (left >= right → latest-at-or-before; left
+  *     <= right → earliest-at-or-after; strict < / > exclude the tie
+  *     row), INNER drops unmatched left rows via an IsNotNull filter on
+  *     the matched right time (never null on a match by construction —
+  *     the merge skips null-time right rows). [[AsofMarkerCheck]] turns
+  *     any marker that escapes (a direct call outside a join) into the
+  *     real explanation.
   *
   * 100 TB shape: identical to the hand-built as-of path — both sides
   * hash-cluster on the key (EnsureRequirements co-partitions exactly as
@@ -240,7 +243,7 @@ case class AsofJoinResolution() extends Rule[LogicalPlan] {
 
   private def bad(msg: String): Nothing = throw new IllegalArgumentException(
     s"ASOF JOIN: $msg (the condition must be a conjunction of " +
-      "equalities plus exactly ONE >= or <= inequality between the two sides)")
+      "equalities plus exactly ONE >= / <= / > / < inequality between the two sides)")
 
   private def split(e: Expression): Seq[Expression] = e match {
     case And(a, b) => split(a) ++ split(b)
@@ -264,10 +267,11 @@ case class AsofJoinResolution() extends Rule[LogicalPlan] {
       else None
 
     val keys = ListBuffer[(Expression, Expression)]() // (left, right)
-    var ineq: Option[(Expression, Expression, Boolean)] = None // (lt, rt, forward)
-    def setIneq(lt: Expression, rt: Expression, forward: Boolean): Unit = {
+    // (leftTime, rightTime, forward, strict)
+    var ineq: Option[(Expression, Expression, Boolean, Boolean)] = None
+    def setIneq(lt: Expression, rt: Expression, forward: Boolean, strict: Boolean): Unit = {
       if (ineq.isDefined) bad("more than one inequality")
-      ineq = Some((lt, rt, forward))
+      ineq = Some((lt, rt, forward, strict))
     }
     conjs.foreach {
       case EqualTo(a, b) => (side(a), side(b)) match {
@@ -275,21 +279,24 @@ case class AsofJoinResolution() extends Rule[LogicalPlan] {
         case (Some(false), Some(true)) => keys += ((b, a))
         case _ => bad(s"equality does not compare the two sides: ${EqualTo(a, b).sql}")
       }
-      case c: BinaryComparison
-          if c.isInstanceOf[GreaterThanOrEqual] || c.isInstanceOf[LessThanOrEqual] =>
-        val geq = c.isInstanceOf[GreaterThanOrEqual]
+      case c: BinaryComparison if c.isInstanceOf[GreaterThanOrEqual] ||
+          c.isInstanceOf[LessThanOrEqual] || c.isInstanceOf[GreaterThan] ||
+          c.isInstanceOf[LessThan] =>
+        // the ">" family reads "latest at-or-before" (backward) when the
+        // LEFT side's time is on the left of the operator; the "<"
+        // family the reverse; strict (< / >) excludes the tie row, like
+        // DuckDB's four ASOF comparators. Reversed spellings flip the
+        // direction, never the meaning.
+        val gtFamily = c.isInstanceOf[GreaterThanOrEqual] || c.isInstanceOf[GreaterThan]
+        val strict = c.isInstanceOf[GreaterThan] || c.isInstanceOf[LessThan]
         (side(c.left), side(c.right)) match {
-          // left >= right: latest right at-or-before (backward);
-          // left <= right: earliest right at-or-after (forward);
-          // sides written reversed flip the direction, not the meaning
-          case (Some(true), Some(false)) => setIneq(c.left, c.right, forward = !geq)
-          case (Some(false), Some(true)) => setIneq(c.right, c.left, forward = geq)
+          case (Some(true), Some(false)) => setIneq(c.left, c.right, forward = !gtFamily, strict)
+          case (Some(false), Some(true)) => setIneq(c.right, c.left, forward = gtFamily, strict)
           case _ => bad(s"inequality does not compare the two sides: ${c.sql}")
         }
-      case other => bad(s"unsupported conjunct ${other.sql} " +
-        "(strict < / > are not supported; use <= / >= like DuckDB's common form)")
+      case other => bad(s"unsupported conjunct ${other.sql}")
     }
-    val (ltE, rtE, forward) = ineq.getOrElse(bad("no >= / <= inequality found"))
+    val (ltE, rtE, forward, strict) = ineq.getOrElse(bad("no >= / <= / > / < inequality found"))
 
     // single-attribute keys pass through; multi-key packs both sides
     // into an identical named struct (hash + interpreted ordering both
@@ -324,7 +331,7 @@ case class AsofJoinResolution() extends Rule[LogicalPlan] {
       bad(s"key/time types differ after coercion: " +
         s"${lk.dataType}/${rk.dataType}, ${lt.dataType}/${rt.dataType}")
 
-    val node = AsofJoinNode(l2, r2, lk, rk, lt, rt, forward)
+    val node = AsofJoinNode(l2, r2, lk, rk, lt, rt, forward, strict)
     val base = if (jt == Inner) {
       // a matched row always carries a non-null right time (the merge
       // skips null-time right rows), so this drops exactly the
@@ -335,5 +342,23 @@ case class AsofJoinResolution() extends Rule[LogicalPlan] {
     // restore the Join's exact output (drops materialized helper cols;
     // exprIds are preserved so parent resolution is untouched)
     Project(j.output, base)
+  }
+}
+
+/** Post-analysis check: the marker is internal plumbing between the
+  * rewriter and the resolution rule — if one survives analysis (a user
+  * called graft_asof_marker() directly, or branded a condition shape
+  * the rule refuses outside a join), fail with the real explanation
+  * instead of the opaque Unevaluable error it would hit at planning. */
+case class AsofMarkerCheck() extends (LogicalPlan => Unit) {
+  override def apply(plan: LogicalPlan): Unit = plan.foreach { node =>
+    node.expressions.foreach { e =>
+      if (e.exists(_.isInstanceOf[AsofMarker]))
+        throw new IllegalArgumentException(
+          "graft_asof_marker() is internal to ASOF JOIN rewriting and cannot " +
+            "appear outside a join condition the as-of rule can decompose — " +
+            "write `left ASOF [LEFT] JOIN right ON <equalities> AND " +
+            "<one time inequality>` instead of calling the marker directly")
+    }
   }
 }

@@ -885,5 +885,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(AsofMarker.registration)
     ext.injectParser((_, delegate) => new AsofSqlParser(delegate))
     ext.injectResolutionRule(_ => AsofJoinResolution())
+    ext.injectCheckRule(_ => AsofMarkerCheck())
   }
 }

@@ -133,15 +133,34 @@ class AsofSqlSpec extends SparkSpec {
     assert(zero === List(("x1", "p"), ("x2", "r")))
   }
 
+  test("strict comparators exclude the tie row in both directions") {
+    views()
+    // backward strict: uid=1 et=5 skips the rt=5 tie and takes rt=3
+    val back = sql("""SELECT eid, pay FROM asof_l ASOF LEFT JOIN asof_r
+                     | ON uid = ruid AND et > rt ORDER BY eid""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toList
+    assert(back === List(1L -> "a", 2L -> null, 3L -> null, 4L -> null))
+    // forward strict: uid=1 et=5 skips the rt=5 tie and takes rt=9
+    val fwd = sql("""SELECT eid, pay FROM asof_l ASOF LEFT JOIN asof_r
+                    | ON uid = ruid AND et < rt ORDER BY eid""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toList
+    assert(fwd === List(1L -> "c", 2L -> "a", 3L -> "d", 4L -> null))
+  }
+
+  test("a stray marker call gets the real explanation, not an Unevaluable error") {
+    val e = intercept[Throwable](spark.sql("SELECT graft_asof_marker() AS m").collect())
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("internal to ASOF JOIN rewriting")), msgs(e))
+  }
+
   test("shapes the operator cannot mean fail analysis loudly") {
     views()
     for ((q, frag) <- Seq(
-      ("SELECT * FROM asof_l ASOF LEFT JOIN asof_r ON uid = ruid AND et > rt",
-        "unsupported conjunct"),
       ("SELECT * FROM asof_l ASOF LEFT JOIN asof_r ON uid = ruid AND et >= rt AND et <= rt",
         "more than one inequality"),
       ("SELECT * FROM asof_l ASOF LEFT JOIN asof_r ON uid = ruid",
-        "no >= / <= inequality"),
+        "inequality found"),
       ("SELECT * FROM asof_l ASOF LEFT JOIN asof_r ON uid = ruid OR et >= rt",
         "unsupported conjunct"))) {
       val e = intercept[Throwable](sql(q).queryExecution.analyzed)
