@@ -43,7 +43,11 @@ class ConcurrencySpec extends SparkSpec {
     "q203_cbo_stats_join", "q204_ann_ivf_persisted", "q205_compacted_scan",
     "q101_dsv2_source", "q03_join_broadcast", "q12_window_rank",
     "q22_multi_join", "q50_dedup_exact", "q51_text_stats",
-    "q31_approx_distinct", "q199_kmv_intersect", "q202_kmv_difference")
+    "q31_approx_distinct", "q199_kmv_intersect", "q202_kmv_difference",
+    // the round-7 clone-conf pair: ASOF through the injected parser
+    // (shared FunctionRegistry + analyzer rules under contention) and
+    // the AQE skew join (per-call session clone with tuned thresholds)
+    "q206_asof_sql_grammar", "q207_aqe_skew_join")
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq
