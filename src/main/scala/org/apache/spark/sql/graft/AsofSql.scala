@@ -80,10 +80,17 @@ object AsofSqlRewrite {
     "ORDER", "LIMIT", "OFFSET", "FETCH", "UNION", "INTERSECT", "EXCEPT",
     "QUALIFY", "CLUSTER", "DISTRIBUTE", "SORT")
 
-  def apply(sql: String): String = {
+  /** `backslashEscapes`: whether `\'` inside a string literal escapes
+    * the quote — true under Spark's DEFAULT literal mode, false under
+    * `spark.sql.parser.escapedStringLiterals=true` (ANSI mode, where
+    * `''` is the only escape and a backslash is an ordinary char).
+    * The parser wrapper passes the session's ACTIVE mode: lexing with
+    * the wrong convention could mis-bound a literal and let string
+    * CONTENT (e.g. "... asof join ...") masquerade as grammar. */
+  def apply(sql: String, backslashEscapes: Boolean = true): String = {
     // fast path: no ASOF word anywhere (case-insensitive)
     if (!sql.toUpperCase(java.util.Locale.ROOT).contains("ASOF")) return sql
-    val toks = lex(sql)
+    val toks = lex(sql, backslashEscapes)
     // edits as (position, remove-through-position, insertion)
     val edits = ListBuffer[(Int, Int, String)]()
     var i = 0
@@ -153,12 +160,13 @@ object AsofSqlRewrite {
       s"$msg (near position $pos in: ${sql.slice(pos, pos + 60)}...)")
 
   /** Word/paren/comma tokens with paren depth; strings ('', "", ``,
-    * each with doubled-quote escapes), line comments and NESTED block
-    * comments (Spark supports nesting) contribute no tokens. A '('
-    * token carries the depth OUTSIDE it; a ')' token the depth after
-    * closing — so "depth < joinDepth" on a ')' means it closes an
-    * enclosing scope. */
-  private def lex(sql: String): Vector[Tok] = {
+    * each with doubled-quote escapes, plus backslash escapes in '/"
+    * when the session's literal mode has them), line comments and
+    * NESTED block comments (Spark supports nesting) contribute no
+    * tokens. A '(' token carries the depth OUTSIDE it; a ')' token the
+    * depth after closing — so "depth < joinDepth" on a ')' means it
+    * closes an enclosing scope. */
+  private def lex(sql: String, backslashEscapes: Boolean): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var depth = 0
     var i = 0
@@ -172,7 +180,8 @@ object AsofSqlRewrite {
           i += 1
           var open = true
           while (open && i < n) {
-            if (sql.charAt(i) == c) {
+            if (backslashEscapes && c != '`' && sql.charAt(i) == '\\') i += 2
+            else if (sql.charAt(i) == c) {
               if (i + 1 < n && sql.charAt(i + 1) == c) i += 2 // doubled escape
               else { open = false; i += 1 }
             } else i += 1
@@ -205,12 +214,18 @@ object AsofSqlRewrite {
 }
 
 /** Session parser wrapper: ASOF rewrite on statement entry points,
-  * byte-for-byte delegation everywhere else. */
+  * byte-for-byte delegation everywhere else. The active literal mode
+  * comes from the thread's SQLConf at PARSE time (the same source the
+  * delegate parser reads it from), so the rewrite's string lexing can
+  * never disagree with the parser about where a literal ends. */
 class AsofSqlParser(delegate: ParserInterface) extends ParserInterface {
+  private def rewrite(sqlText: String): String = AsofSqlRewrite(sqlText,
+    backslashEscapes =
+      !org.apache.spark.sql.internal.SQLConf.get.escapedStringLiterals)
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(AsofSqlRewrite(sqlText))
+    delegate.parsePlan(rewrite(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(AsofSqlRewrite(sqlText))
+    delegate.parseQuery(rewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -48,6 +48,22 @@ class AsofSqlSpec extends SparkSpec {
     assert(!"""(?i)\bASOF\b""".r.findFirstIn(got).isDefined, got)
   }
 
+  test("rewrite: string lexing follows the active literal mode") {
+    // DEFAULT mode (backslash escapes): \' stays inside the literal, so
+    // the words "asof left join" are string CONTENT, not grammar
+    val q1 = """SELECT 'it\'s an asof left join on x >= y' AS s FROM t"""
+    assert(AsofSqlRewrite(q1, backslashEscapes = true) eq q1)
+    // ANSI mode (escapedStringLiterals=true): the backslash is an
+    // ordinary char, the literal ends at the next quote, and the real
+    // ASOF JOIN after it MUST still be rewritten
+    val q2 = """SELECT 'dir\' AS s FROM t ASOF JOIN u ON t.k = u.k AND t.a >= u.a"""
+    val got = AsofSqlRewrite(q2, backslashEscapes = false)
+    assert(got.contains("graft_asof_marker"), got)
+    // ...and under the WRONG convention the string would swallow the
+    // join — which is exactly why the parser passes the session's mode
+    assert(AsofSqlRewrite(q2, backslashEscapes = true) eq q2)
+  }
+
   test("rewrite: unsupported shapes fail loudly") {
     for ((q, frag) <- Seq(
       "SELECT * FROM a ASOF RIGHT JOIN b ON a.k = b.k AND a.t >= b.t" -> "LEFT [OUTER] JOIN only",
