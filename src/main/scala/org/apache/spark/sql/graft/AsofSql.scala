@@ -224,6 +224,13 @@ class AsofSqlParser(delegate: ParserInterface) extends ParserInterface {
       !org.apache.spark.sql.internal.SQLConf.get.escapedStringLiterals)
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(rewrite(sqlText))
+  // MUST override: the interface default calls this.parsePlan and
+  // silently DROPS the ParameterContext — spark.sql(text, args) would
+  // lose its named/positional bindings through a wrapper that leans on
+  // the default. Delegate with the context intact.
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    delegate.parsePlanWithParameters(rewrite(sqlText), ctx)
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(rewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =

@@ -186,6 +186,23 @@ class AsofSqlSpec extends SparkSpec {
     }
   }
 
+  test("parameterized spark.sql keeps its bindings through the wrapper") {
+    // the ParserInterface DEFAULT for parsePlanWithParameters drops the
+    // ParameterContext (it falls back to parsePlan) — a wrapper leaning
+    // on it would silently break spark.sql(text, args); the override
+    // must delegate with the context intact, rewrite applied
+    val plain = spark.sql("SELECT :a + 1 AS v", Map("a" -> 41))
+      .collect()(0).getInt(0)
+    assert(plain === 42)
+    views()
+    val rows = spark.sql(
+      """SELECT eid, pay FROM asof_l ASOF LEFT JOIN asof_r
+        | ON uid = ruid AND et >= rt WHERE eid <= :maxid ORDER BY eid""".stripMargin,
+      Map("maxid" -> 2))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toList
+    assert(rows === List(1L -> "b", 2L -> null))
+  }
+
   test("q206 (SQL grammar) equals the q36 DataFrame plan on real data") {
     val sf = "/root/testdata/sf0.001"
     val viaSql = RelationalQueries.asofSqlGrammar(spark, sf).collect().toSeq
