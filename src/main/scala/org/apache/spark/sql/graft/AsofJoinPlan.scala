@@ -193,10 +193,15 @@ object GraftPlans {
   /** As-of join `left` to `right`: for every left row, the latest
     * right row with `rightTime <= leftTime` sharing the key (nulls
     * when none precedes). Column names must be disjoint across sides.
+    * `forward = true` flips the direction (earliest right row at or
+    * after the left time); `strict = true` excludes the tie row — the
+    * same four-comparator surface the SQL ASOF grammar exposes
+    * (AsofSql.scala), for callers building plans programmatically.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      forward: Boolean = false, strict: Boolean = false): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     require(lp.outputSet.intersect(rp.outputSet).isEmpty,
@@ -230,6 +235,6 @@ object GraftPlans {
       s"key/time types must match: ${lk.dataType}/${rk.dataType}, ${lt.dataType}/${rt.dataType}")
     classic.Dataset.ofRows(
       left.sparkSession.asInstanceOf[classic.SparkSession],
-      AsofJoinNode(lp, rp, lk, rk, lt, rt))
+      AsofJoinNode(lp, rp, lk, rk, lt, rt, forward, strict))
   }
 }

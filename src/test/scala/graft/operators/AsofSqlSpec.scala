@@ -203,6 +203,23 @@ class AsofSqlSpec extends SparkSpec {
     assert(rows === List(1L -> "b", 2L -> null))
   }
 
+  test("GraftPlans.asofJoin forward/strict flags match the SQL grammar") {
+    views()
+    def api(forward: Boolean, strict: Boolean) = GraftPlans.asofJoin(
+        spark.table("asof_l"), spark.table("asof_r"),
+        "uid", "ruid", "et", "rt", forward = forward, strict = strict)
+      .select(col("eid"), col("pay")).orderBy("eid")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toList
+    def viaSql(op: String) = sql(
+      s"""SELECT eid, pay FROM asof_l ASOF LEFT JOIN asof_r
+         | ON uid = ruid AND et $op rt ORDER BY eid""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toList
+    assert(api(forward = false, strict = false) === viaSql(">="))
+    assert(api(forward = true, strict = false) === viaSql("<="))
+    assert(api(forward = false, strict = true) === viaSql(">"))
+    assert(api(forward = true, strict = true) === viaSql("<"))
+  }
+
   test("q206 (SQL grammar) equals the q36 DataFrame plan on real data") {
     val sf = "/root/testdata/sf0.001"
     val viaSql = RelationalQueries.asofSqlGrammar(spark, sf).collect().toSeq
