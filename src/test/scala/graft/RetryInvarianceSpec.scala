@@ -72,9 +72,15 @@ class RetryInvarianceSpec extends SparkSpec {
 
   test("declared queries re-collected through a fail-once final stage are unchanged") {
     // one per family whose retry story matters most: exact relational
-    // agg, hash dedup, bounded-memory sketch, KMV set algebra
+    // agg, hash dedup, bounded-memory sketch, KMV set algebra — plus
+    // the round-7 pair: the custom as-of merge exec reached through
+    // the injected SQL grammar (deterministic given its sorted
+    // co-partitioned inputs, so a recomputed partition must replay
+    // bit-identically) and the AQE skew join (runtime-split partitions
+    // recompute under retry too)
     val sample = Seq("q01_pricing_summary", "q50_dedup_exact",
-      "q73_heavy_hitters", "q199_kmv_intersect")
+      "q73_heavy_hitters", "q199_kmv_intersect",
+      "q206_asof_sql_grammar", "q207_aqe_skew_join")
     for (name <- sample) {
       val clean = SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq
