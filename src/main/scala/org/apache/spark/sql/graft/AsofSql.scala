@@ -67,6 +67,15 @@ object AsofMarker {
 /** Pure text → text rewrite of ASOF join grammar onto stock Spark SQL.
   * Unsupported shapes fail loudly with the reason; statements without a
   * top-level ASOF keyword are returned unchanged (one indexOf probe).
+  *
+  * Known ambiguity, identical to DuckDB's: `ASOF` is contextual, so an
+  * UNQUOTED table alias named `asof` directly before JOIN
+  * (`FROM t asof JOIN u ON ...`) reads as the join keyword — the
+  * failure is loud, not silent (a plain equi-condition then has no
+  * as-of inequality and the resolution rule rejects it by name), and a
+  * quoted alias (`` `asof` ``) opts out entirely because quoted
+  * identifiers are never lexed as keywords. DuckDB documents the same
+  * restriction for the same reason.
   */
 object AsofSqlRewrite {
 

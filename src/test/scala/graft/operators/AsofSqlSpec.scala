@@ -64,6 +64,18 @@ class AsofSqlSpec extends SparkSpec {
     assert(AsofSqlRewrite(q2, backslashEscapes = true) eq q2)
   }
 
+  test("rewrite: a quoted `asof` alias is never the keyword; unquoted is, loudly") {
+    // quoted identifiers are never lexed as keywords — untouched
+    val quoted = "SELECT * FROM t `asof` JOIN u ON t.k = u.k"
+    assert(AsofSqlRewrite(quoted) eq quoted)
+    // the UNQUOTED contextual-keyword ambiguity is DuckDB's too: the
+    // alias reads as ASOF, and a plain equi-condition then fails LOUDLY
+    // in the resolution rule (no inequality) rather than silently
+    // changing join semantics
+    val unquoted = AsofSqlRewrite("SELECT * FROM t asof JOIN u ON t.k = u.k")
+    assert(unquoted.contains("graft_asof_marker"), unquoted)
+  }
+
   test("rewrite: unsupported shapes fail loudly") {
     for ((q, frag) <- Seq(
       "SELECT * FROM a ASOF RIGHT JOIN b ON a.k = b.k AND a.t >= b.t" -> "LEFT [OUTER] JOIN only",
