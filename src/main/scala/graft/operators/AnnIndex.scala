@@ -50,10 +50,17 @@ object AnnIndex {
 
   /** Spec hook: corrupt the recorded corpus count to simulate a stale
     * index without mutating the read-only corpus. */
-  private[graft] def invalidate(s: SparkSession, dir: String): Unit = {
+  private[graft] def invalidate(s: SparkSession, dir: String): Unit =
+    writeMeta(s, dir, -1L)
+
+  /** Spec hook: overwrite the recorded corpus count with an arbitrary
+    * value — lets AnnIndexSpec pin the decimal-prefix collision (index
+    * recorded at 10n rows, corpus now n) without a mutable corpus. */
+  private[graft] def writeMeta(s: SparkSession, dir: String, rows: Long): Unit = {
     val root = roots.get(s.sparkContext.applicationId + ":" + dir)
     if (root != null)
-      Files.write(metaPath(root), "{\"rows\":-1}".getBytes(StandardCharsets.UTF_8))
+      Files.write(metaPath(root),
+        s"""{\"rows\":$rows}""".getBytes(StandardCharsets.UTF_8))
   }
 
   /** Ensure a fresh index exists for `dir`; returns its root. */
@@ -61,9 +68,12 @@ object AnnIndex {
     val root = roots.computeIfAbsent(s.sparkContext.applicationId + ":" + dir,
       _ => graft.util.TempDirs.create("graft_ivf_index_").toString)
     val n = SimilarityOps.embCount(s, dir)
+    // terminator-inclusive match: "rows":$n alone would treat a corpus
+    // of 12 rows as fresh against a meta recorded at 120 (decimal-prefix
+    // collision) — requiring the closing brace pins the full number
     def fresh = Files.exists(metaPath(root)) &&
       new String(Files.readAllBytes(metaPath(root)), StandardCharsets.UTF_8)
-        .contains(s"""\"rows\":$n""")
+        .contains(s"""\"rows\":$n}""")
     // double-checked: the staleness probe outside the lock keeps warm
     // probes lock-free; re-checking INSIDE the lock stops two cold (or
     // concurrently-invalidated) probes from both building into the

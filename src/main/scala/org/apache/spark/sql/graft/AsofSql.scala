@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import scala.collection.mutable.ListBuffer
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, BinaryComparison, CreateNamedStruct, EqualTo, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, IsNotNull, LeafExpression, LessThan, LessThanOrEqual, Literal, NamedExpression, SubqueryExpression, Unevaluable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, BinaryComparison, CreateNamedStruct, EqualTo, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, If, IsNotNull, IsNull, LeafExpression, LessThan, LessThanOrEqual, Literal, NamedExpression, Or, SubqueryExpression, Unevaluable}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
@@ -106,19 +106,26 @@ object AsofSqlRewrite {
     while (i < toks.length) {
       val t = toks(i)
       if (t.up == "ASOF") {
+        // contextual keyword: ASOF is the join keyword ONLY when the
+        // tokens after it actually form [LEFT [OUTER] | INNER] JOIN.
+        // Any other continuation (SELECT asof FROM t, FROM t asof
+        // WHERE ..., `asof RIGHT JOIN` = alias + right join) leaves
+        // the identifier untouched — DuckDB accepts `asof` in
+        // expression positions for the same reason. The one genuine
+        // ambiguity — an unquoted alias `asof` DIRECTLY before JOIN —
+        // reads as the keyword and fails loudly in the resolution
+        // rule; a quoted alias (`` `asof` ``) opts out entirely.
         var j = i + 1
-        def tok(n: Int): Tok = if (n < toks.length) toks(n)
-          else fail(sql, t.start, "dangling ASOF at end of statement")
-        tok(j).up match {
-          case "LEFT" | "INNER" =>
+        def up(n: Int): String = if (n < toks.length) toks(n).up else ""
+        up(j) match {
+          case "LEFT" =>
             j += 1
-            if (tok(j).up == "OUTER" && toks(j - 1).up == "LEFT") j += 1
-          case "RIGHT" | "FULL" => fail(sql, t.start,
-            "ASOF supports INNER and LEFT [OUTER] JOIN only")
+            if (up(j) == "OUTER") j += 1
+          case "INNER" => j += 1
           case _ =>
         }
-        if (tok(j).up != "JOIN") fail(sql, t.start,
-          "ASOF must be followed by [LEFT [OUTER] | INNER] JOIN")
+        if (up(j) != "JOIN") { i += 1 }
+        else {
         val d0 = t.depth
         // drop the ASOF keyword itself
         edits += ((t.start, t.end, ""))
@@ -129,6 +136,13 @@ object AsofSqlRewrite {
         while (on < 0 && k < toks.length) {
           val tk = toks(k)
           if (tk.depth < d0) k = toks.length // left the join's scope
+          else if (tk.depth == d0 && tk.up == "JOIN") fail(sql, tk.start,
+            // Spark's own grammar also rejects the un-parenthesized
+            // nested form (a join's right side is a relationPrimary) —
+            // branding the INNER join's ON would only produce a parse
+            // error pointing nowhere near the cause, so name it here
+            "un-parenthesized nested join on the right side of ASOF JOIN" +
+              " — parenthesize the right side")
           else if (tk.depth == d0 && tk.up == "USING") fail(sql, tk.start,
             "ASOF JOIN requires an ON condition (USING cannot name the inequality)")
           else if (tk.depth == d0 && tk.up == "ON") on = k
@@ -151,6 +165,7 @@ object AsofSqlRewrite {
         // advance one token only: a subquery between this ASOF and its
         // ON may itself contain an ASOF join that still needs branding
         i += 1
+        }
       } else i += 1
     }
     if (edits.isEmpty) return sql
@@ -337,8 +352,19 @@ case class AsofJoinResolution() extends Rule[LogicalPlan] {
       case Nil => (Literal(1), Literal(1))
       case (a, b) :: Nil => (a, b)
       case many =>
-        def pack(es: Seq[Expression]) = CreateNamedStruct(
-          es.zipWithIndex.flatMap { case (e, ix) => Seq(Literal(s"k$ix"), e) })
+        // SQL equality semantics for packed keys: a NULL in ANY key
+        // component matches nothing, but the interpreted struct
+        // ordering the exec compares with treats NULL components as
+        // EQUAL — so (1, NULL) would silently match (1, NULL). Null
+        // out the whole packed struct when any component is null; the
+        // exec's null-key skip (the same path the single-key join
+        // takes) then excludes the row on either side.
+        def pack(es: Seq[Expression]): Expression = {
+          val s = CreateNamedStruct(
+            es.zipWithIndex.flatMap { case (e, ix) => Seq(Literal(s"k$ix"), e) })
+          val anyNull = es.map(IsNull(_): Expression).reduce(Or(_, _))
+          If(anyNull, Literal.create(null, s.dataType), s)
+        }
         (pack(many.map(_._1)), pack(many.map(_._2)))
     }
 
@@ -358,7 +384,10 @@ case class AsofJoinResolution() extends Rule[LogicalPlan] {
     val (l2, lAttrs) = mat(l, Seq(lkE -> "graft_asof_lk", ltE -> "graft_asof_lt"))
     val (r2, rAttrs) = mat(r, Seq(rkE -> "graft_asof_rk", rtE -> "graft_asof_rt"))
     val (Seq(lk, lt), Seq(rk, rt)) = (lAttrs, rAttrs): @unchecked
-    if (lk.dataType != rk.dataType || lt.dataType != rt.dataType)
+    // sameType (nullability-blind): packed-struct keys embed each
+    // component's nullability in the struct type, and the two sides
+    // may legitimately differ there (values compare identically)
+    if (!lk.dataType.sameType(rk.dataType) || !lt.dataType.sameType(rt.dataType))
       bad(s"key/time types differ after coercion: " +
         s"${lk.dataType}/${rk.dataType}, ${lt.dataType}/${rt.dataType}")
 

@@ -40,6 +40,20 @@ class AnnIndexSpec extends SparkSpec {
     assert(again === AnnIndex.probe(spark, sf).collect().toSeq)
   }
 
+  test("staleness guard rejects a decimal-prefix collision (recorded 10n, corpus n)") {
+    AnnIndex.probe(spark, sf).collect()
+    val builds = AnnIndex.buildCount.get()
+    // recorded count is a decimal EXTENSION of the live count: a bare
+    // substring match on "rows":n would falsely call this fresh and
+    // serve the stale index silently — the terminator-inclusive check
+    // must see the mismatch and rebuild
+    val n = SimilarityOps.embCount(spark, sf)
+    AnnIndex.writeMeta(spark, sf, n * 10)
+    AnnIndex.probe(spark, sf).collect()
+    assert(AnnIndex.buildCount.get() === builds + 1,
+      "a prefix-colliding corpus count must still force a rebuild")
+  }
+
   test("probe plan prunes to the nprobe cell directories and never re-trains") {
     val df = AnnIndex.probe(spark, sf)
     df.collect()

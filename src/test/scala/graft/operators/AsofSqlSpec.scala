@@ -78,13 +78,62 @@ class AsofSqlSpec extends SparkSpec {
 
   test("rewrite: unsupported shapes fail loudly") {
     for ((q, frag) <- Seq(
-      "SELECT * FROM a ASOF RIGHT JOIN b ON a.k = b.k AND a.t >= b.t" -> "LEFT [OUTER] JOIN only",
       "SELECT * FROM a ASOF JOIN b USING (k)" -> "ON condition",
       "SELECT * FROM a ASOF JOIN b" -> "ON condition",
-      "SELECT * FROM a ASOF" -> "dangling ASOF")) {
+      "SELECT * FROM a ASOF JOIN b JOIN c ON b.k = c.k ON a.k = b.k AND a.t >= b.t"
+        -> "parenthesize the right side")) {
       val e = intercept[IllegalArgumentException](AsofSqlRewrite(q))
       assert(e.getMessage.contains(frag), s"$q → ${e.getMessage}")
     }
+  }
+
+  test("rewrite: ASOF in non-join positions is an ordinary identifier") {
+    // the keyword treatment requires the following tokens to actually
+    // form [LEFT [OUTER] | INNER] JOIN; everywhere else `asof` is a
+    // name, exactly as DuckDB accepts it in expression positions
+    for (q <- Seq(
+      "SELECT asof FROM t",                              // column named asof
+      "SELECT * FROM a ASOF",                            // trailing alias
+      "SELECT * FROM t asof WHERE asof.x > 1",           // alias + qualifier
+      "SELECT * FROM a asof RIGHT JOIN b ON asof.k = b.k", // alias, then a right join
+      "SELECT a.asof FROM a ORDER BY asof"))             // qualified + order by
+      assert(AsofSqlRewrite(q) eq q, q)
+  }
+
+  test("ASOF as a live column name still parses and answers through spark.sql") {
+    import spark.implicits._
+    Seq((1, 10), (2, 20)).toDF("asof", "v").createOrReplaceTempView("asof_ident")
+    val got = spark.sql("SELECT asof, v FROM asof_ident t WHERE t.asof > 1 ORDER BY asof")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toList
+    assert(got === List((2, 20)))
+  }
+
+  test("multi-key packed struct: a NULL key component matches nothing (SQL equality)") {
+    import spark.implicits._
+    // (1, NULL) on both sides: interpreted struct ordering alone would
+    // call these EQUAL and match them — SQL equality says neither row
+    // joins; the packed key must null out and take the null-key path
+    Seq((Some(1L), Option.empty[Long], 100L, "ln"),
+        (Some(1L), Some(2L), 100L, "lk"))
+      .toDF("a1", "a2", "lt", "tag").createOrReplaceTempView("asof_nl")
+    Seq((Some(1L), Option.empty[Long], 90L, "rn"),
+        (Some(1L), Some(2L), 90L, "rk"))
+      .toDF("b1", "b2", "rt", "pay").createOrReplaceTempView("asof_nr")
+    val left = sql("""SELECT tag, pay FROM asof_nl ASOF LEFT JOIN asof_nr
+                     | ON a1 = b1 AND a2 = b2 AND lt >= rt ORDER BY tag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(left === List(("lk", "rk"), ("ln", null)),
+      "NULL-component key must not match the NULL-component right row")
+    // inner: the null-key left row must drop entirely
+    val inner = sql("""SELECT tag, pay FROM asof_nl ASOF JOIN asof_nr
+                      | ON a1 = b1 AND a2 = b2 AND lt >= rt ORDER BY tag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(inner === List(("lk", "rk")))
+    // ...and the same condition through a plain equi-join agrees on who matches
+    val plain = sql("""SELECT tag, pay FROM asof_nl JOIN asof_nr
+                      | ON a1 = b1 AND a2 = b2 AND lt >= rt ORDER BY tag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(plain === List(("lk", "rk")))
   }
 
   // ---- end-to-end through spark.sql ----
