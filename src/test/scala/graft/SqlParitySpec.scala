@@ -87,6 +87,7 @@ class SqlParitySpec extends SparkSpec {
   private def runParity(): Unit = {
     var ran, skipped = 0
     val skippedNames = scala.collection.mutable.ListBuffer[String]()
+    val skipErrors = scala.collection.mutable.Map[String, Throwable]()
     val failures = scala.collection.mutable.ListBuffer[String]()
     for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
          if !excluded.contains(name)) {
@@ -103,11 +104,12 @@ class SqlParitySpec extends SparkSpec {
       // gate, not count as a skip (it hid behind the old whole-body
       // NonFatal before).
       val viaSql =
-        try Some(spark.sql(sql))
-        catch { case scala.util.control.NonFatal(_) => None } // DuckDB-only surface
+        try Right(spark.sql(sql))
+        catch { case scala.util.control.NonFatal(e) => Left(e) } // DuckDB-only surface
       viaSql match {
-        case None => skipped += 1; skippedNames += name
-        case Some(df) =>
+        case Left(e) =>
+          skipped += 1; skippedNames += name; skipErrors(name) = e
+        case Right(df) =>
           val sqlRows = canon(df)
           ran += 1
           // the DataFrame side must build under Spark's DEFAULT literal
@@ -140,6 +142,26 @@ class SqlParitySpec extends SparkSpec {
     // fails loudly (gratuitously foreign oracle SQL or a lost compat
     // function), and a registered reason whose statement now REPLAYS
     // also fails (stale classification — delete the entry).
+    // EXECUTABLE classification: each skip pins the Spark error
+    // CONDITION the statement actually raises in THIS session (the
+    // DuckDB-dialect function surface is registered, so the analyzer
+    // reaches the recursion itself) — drift in either direction (a
+    // statement that starts failing differently, or one that starts
+    // parsing) fails the assert below.
+    val skipConditions = Map(
+      "q83_neardup_clusters" -> "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE",
+      "q87_semdedup_corpus" -> "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE",
+      "q129_pagerank_nations" -> "INVALID_RECURSIVE_REFERENCE.PLACE",
+      "q173_bfs_distances" -> "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE")
+    for ((n, expected) <- skipConditions if skipErrors.contains(n)) {
+      val cond = skipErrors(n) match {
+        case st: org.apache.spark.SparkThrowable => String.valueOf(st.getCondition)
+        case e => s"<not a SparkThrowable: ${e.getClass.getName}>"
+      }
+      assert(cond == expected,
+        s"$n: skip no longer raises the pinned condition (got $cond, " +
+          s"pinned $expected) — re-classify or un-skip")
+    }
     val skipReasons = Map(
       // the ASOF JOIN family replays since the injected parser grew the
       // grammar (AsofSqlParser → AsofJoinResolution → native merge) —
@@ -154,6 +176,39 @@ class SqlParitySpec extends SparkSpec {
         s"stale=${(skipReasons.keySet -- skippedNames.toSet).toSeq.sorted.mkString(",")}")
     // erosion floor beneath the exact classification above (belt and
     // braces for a partial refactor of this block)
-    assert(ran >= 175, s"only $ran oracle statements still parse in Spark SQL")
+    assert(ran >= 180, s"only $ran oracle statements still parse in Spark SQL")
+  }
+
+  /** The two recursion shapes behind every skip, demonstrated on
+    * minimal statements so the classification is executable even where
+    * a skipped oracle trips on an earlier, shallower error (q83/q87
+    * fail at DuckDB-only routines before the analyzer reaches their
+    * recursion): Spark 4's recursive CTEs are UNION-ALL-LINEAR only —
+    * UNION-dedup recursion (the transitive-closure / BFS-frontier
+    * device) and aggregating-or-rejoining the recursive reference are
+    * both rejected, with these error classes. The day Spark lifts
+    * either restriction, this test fails and the skips can be ported. */
+  test("Spark 4 rejects the skipped recursion shapes with the pinned error classes") {
+    def condition(sql: String): String =
+      intercept[Throwable](spark.sql(sql)) match {
+        case st: org.apache.spark.SparkThrowable => String.valueOf(st.getCondition)
+        case e => s"<not a SparkThrowable: ${e.getClass.getName}>"
+      }
+    // UNION-dedup recursion: the q83/q87 reach() and q173 BFS shape —
+    // dedup against ALL prior members is what guarantees termination on
+    // a cyclic graph, so UNION ALL is not a faithful port
+    assert(condition(
+      """WITH RECURSIVE reach(n) AS (
+        |  SELECT 1 AS n UNION SELECT n + 1 FROM reach WHERE n < 3)
+        |SELECT * FROM reach""".stripMargin)
+      == "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE")
+    // aggregate over the recursive reference: the q129 PageRank
+    // contribution-sum shape
+    val aggCond = condition(
+      """WITH RECURSIVE r(i, v) AS (
+        |  SELECT 1 AS i, CAST(1.0 AS DOUBLE) AS v
+        |  UNION ALL SELECT i + 1, CAST(sum(v) AS DOUBLE) FROM r WHERE i < 3 GROUP BY i)
+        |SELECT * FROM r""".stripMargin)
+    assert(aggCond.startsWith("INVALID_RECURSIVE_REFERENCE"), aggCond)
   }
 }
