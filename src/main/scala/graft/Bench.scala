@@ -27,6 +27,11 @@ object Bench {
       // the engine's native kernels as SQL functions (static conf —
       // must be set where the SparkContext is created)
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+      // FAIR across pools: inert for the serial bench (one pool), and
+      // the multi-tenant posture for the concurrent mode below — each
+      // stream gets its own pool so one stream's wide stage cannot
+      // starve the others for a whole scheduling quantum
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_BENCH_ONLY=q206_x,q77_y restricts the run to named
@@ -43,6 +48,15 @@ object Bench {
       require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: $unknown")
     }
     warmup(spark, sfDir)
+    // SPARK_GRAFT_BENCH_STREAMS=N switches to the CONCURRENT-throughput
+    // mode: N query streams over session clones, one FAIR pool each —
+    // the multi-tenant posture of a shared cluster. Mutually exclusive
+    // with the serial artifact; prints its own metric line and exits.
+    sys.env.get("SPARK_GRAFT_BENCH_STREAMS").map(_.toInt).foreach { n =>
+      runConcurrent(spark, sfDir, n, only)
+      spark.stop()
+      return
+    }
     val sel = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -148,6 +162,74 @@ object Bench {
       .mkString("{", ",", "}")
     val totalSec = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$totalSec,"unit":"sec","queries":{},"errors":$errsJson,"nqueries":${results.size},"detail":"target/bench_last.json","sf":"$sfDir"}""")
+  }
+
+  /** Concurrent-throughput mode: N streams, each running the FULL
+    * declared surface in a stream-rotated order (offset i·|Q|/N, the
+    * TPC-DS throughput-run device — streams hit different queries at
+    * any instant, so the measurement exercises concurrent DIFFERENT
+    * plans, not N copies of the same stage). Each stream runs on its
+    * own session clone (independent SQLConf — the ConcurrencySpec
+    * isolation contract) inside its own FAIR pool. Recorded: wall
+    * total, per-stream totals and per-query p50/p95, and aggregate
+    * throughput; the serial artifact's per-query times are the
+    * baseline the slowdown reads against. Answer identity under
+    * concurrency is pinned by ConcurrencySpec — this mode measures
+    * only cost.
+    */
+  private def runConcurrent(spark: SparkSession, sfDir: String, n: Int,
+      only: Option[Set[String]]): Unit = {
+    val sel = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    require(n >= 1 && sel.nonEmpty, s"streams=$n, queries=${sel.size}")
+    val wall0 = System.nanoTime()
+    val results = (0 until n).map { i =>
+      val t = new java.util.concurrent.FutureTask(
+        new java.util.concurrent.Callable[(Seq[Double], Seq[String])] {
+          override def call(): (Seq[Double], Seq[String]) = {
+            val ss = org.apache.spark.sql.graft.SessionClone(spark)
+            ss.sparkContext.setLocalProperty("spark.scheduler.pool", s"stream$i")
+            val rotated = sel.drop(i * sel.size / n) ++ sel.take(i * sel.size / n)
+            val times = Seq.newBuilder[Double]
+            val errs = Seq.newBuilder[String]
+            rotated.foreach { case (name, fn) =>
+              val t0 = System.nanoTime()
+              try { fn(ss, sfDir).count() }
+              catch { case e: Throwable => errs += s"$name:${e.getClass.getSimpleName}" }
+              times += (System.nanoTime() - t0) / 1e9
+            }
+            (times.result(), errs.result())
+          }
+        })
+      val th = new Thread(t, s"graft-stream-$i")
+      th.start()
+      (t, th)
+    }.map { case (t, th) => th.join(); t.get() }
+    val wall = (System.nanoTime() - wall0) / 1e9
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, (p * s.size).toInt))
+    }
+    val perStream = results.zipWithIndex.map { case ((times, _), i) =>
+      s""""s$i":{"total":${times.sum},"p50":${pct(times, 0.50)},"p95":${pct(times, 0.95)}}"""
+    }.mkString("{", ",", "}")
+    val errs = results.flatMap(_._2)
+    val errsJson = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val nq = results.map(_._1.size).sum
+    val line =
+      s"""{"metric":"concurrent_total","value":$wall,"unit":"sec","streams":$n,""" +
+      s""""queries_run":$nq,"throughput_qps":${nq / wall},"per_stream":$perStream,""" +
+      s""""errors":$errsJson,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", s"target/bench_concurrent_$n.json"))
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench sidecar write failed: $e")
+    }
+    println(line)
   }
 
   /** Untimed warmup: first-touch costs (JIT of the native expression

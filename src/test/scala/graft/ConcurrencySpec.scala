@@ -47,7 +47,11 @@ class ConcurrencySpec extends SparkSpec {
     // the round-7 clone-conf pair: ASOF through the injected parser
     // (shared FunctionRegistry + analyzer rules under contention) and
     // the AQE skew join (per-call session clone with tuned thresholds)
-    "q206_asof_sql_grammar", "q207_aqe_skew_join")
+    "q206_asof_sql_grammar", "q207_aqe_skew_join",
+    // the round-8 lake-catalog pair: MERGE INTO staging is a memoized
+    // CREATE/seed/MERGE (concurrent first-touch must stage exactly
+    // once) and the snapshot read must be version-stable under it
+    "q208_sql_merge_into", "q209_time_travel")
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq

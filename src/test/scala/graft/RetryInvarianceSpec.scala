@@ -80,7 +80,10 @@ class RetryInvarianceSpec extends SparkSpec {
     // recompute under retry too)
     val sample = Seq("q01_pricing_summary", "q50_dedup_exact",
       "q73_heavy_hitters", "q199_kmv_intersect",
-      "q206_asof_sql_grammar", "q207_aqe_skew_join")
+      "q206_asof_sql_grammar", "q207_aqe_skew_join",
+      // round-8: the lake-catalog snapshot read — a recomputed split
+      // re-serves the same immutable snapshot rows
+      "q208_sql_merge_into")
     for (name <- sample) {
       val clean = SparkEntry.queries(name)(spark, sf)
         .collect().map(_.toString).sorted.toSeq
