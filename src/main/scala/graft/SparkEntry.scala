@@ -22,6 +22,7 @@ object SparkEntry {
       graft.multimodal.MultimodalOps.queries ++ graft.sources.LayoutQueries.queries ++
       graft.sources.v2.RangeSourceQueries.queries ++
       graft.sources.v2.MergeQueries.queries ++
+      graft.sources.v2.LakeOps.queries ++ QualityOps.queries ++
       graft.sources.BucketedQueries.queries ++ graft.sources.ZOrderQueries.queries ++
       graft.sources.CboQueries.queries ++ graft.sources.CompactionQueries.queries ++
       graft.sources.JdbcQueries.queries ++ graft.streaming.StreamingQueries.queries
@@ -59,6 +60,7 @@ object SparkEntry {
       graft.multimodal.MultimodalOps.oracle ++ graft.sources.LayoutQueries.oracle ++
       graft.sources.v2.RangeSourceQueries.oracle ++
       graft.sources.v2.MergeQueries.oracle ++
+      graft.sources.v2.LakeOps.oracle ++ QualityOps.oracle ++
       graft.sources.BucketedQueries.oracle ++ graft.sources.ZOrderQueries.oracle ++
       graft.sources.CboQueries.oracle ++ graft.sources.CompactionQueries.oracle ++
       graft.sources.JdbcQueries.oracle ++ graft.streaming.StreamingQueries.oracle

@@ -43,7 +43,7 @@ object MergeQueries {
 
   /** A clone with the lake catalog registered — per call, so the
     * caller's session conf is never touched. */
-  private def lakeSession(s: SparkSession): SparkSession = {
+  private[v2] def lakeSession(s: SparkSession): SparkSession = {
     val ss = org.apache.spark.sql.graft.SessionClone(s)
     ss.conf.set(catalogConf, classOf[GraftLakeCatalog].getName)
     ss
@@ -51,7 +51,7 @@ object MergeQueries {
 
   /** Returns the staged table's fully qualified name; first caller per
     * (application, dir) runs CREATE → seed INSERT → MERGE INTO. */
-  private def ensureStaged(s: SparkSession, dir: String): String = {
+  private[v2] def ensureStaged(s: SparkSession, dir: String): String = {
     val key = s.sparkContext.applicationId + ":" + dir
     staged.computeIfAbsent(key, { _ =>
       val ss = lakeSession(s)

@@ -1,0 +1,74 @@
+package graft.sources.v2
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Lake lifecycle on top of the catalog: incremental MV refresh
+  * (q210), snapshot change-feed (q212), and version rollback (q213).
+  * Every assertion compares the lifecycle path against a from-scratch
+  * recompute or a pinned earlier snapshot — the lifecycle must never
+  * change an answer, only how cheaply it is reached. */
+class LakeOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def lake(): org.apache.spark.sql.SparkSession =
+    MergeQueries.lakeSession(spark)
+
+  test("q210: incrementally-refreshed MV equals the full recompute") {
+    val got = LakeOps.mvIncremental(spark, sf).collect().toSeq
+    val full = graft.Tables(spark, sf, "orders")
+      .groupBy(substring(col("o_orderdate").cast("string"), 1, 7).as("ym"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(graft.operators.Exact.cents(col("o_totalprice"))) / 100.0)
+          .cast("double").as("total_price"))
+      .orderBy("ym").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === full)
+  }
+
+  test("q210: both MERGE paths fired — boundary month updated, later months inserted, earlier months untouched") {
+    val tbl = LakeOps.ensureMv(spark, sf) // stage (memoized)
+    val ss = lake()
+    val v1 = ss.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val v2 = ss.sql(s"SELECT * FROM $tbl")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // inserts: months the seed never saw exist only in v2
+    assert(v2.keySet.size > v1.keySet.size)
+    // update: the cutoff month existed in v1 and GREW in v2
+    assert(v1.contains("1997-06") && v2("1997-06")._1 > v1("1997-06")._1)
+    // untouched: every fully-ingested month carried over byte-identical
+    v1.keys.filter(_ < "1997-06").foreach { k => assert(v2(k) === v1(k)) }
+  }
+
+  test("q212: snapshot change-feed equals the recompute-based table diff (q105)") {
+    val feed = LakeOps.snapshotDiff(spark, sf).collect().toSeq
+    val diff = graft.operators.CdcOps.tableDiff(spark, sf).collect().toSeq
+    assert(feed.nonEmpty)
+    assert(feed === diff)
+  }
+
+  test("q213: rollback restores the seed; the deleted state stays visible at v2") {
+    val got = LakeOps.rollback(spark, sf).collect().toSeq
+    val seed = graft.Tables(spark, sf, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        (graft.operators.Exact.cents(col("c_acctbal")) / 100.0)
+          .cast("double").as("c_acctbal"))
+      .orderBy("c_custkey").collect().toSeq
+    assert(got === seed)
+    val ss = lake()
+    val tbl = LakeOps.ensureRollback(spark, sf)
+    // v2 = post-DELETE: strictly fewer rows, and none with key % 3 == 0
+    val v2 = ss.sql(s"SELECT c_custkey FROM $tbl VERSION AS OF 2")
+    assert(v2.count() < seed.size)
+    assert(v2.filter(col("c_custkey") % 3 === 0).count() === 0)
+    // the rollback is itself a commit: history is v0..v3
+    assert(ss.sql(s"SELECT * FROM $tbl VERSION AS OF 3")
+      .count() === seed.size)
+    val err = intercept[Exception] {
+      ss.sql(s"SELECT * FROM $tbl VERSION AS OF 4").collect()
+    }
+    assert(err.getMessage.contains("no snapshot 4"))
+  }
+}
