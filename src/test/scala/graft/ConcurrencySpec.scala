@@ -51,7 +51,11 @@ class ConcurrencySpec extends SparkSpec {
     // the round-8 lake-catalog pair: MERGE INTO staging is a memoized
     // CREATE/seed/MERGE (concurrent first-touch must stage exactly
     // once) and the snapshot read must be version-stable under it
-    "q208_sql_merge_into", "q209_time_travel")
+    "q208_sql_merge_into", "q209_time_travel",
+    // the lake-lifecycle wave: three more memoized multi-statement
+    // stagings (MV seed+MERGE, delete+rollback) racing first touch,
+    // and the two-version diff whose snapshots must pin under writes
+    "q210_mv_incremental", "q212_snapshot_diff", "q213_version_rollback")
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq
