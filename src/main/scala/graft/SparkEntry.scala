@@ -39,7 +39,8 @@ object SparkEntry {
     "q96_stream_stream_join", "q115_streaming_running_totals",
     "q118_streaming_foreachbatch", "q131_stream_static_join",
     "q184_transform_with_state", "q185_statestore_read",
-    "q200_streaming_timers", "q72_jdbc_roundtrip")
+    "q200_streaming_timers", "q214_streaming_mv_refresh",
+    "q72_jdbc_roundtrip")
 
   // every excluded name must exist — the predecessor of this list
   // carried four misspelled entries for a full round, silently turning

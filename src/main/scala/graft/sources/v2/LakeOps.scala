@@ -82,8 +82,12 @@ object LakeOps {
       val delta = s"graft_mv_delta$id"
       rollup(orders.filter(col("o_orderdate") >= lit(cutoff)))
         .createOrReplaceTempView(delta)
+      // null-safe key match: a NULL group key under plain equality
+      // would never MATCH and re-insert on every refresh, silently
+      // accumulating duplicate groups (not reachable on this fixture;
+      // real corpora have null dates)
       ss.sql(
-        s"""MERGE INTO $tbl m USING $delta d ON m.ym = d.ym
+        s"""MERGE INTO $tbl m USING $delta d ON m.ym <=> d.ym
            |WHEN MATCHED THEN UPDATE SET
            |  cnt = m.cnt + d.cnt, sum_cents = m.sum_cents + d.sum_cents
            |WHEN NOT MATCHED THEN

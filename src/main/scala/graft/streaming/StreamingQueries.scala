@@ -683,7 +683,84 @@ object StreamingQueries {
     }
   }
 
+  /** Continuous incremental MV maintenance — q210's refresh run by the
+    * STREAMING engine: each micro-batch's per-day partial aggregate is
+    * MERGEd into a [[graft.sources.v2.GraftLakeCatalog]] table by a
+    * real `MERGE INTO` statement executed inside foreachBatch (the
+    * Delta/Iceberg production pattern for streaming upserts). Unlike
+    * q118's pluggable in-memory target, NOTHING here touches the
+    * driver: the partial aggregate stays a DataFrame, the upsert is a
+    * distributed statement, and each micro-batch lands as one
+    * immutable snapshot commit — so the MV's version history IS the
+    * batch sequence, and sum/count monoid merging makes the converged
+    * table equal the batch truth regardless of how the engine sliced
+    * the stream. Replay idempotence per batchId is owned by
+    * [[StreamingOps.replayGuarded]], same contract as q118. */
+  private[streaming] def ensureStreamingMv(s: SparkSession, dir: String): String =
+    staged.computeIfAbsent(dir + "#streaming_mv", { _ =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = stageDirSplit(s, dir)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val tbl = s"graft_lake.lake.events_mv_${runId.incrementAndGet()}"
+      val catConf = "spark.sql.catalog.graft_lake"
+      val catCls = classOf[graft.sources.v2.GraftLakeCatalog].getName
+      locally {
+        val ss = org.apache.spark.sql.graft.SessionClone(s)
+        ss.conf.set(catConf, catCls)
+        ss.sql(s"CREATE TABLE $tbl (day DATE, n_events BIGINT, cents BIGINT)")
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .transform(graft.Tables.normalizeEventTs)
+      val guarded = StreamingOps.replayGuarded[DataFrame] { (batchId, batch) =>
+        // the batch frame is bound to the engine's per-batch session;
+        // register the catalog there and run the statement — the
+        // temp view, the MERGE join, and the write are all planned
+        // and executed distributed, nothing is collected
+        val bs = batch.sparkSession
+        bs.conf.set(catConf, catCls)
+        val v = s"graft_mv_batch_$batchId"
+        batch.groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(Exact.cents(col("value"))).as("cents"))
+          .createOrReplaceTempView(v)
+        // null-safe key match: a NULL group key under plain equality
+        // would never MATCH and re-insert every batch, silently
+        // accumulating duplicate groups (the fixture has no null ts;
+        // a 100 TB corpus will)
+        bs.sql(
+          s"""MERGE INTO $tbl m USING $v d ON m.day <=> d.day
+             |WHEN MATCHED THEN UPDATE SET
+             |  n_events = m.n_events + d.n_events, cents = m.cents + d.cents
+             |WHEN NOT MATCHED THEN
+             |  INSERT (day, n_events, cents) VALUES (d.day, d.n_events, d.cents)
+             |""".stripMargin)
+      }
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          if (!batch.isEmpty) guarded(batchId, batch.toDF())
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      tbl
+    })
+
+  /** q214: the streaming-maintained MV, read back through the catalog;
+    * oracle = the batch per-day rollup over the whole source. */
+  def streamingMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureStreamingMv(s, dir)
+    val ss = org.apache.spark.sql.graft.SessionClone(s)
+    ss.conf.set("spark.sql.catalog.graft_lake",
+      classOf[graft.sources.v2.GraftLakeCatalog].getName)
+    ss.sql(
+      s"""SELECT day, n_events, CAST(cents / 100.0 AS DOUBLE) AS total_value
+         |FROM $tbl ORDER BY day""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_streaming_mv_refresh" -> (streamingMvRefresh _),
     "q200_streaming_timers" -> (streamingSessionTimers _),
     "q131_stream_static_join" -> (streamingStaticJoin _),
     "q184_transform_with_state" -> (streamingTransformWithState _),
@@ -696,6 +773,12 @@ object StreamingQueries {
     "q118_streaming_foreachbatch" -> (streamingForeachBatch _))
 
   val oracle: Map[String, String] = Map(
+    // the streaming-maintained MV must converge to the batch rollup
+    // over the whole source, however the engine sliced the stream
+    "q214_streaming_mv_refresh" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_value
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
     // identical semantics to q95 (>= gap starts a new session): the
     // timer-driven state machine must converge to the same batch truth
     "q200_streaming_timers" ->
