@@ -97,4 +97,81 @@ class RetryInvarianceSpec extends SparkSpec {
       assert(retried === clean, s"$name changed under a retried task")
     }
   }
+
+  // ---- lake-catalog WRITE path under retry -------------------------
+  // The read-side pins above prove recomputed splits re-serve the same
+  // rows; these two prove the WRITE side: a failed write-task attempt
+  // must leave no trace (DataWriter.abort discards its buffer; only
+  // the retry's commit message reaches the snapshot), and a MERGE
+  // statement over a flaky source must apply its change-set exactly
+  // once — the exactly-once contract every lakehouse commit protocol
+  // exists to provide.
+
+  private def lakeClone(): org.apache.spark.sql.SparkSession = {
+    val ss = org.apache.spark.sql.graft.SessionClone(spark)
+    ss.conf.set("spark.sql.catalog.graft_lake",
+      classOf[graft.sources.v2.GraftLakeCatalog].getName)
+    ss
+  }
+
+  test("a task that fails MID-WRITE into a lake table commits each row exactly once") {
+    val ss = lakeClone()
+    import ss.implicits._
+    ss.sql("CREATE TABLE graft_lake.retry.w1 (k BIGINT)")
+    // partition 0's first attempt emits 10 rows INTO the writer's
+    // buffer, then dies — the strong case: abort() must discard the
+    // partial buffer or the retry double-writes those 10
+    val src = ss.range(0, 1000).repartition(4).as[Long]
+      .mapPartitions { it =>
+        val tc = TaskContext.get()
+        if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0)
+          new Iterator[Long] {
+            private var n = 0
+            override def hasNext: Boolean = true
+            override def next(): Long = {
+              n += 1
+              if (n > 10) throw new RuntimeException("injected mid-write failure")
+              it.next()
+            }
+          }
+        else it
+      }
+    src.toDF("k").writeTo("graft_lake.retry.w1").append()
+    val got = ss.sql("SELECT count(*) AS n, count(DISTINCT k) AS d FROM graft_lake.retry.w1")
+      .collect().head
+    assert(got.getLong(0) === 1000L, "duplicate rows survived an aborted write attempt")
+    assert(got.getLong(1) === 1000L)
+    // exactly ONE commit: the aborted attempt produced no snapshot
+    assert(ss.sql("SELECT * FROM graft_lake.retry.w1 VERSION AS OF 1").count() === 1000L)
+    val err = intercept[Exception] {
+      ss.sql("SELECT * FROM graft_lake.retry.w1 VERSION AS OF 2").collect()
+    }
+    assert(err.getMessage.contains("no snapshot 2"))
+  }
+
+  test("MERGE INTO over a fail-once source applies the change-set exactly once") {
+    val ss = lakeClone()
+    import ss.implicits._
+    ss.sql("CREATE TABLE graft_lake.retry.m1 (k BIGINT, v BIGINT)")
+    ss.range(0, 100).select(col("id").as("k"), col("id").as("v"))
+      .writeTo("graft_lake.retry.m1").append()
+    flaky(ss.range(50, 150).as[Long])
+      .select(col("value").as("k"), lit(10L).as("dv"))
+      .createOrReplaceTempView("retry_chg")
+    ss.sql(
+      """MERGE INTO graft_lake.retry.m1 t USING retry_chg c ON t.k = c.k
+        |WHEN MATCHED THEN UPDATE SET v = t.v + c.dv
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (c.k, c.dv)""".stripMargin)
+    val got = ss.sql("SELECT k, v FROM graft_lake.retry.m1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (0L until 50L).map(k => (k, k)) ++      // untouched
+      (50L until 100L).map(k => (k, k + 10L)) ++           // updated ONCE
+      (100L until 150L).map(k => (k, 10L))                 // inserted ONCE
+    assert(got === expected)
+    // seed + merge = exactly two commits, retry added none
+    val err = intercept[Exception] {
+      ss.sql("SELECT * FROM graft_lake.retry.m1 VERSION AS OF 3").collect()
+    }
+    assert(err.getMessage.contains("no snapshot 3"))
+  }
 }
