@@ -176,7 +176,7 @@ class SqlParitySpec extends SparkSpec {
         s"stale=${(skipReasons.keySet -- skippedNames.toSet).toSeq.sorted.mkString(",")}")
     // erosion floor beneath the exact classification above (belt and
     // braces for a partial refactor of this block)
-    assert(ran >= 180, s"only $ran oracle statements still parse in Spark SQL")
+    assert(ran >= 185, s"only $ran oracle statements still parse in Spark SQL")
   }
 
   /** The two recursion shapes behind every skip, demonstrated on
