@@ -95,4 +95,35 @@ class SpillRobustnessSpec extends SparkSpec {
     assert(spilled.get() > 0,
       "forced-spill thresholds must produce real spill bytes — otherwise this suite pins nothing")
   }
+
+  test("a MERGE INTO's rewrite join executes identically under forced SMJ spill") {
+    // the lake catalog's row-level MERGE plans target⋈source; with the
+    // SMJ stream buffers forced to spill and broadcast disabled, the
+    // rewrite's join takes the spillable path and the committed
+    // snapshot must still be the exact post-merge table
+    val ss = org.apache.spark.sql.graft.SessionClone(spark)
+    ss.conf.set("spark.sql.catalog.graft_lake",
+      classOf[graft.sources.v2.GraftLakeCatalog].getName)
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spillConfs.foreach { case (k, v) => ss.conf.set(k, v) }
+    ss.sql("CREATE TABLE graft_lake.spill.m1 (k BIGINT, v BIGINT)")
+    ss.range(0, 10000).select(col("id").as("k"), col("id").as("v"))
+      .writeTo("graft_lake.spill.m1").append()
+    ss.range(5000, 15000).select(col("id").as("k"), lit(10L).as("dv"))
+      .createOrReplaceTempView("spill_chg")
+    ss.sql(
+      """MERGE INTO graft_lake.spill.m1 t USING spill_chg c ON t.k = c.k
+        |WHEN MATCHED THEN UPDATE SET v = t.v + c.dv
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (c.k, c.dv)""".stripMargin)
+    val got = ss.sql(
+      """SELECT count(*) AS n,
+        |  sum(CASE WHEN k < 5000 AND v = k THEN 1 ELSE 0 END) AS carried,
+        |  sum(CASE WHEN k >= 5000 AND k < 10000 AND v = k + 10 THEN 1 ELSE 0 END) AS updated,
+        |  sum(CASE WHEN k >= 10000 AND v = 10 THEN 1 ELSE 0 END) AS inserted
+        |FROM graft_lake.spill.m1""".stripMargin).collect().head
+    assert(got.getLong(0) === 15000L)
+    assert(got.getLong(1) === 5000L, "carry-over rows corrupted under spill")
+    assert(got.getLong(2) === 5000L, "updated rows corrupted under spill")
+    assert(got.getLong(3) === 5000L, "inserted rows corrupted under spill")
+  }
 }
