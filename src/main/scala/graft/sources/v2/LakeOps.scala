@@ -34,6 +34,10 @@ import graft.operators.Exact
   *    snapshot, so it can be rolled back too). The statement's scan is
   *    pinned to v1 when the ScanBuilder is created, so reading the
   *    table being overwritten is race-free by construction.
+  *  - q215 write-audit-publish: audit-gated ingestion — row-local
+  *    expectations route incoming rows to the published table or to
+  *    quarantine, both as catalog commits; the two tables must
+  *    partition the source exactly.
   *
   * Reference analog: none — the reference pipeline recomputes and
   * overwrites whole tables every run (src/data_processor.py:237-269);
@@ -43,6 +47,7 @@ object LakeOps {
 
   private val stagedMv = new ConcurrentHashMap[String, String]()
   private val stagedRb = new ConcurrentHashMap[String, String]()
+  private val stagedWap = new ConcurrentHashMap[String, (String, String)]()
   private val nextId = new AtomicInteger()
 
   /** Month key both engines render identically: 'yyyy-MM' via plain
@@ -167,10 +172,57 @@ object LakeOps {
          |FROM $tbl ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Write-audit-publish staging: incoming lineitem rows are routed by
+    * ROW-LOCAL expectations (q211's calibrated quantity/discount
+    * checks) — passing rows commit to the published table, violations
+    * to quarantine, both as catalog snapshots (the audit trail is a
+    * TABLE, not a log line). Routing is a row-local predicate, so at
+    * 100 TB this is one scan per destination with the filter pushed to
+    * parquet — referential checks stay the q211 audit's job (they need
+    * joins and belong in the pre-publish gate, not the row router). */
+  private[v2] def ensureWap(s: SparkSession, dir: String): (String, String) = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    stagedWap.computeIfAbsent(key, { _ =>
+      val ss = MergeQueries.lakeSession(s)
+      val id = nextId.incrementAndGet()
+      val pub = s"graft_lake.lake.li_published$id"
+      val quar = s"graft_lake.lake.li_quarantine$id"
+      val schema = "(l_orderkey BIGINT, l_linenumber INT, qty_x100 BIGINT, price_cents BIGINT)"
+      ss.sql(s"CREATE TABLE $pub $schema")
+      ss.sql(s"CREATE TABLE $quar $schema")
+      val li = Tables(ss, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("int").as("l_linenumber"),
+          Exact.cents(col("l_quantity")).as("qty_x100"),
+          Exact.cents(col("l_extendedprice")).as("price_cents"),
+          (col("l_quantity") <= 30 &&
+            col("l_discount") >= 0 && col("l_discount") <= 0.10).as("ok"))
+      li.filter(col("ok")).drop("ok").writeTo(pub).append()
+      li.filter(!col("ok")).drop("ok").writeTo(quar).append()
+      (pub, quar)
+    })
+  }
+
+  /** q215: the audit-gated ingestion result — per-destination row
+    * count and value total, read back from the two committed tables;
+    * oracle = the same routing predicate grouped over raw lineitem. */
+  def writeAuditPublish(s: SparkSession, dir: String): DataFrame = {
+    val (pub, quar) = ensureWap(s, dir)
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT destination, count(*) AS n_rows,
+         | CAST(sum(price_cents) / 100.0 AS DOUBLE) AS total_price
+         |FROM (
+         |  SELECT 'published' AS destination, price_cents FROM $pub
+         |  UNION ALL
+         |  SELECT 'quarantined' AS destination, price_cents FROM $quar)
+         |GROUP BY destination ORDER BY destination""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_mv_incremental" -> (mvIncremental _),
     "q212_snapshot_diff" -> (snapshotDiff _),
-    "q213_version_rollback" -> (rollback _))
+    "q213_version_rollback" -> (rollback _),
+    "q215_write_audit_publish" -> (writeAuditPublish _))
 
   val oracle: Map[String, String] = Map(
     // full recompute over the ENTIRE base: the incremental path must
@@ -185,5 +237,14 @@ object LakeOps {
     // recompute-based diff must name the identical change-set
     "q212_snapshot_diff" -> graft.operators.CdcOps.oracle("q105_table_diff"),
     // q209's oracle verbatim: rollback restores the seed exactly
-    "q213_version_rollback" -> MergeQueries.oracle("q209_time_travel"))
+    "q213_version_rollback" -> MergeQueries.oracle("q209_time_travel"),
+    // the routed tables must partition the source exactly: same
+    // predicate, grouped over raw lineitem
+    "q215_write_audit_publish" ->
+      """SELECT CASE WHEN l_quantity <= 30 AND l_discount >= 0 AND l_discount <= 0.10
+        |  THEN 'published' ELSE 'quarantined' END AS destination,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS DOUBLE)
+        |  AS total_price
+        |FROM lineitem GROUP BY destination ORDER BY destination""".stripMargin)
 }

@@ -71,4 +71,25 @@ class LakeOpsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("no snapshot 4"))
   }
+
+  test("q215: published + quarantined partition the source exactly; routing is faithful") {
+    val got = LakeOps.writeAuditPublish(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = graft.Tables(spark, sf, "lineitem")
+    val bad = li.filter(!(col("l_quantity") <= 30 &&
+      col("l_discount") >= 0 && col("l_discount") <= 0.10)).count()
+    assert(got("published") + got("quarantined") === li.count())
+    assert(got("quarantined") === bad)
+    assert(got("published") > 0 && got("quarantined") > 0)
+    // every routed row actually satisfies its destination's predicate
+    val (pub, quar) = LakeOps.ensureWap(spark, sf)
+    val ss = lake()
+    assert(ss.sql(s"SELECT count(*) FROM $pub WHERE qty_x100 > 3000")
+      .collect().head.getLong(0) === 0L)
+    // on this fixture every violation is a quantity violation (the
+    // discount check pins 0 in q211), so quarantine must hold ONLY
+    // qty>30 rows — the count identity above is the predicate-exact pin
+    assert(ss.sql(s"SELECT count(*) FROM $quar WHERE qty_x100 <= 3000")
+      .collect().head.getLong(0) === 0L)
+  }
 }
