@@ -55,7 +55,8 @@ class ConcurrencySpec extends SparkSpec {
     // the lake-lifecycle wave: three more memoized multi-statement
     // stagings (MV seed+MERGE, delete+rollback) racing first touch,
     // and the two-version diff whose snapshots must pin under writes
-    "q210_mv_incremental", "q212_snapshot_diff", "q213_version_rollback")
+    "q210_mv_incremental", "q212_snapshot_diff", "q213_version_rollback",
+    "q215_write_audit_publish")
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq
