@@ -42,6 +42,37 @@ class LakeOpsSpec extends SparkSpec {
     v1.keys.filter(_ < "1997-06").foreach { k => assert(v2(k) === v1(k)) }
   }
 
+  test("MV refresh equals the full recompute at EVERY cutoff, including empty seed and empty delta") {
+    // the declared q210 pins one mid-month cutoff; this replays the
+    // same seed→MERGE pipeline at the two degenerate boundaries (all
+    // rows in the delta / all rows in the seed) and one more interior
+    // cut — the incremental path may never depend on WHERE the batch
+    // boundary falls
+    import org.apache.spark.sql.DataFrame
+    val ss = lake()
+    val orders = graft.Tables(ss, sf, "orders")
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(substring(col("o_orderdate").cast("string"), 1, 7).as("ym"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(graft.operators.Exact.cents(col("o_totalprice"))).as("sum_cents"))
+    val full = rollup(orders).orderBy("ym").collect().toSeq
+    for ((cutoff, i) <- Seq("1990-01-01", "2000-01-01", "1994-09-10").zipWithIndex) {
+      val tbl = s"graft_lake.spec.mv_cut$i"
+      ss.sql(s"CREATE TABLE $tbl (ym STRING, cnt BIGINT, sum_cents BIGINT)")
+      rollup(orders.filter(col("o_orderdate") < lit(cutoff))).writeTo(tbl).append()
+      rollup(orders.filter(col("o_orderdate") >= lit(cutoff)))
+        .createOrReplaceTempView(s"mv_cut_delta$i")
+      ss.sql(
+        s"""MERGE INTO $tbl m USING mv_cut_delta$i d ON m.ym <=> d.ym
+           |WHEN MATCHED THEN UPDATE SET
+           |  cnt = m.cnt + d.cnt, sum_cents = m.sum_cents + d.sum_cents
+           |WHEN NOT MATCHED THEN
+           |  INSERT (ym, cnt, sum_cents) VALUES (d.ym, d.cnt, d.sum_cents)""".stripMargin)
+      val got = ss.sql(s"SELECT ym, cnt, sum_cents FROM $tbl ORDER BY ym").collect().toSeq
+      assert(got === full, s"cutoff $cutoff diverged from the full recompute")
+    }
+  }
+
   test("q212: snapshot change-feed equals the recompute-based table diff (q105)") {
     val feed = LakeOps.snapshotDiff(spark, sf).collect().toSeq
     val diff = graft.operators.CdcOps.tableDiff(spark, sf).collect().toSeq
