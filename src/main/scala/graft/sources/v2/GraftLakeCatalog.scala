@@ -1,18 +1,23 @@
 package graft.sources.v2
 
 import java.util
-import java.util.concurrent.ConcurrentHashMap
+import java.util.UUID
 
-import scala.collection.mutable.ArrayBuffer
+import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import GraftLakeStore.{LakeFile, PendingFile, Snapshot, TableHandle}
 
 /** A DataSource-V2 `TableCatalog` whose tables support the row-level
   * operation protocol (`MERGE INTO` / `UPDATE` / `DELETE` as SQL
@@ -23,74 +28,43 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * overwrites whole tables, src/data_processor.py:237-269, so both
   * statements are capability-rounding on top of its surface).
   *
-  * What is the PRODUCT here is the protocol wiring, which is exactly
-  * what Iceberg/Delta implement over distributed storage:
+  * Storage is [[GraftLakeStore]]: parquet data files + a JSON manifest
+  * per snapshot under a table root — tables survive the process, and a
+  * fresh catalog instance (another session, another JVM) pointed at the
+  * same root reads every committed version (LakePersistenceSpec pins
+  * it). Plan-side machinery:
   *
   *  - [[LakeTable.newRowLevelOperationBuilder]] declares GROUP-BASED
   *    (copy-on-write) execution: Spark's own RewriteMergeIntoTable /
   *    RewriteUpdateTable / RewriteDeleteFromTable rules plan the
-  *    distributed join of target against source, apply the
-  *    matched/not-matched actions row-by-row inside the join (the
-  *    MergeRows operator), and hand the operation's write the FULL
-  *    replacement content of every affected group. Nothing about that
-  *    plan is driver-side; it is the same shuffle q97 executes by hand.
-  *  - Every commit (append, overwrite, row-level replace) creates a new
-  *    immutable SNAPSHOT; `loadTable(ident, version)` pins a scan to an
-  *    old snapshot, which is all `VERSION AS OF` needs. Snapshots
-  *    share nothing with the reference's mutable-dict state: a reader
-  *    of v1 is byte-stable while v2 commits (MergeSqlSpec pins it).
-  *
-  * The STORAGE of this catalog is deliberately the simplest thing that
-  * is correct under the protocol: rows held in a JVM-global store,
-  * grouped by writing task (one write task's output = one read split,
-  * so read parallelism mirrors write parallelism). That is a fixture
-  * standing in for a distributed object store — at 100 TB the same
-  * protocol runs over parquet+manifest storage (the layout q205/q65
-  * already build); swapping the storage touches none of the plan-side
-  * machinery, which is the part under test. The store is keyed by
-  * catalog-qualified table name so session CLONES (the conf-isolation
-  * device every lifecycle query uses) see one table state per JVM,
-  * like an external metastore.
+  *    distributed join of target against source and apply the actions
+  *    inside it (MergeRows). The operation's scan implements
+  *    [[SupportsRuntimeV2Filtering]] on the `_split` file-id column, so
+  *    Spark's RowLevelOperationRuntimeGroupFiltering rule plans a
+  *    matching-groups subquery and the rewrite touches ONLY files that
+  *    hold matched rows — a single-key UPDATE on a 100 TB table
+  *    rewrites one file, with every untouched file carried into the new
+  *    snapshot by manifest reference (RuntimeGroupFilterSpec pins the
+  *    rewritten-file count).
+  *  - Every commit creates a new immutable snapshot; `loadTable(ident,
+  *    version)` pins a scan to an old snapshot (`VERSION AS OF`), and a
+  *    row-level commit that discovers a concurrent commit landed after
+  *    its scan fails loudly (optimistic concurrency) instead of
+  *    last-writer-wins.
+  *  - Identity-partitioned tables record partition values per file in
+  *    the manifest; partition predicates prune files at planning
+  *    (`pushedFilters` + a split-count metric pin in the spec).
+  *  - `ALTER TABLE ADD COLUMN` is a metadata-only commit: old files
+  *    read nulls for the new field, old snapshots keep their schema.
   */
-object GraftLakeStore {
-
-  /** Versioned table state. Snapshots are immutable arrays of row
-    * groups; version k is the state after the k-th commit (v0 = empty
-    * at CREATE). All mutation is synchronized; reads take a reference
-    * to an immutable snapshot and never lock again. */
-  final class TableState(val schema: StructType) {
-    private val snapshots = ArrayBuffer[Array[Array[InternalRow]]](Array.empty)
-    def latestVersion: Int = synchronized(snapshots.size - 1)
-    def snapshot(v: Int): Array[Array[InternalRow]] = synchronized {
-      require(v >= 0 && v < snapshots.size,
-        s"no such version $v (have 0..${snapshots.size - 1})")
-      snapshots(v)
-    }
-    def commit(parts: Array[Array[InternalRow]], replace: Boolean): Unit =
-      synchronized {
-        snapshots += (if (replace) parts else snapshots.last ++ parts)
-      }
-  }
-
-  private val tables = new ConcurrentHashMap[String, TableState]()
-
-  def create(key: String, schema: StructType): TableState = {
-    val fresh = new TableState(schema)
-    val prev = tables.putIfAbsent(key, fresh)
-    if (prev != null) throw new IllegalStateException(s"table exists: $key")
-    fresh
-  }
-  def get(key: String): Option[TableState] = Option(tables.get(key))
-  def drop(key: String): Boolean = tables.remove(key) != null
-  def list(prefix: String): Seq[String] =
-    { import scala.jdk.CollectionConverters._
-      tables.keySet().asScala.filter(_.startsWith(prefix)).toSeq.sorted }
-}
-
 class GraftLakeCatalog extends TableCatalog {
   private var catName: String = _
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
+    root = Option(options.get("root")).getOrElse(GraftLakeStore.defaultRoot)
+  }
   override def name(): String = catName
 
   private def key(ident: Identifier): String =
@@ -98,26 +72,27 @@ class GraftLakeCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val prefix = (catName +: namespace).mkString(".") + "."
-    GraftLakeStore.list(prefix)
+    GraftLakeStore.list(root, prefix)
       .map(k => Identifier.of(namespace, k.stripPrefix(prefix))).toArray
   }
 
   override def loadTable(ident: Identifier): Table =
-    GraftLakeStore.get(key(ident))
-      .map(st => new LakeTable(key(ident), st, pinned = None))
+    GraftLakeStore.get(root, key(ident))
+      .map(h => new LakeTable(key(ident), h, pinned = None))
       .getOrElse(throw new NoSuchTableException(ident))
 
   /** Time travel: `VERSION AS OF n` arrives here as a string. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val st = GraftLakeStore.get(key(ident))
+    val h = GraftLakeStore.get(root, key(ident))
       .getOrElse(throw new NoSuchTableException(ident))
     val v = try version.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"${key(ident)}: version must be an integer snapshot id, got '$version'")
     }
-    require(v >= 0 && v <= st.latestVersion,
-      s"${key(ident)}: no snapshot $v (have 0..${st.latestVersion})")
-    new LakeTable(key(ident), st, pinned = Some(v))
+    val latest = h.latestVersion
+    require(v >= 0 && v <= latest,
+      s"${key(ident)}: no snapshot $v (have 0..$latest)")
+    new LakeTable(key(ident), h, pinned = Some(v))
   }
 
   /** `TIMESTAMP AS OF` — snapshots carry no wall-clock (deterministic
@@ -130,18 +105,60 @@ class GraftLakeCatalog extends TableCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft_lake tables are unpartitioned (write-task groups are the read splits)")
-    if (GraftLakeStore.get(key(ident)).isDefined)
-      throw new TableAlreadyExistsException(ident)
-    new LakeTable(key(ident), GraftLakeStore.create(key(ident), schema), pinned = None)
+    val pcols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(t.name() == "identity" && refs.length == 1 &&
+          refs(0).fieldNames().length == 1,
+        s"graft_lake supports identity partitioning on top-level columns " +
+          s"only, got transform $t")
+      refs(0).fieldNames()(0)
+    }
+    pcols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"partition column $c not in schema"))
+      require(LakeTable.partitionableType(f.dataType),
+        s"partition column $c: ${f.dataType.simpleString} is not a supported " +
+          "partition type (string/int/long/short/byte/boolean)")
+    }
+    val h =
+      try GraftLakeStore.create(root, key(ident), schema, pcols)
+      catch {
+        // both the pre-checked path and a lost CREATE race raise the
+        // typed error Spark callers expect
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new TableAlreadyExistsException(ident)
+      }
+    new LakeTable(key(ident), h, pinned = None)
   }
 
-  override def alterTable(ident: Identifier,
-      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+  /** Schema evolution: ADD COLUMN (nullable, top-level) is a
+    * metadata-only commit — every data file carries over, old snapshots
+    * keep their schema, old files read NULL for the new field. Anything
+    * else is rejected loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val h = GraftLakeStore.get(root, key(ident))
+      .getOrElse(throw new NoSuchTableException(ident))
+    val cur = h.snapshot(h.latestVersion).schema
+    val next = changes.foldLeft(cur) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          s"ADD COLUMN supports top-level columns only, got " +
+            add.fieldNames().mkString("."))
+        require(add.isNullable,
+          "ADD COLUMN must be nullable: existing rows have no value for it")
+        val name = add.fieldNames()(0)
+        require(!s.fieldNames.contains(name), s"column $name already exists")
+        s.add(StructField(name, add.dataType(), nullable = true))
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ${key(ident)}: only ADD COLUMN is supported, got $other")
+    }
+    h.commitSchema(next)
+    new LakeTable(key(ident), h, pinned = None)
+  }
+
   override def dropTable(ident: Identifier): Boolean =
-    GraftLakeStore.drop(key(ident))
+    GraftLakeStore.drop(root, key(ident))
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
 }
@@ -149,193 +166,515 @@ class GraftLakeCatalog extends TableCatalog {
 /** A table handle, optionally pinned to a snapshot version. Pinned
   * handles are read-only by construction (no write capability), so
   * `INSERT INTO t VERSION AS OF 1` cannot typecheck into existence. */
-class LakeTable(ident: String, state: GraftLakeStore.TableState,
-    pinned: Option[Int])
+class LakeTable(ident: String, handle: TableHandle, pinned: Option[Int])
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def name(): String =
     pinned.fold(ident)(v => s"$ident@v$v")
-  override def schema(): StructType = state.schema
+  override def schema(): StructType =
+    handle.snapshot(pinned.getOrElse(handle.latestVersion)).schema
   override def capabilities(): util.Set[TableCapability] =
     if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
-  /** `_split`: which write-task group (= read split) holds the row —
-    * the in-memory analog of Iceberg's `_file`. Beyond its user value,
-    * requesting it from the row-level write keeps the operation on
-    * Spark's metadata-projecting write task, the path its own reference
-    * tables exercise (the projection-less task hands the writer the
-    * RAW MergeRows output, leading `__row_operation` column included —
-    * the write schema no longer describes the physical rows). */
+  /** `_split`: the stable id of the data FILE holding the row — the
+    * lake analog of Iceberg's `_file`, doubling as the GROUP identity
+    * for copy-on-write row-level operations. Requesting it from the
+    * row-level write also keeps the operation on Spark's
+    * metadata-projecting write task, the path its own reference tables
+    * exercise (the projection-less task hands the writer the RAW
+    * MergeRows output, leading `__row_operation` column included — the
+    * write schema no longer describes the physical rows). */
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = LakeTable.SplitCol
       override def dataType(): DataType = IntegerType
       override def isNullable: Boolean = false
       override def comment(): String =
-        "index of the write-task group (read split) holding the row"
+        "stable id of the data file (write group) holding the row"
     })
 
   /** The snapshot is captured when the ScanBuilder is created
     * (analysis time): a MERGE's self-read of the target sees the
     * pre-merge state even though its write commits a new version. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val v = pinned.getOrElse(state.latestVersion)
-    new LakeScanBuilder(state.snapshot(v), state.schema, s"${name()} v$v")
+    val snap = handle.snapshot(pinned.getOrElse(handle.latestVersion))
+    new LakeScanBuilder(handle, snap, s"${name()} v${snap.version}")
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, s"${name()}: a version-pinned read cannot be written")
-    new LakeWriteBuilder(state, LakeTable.checkedSchema(state, info))
+    new LakeWriteBuilder(handle, LakeTable.checkedSchema(handle, info))
   }
 
-  /** Group-based (copy-on-write) row-level operations. The operation
-    * reports no runtime group filtering, so every group is affected and
-    * the rewrite's output is the complete post-operation table — the
-    * write below is therefore a full replace. (A storage with real
-    * groups would add SupportsRuntimeV2Filtering on the scan and
-    * replace only matched files — plan shape is identical.) */
+  /** Group-based (copy-on-write) row-level operations with RUNTIME
+    * GROUP FILTERING: the operation's scan reports `_split` as its
+    * filter attribute, Spark's RowLevelOperationRuntimeGroupFiltering
+    * rule computes the matched file ids in a subquery, and the scan
+    * drops every other file — so the rewrite's output (and the commit's
+    * replaced set) covers exactly the files holding matched rows;
+    * untouched files carry over by manifest reference. The scan and the
+    * write share this operation instance: the write's commit replaces
+    * precisely the files the (possibly runtime-filtered) scan read,
+    * against the base version the scan resolved — any concurrent commit
+    * in between fails the replace loudly (optimistic concurrency). */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation {
+      @volatile private var builtScan: LakeScan = _
       override def command(): RowLevelOperation.Command = info.command()
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new LakeScanBuilder(state.snapshot(state.latestVersion), state.schema,
-          s"$ident row-level ${info.command()}")
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+        val snap = handle.snapshot(handle.latestVersion)
+        new LakeScanBuilder(handle, snap, s"$ident row-level ${info.command()}",
+            rowLevel = true) {
+          override def build(): Scan = {
+            val s = super.build().asInstanceOf[LakeScan]
+            builtScan = s
+            s
+          }
+        }
+      }
       // see metadataColumns: requesting _split selects the projecting
       // write task, so the writer sees exactly the write schema
       override def requiredMetadataAttributes(): Array[NamedReference] =
         Array(Expressions.column(LakeTable.SplitCol))
       override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
-          override def build(): Write =
-            new LakeWrite(state, LakeTable.checkedSchema(state, writeInfo),
-              replace = true)
-        }
-    }
-}
-
-/** One write task's committed output is one read split: the scan's
-  * parallelism mirrors the parallelism of the writes that built the
-  * snapshot, the in-memory analog of one-file-per-task layouts. */
-private[v2] case class LakeInputPartition(rows: Array[InternalRow], split: Int)
-  extends InputPartition
-
-private[v2] class LakeScanBuilder(parts: Array[Array[InternalRow]],
-    tableSchema: StructType, desc: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = tableSchema
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-  override def build(): Scan = new LakeScan(parts, tableSchema, required, desc)
-}
-
-private[v2] class LakeScan(parts: Array[Array[InternalRow]],
-    tableSchema: StructType, required: StructType, desc: String)
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def description(): String = desc
-  override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    parts.zipWithIndex.collect {
-      case (rows, ix) if rows.nonEmpty => LakeInputPartition(rows, ix): InputPartition
-    }
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // resolved once on the driver: for each required column, the stored
-    // ordinal, or -1 for the synthesized _split metadata column
-    val ords = required.fields.map { f =>
-      if (f.name == LakeTable.SplitCol) -1 else tableSchema.fieldIndex(f.name)
-    }
-    val types = required.fields.map(_.dataType)
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private val part = p.asInstanceOf[LakeInputPartition]
-          private val rows = part.rows
-          // reused output buffer, the standard reader contract
-          // (consumers that buffer must copy, and do)
-          private val out =
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(ords.length)
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
-          override def get(): InternalRow = {
-            val r = rows(i)
-            var j = 0
-            while (j < ords.length) {
-              out.update(j,
-                if (ords(j) < 0) part.split else r.get(ords(j), types(j)))
-              j += 1
-            }
-            out
+          override def build(): Write = {
+            val scan = builtScan
+            require(scan != null,
+              s"$ident: row-level write built before its scan — protocol wiring bug")
+            new LakeWrite(handle, LakeTable.checkedSchema(handle, writeInfo),
+              LakeWrite.Replace(scan))
           }
-          override def close(): Unit = ()
         }
     }
-  }
 }
 
 object LakeTable {
   private[v2] val SplitCol = "_split"
+
+  private[v2] def partitionableType(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType | BooleanType => true
+    case _ => false
+  }
 
   /** The writer projects incoming rows with the WRITE schema — which
     * must be the table schema, column for column (Spark reorders INSERT
     * output and plans ReplaceData against the operation table schema;
     * anything else here is a wiring bug better caught loudly than
     * decoded as garbage). */
-  private[v2] def checkedSchema(state: GraftLakeStore.TableState,
+  private[v2] def checkedSchema(handle: TableHandle,
       info: LogicalWriteInfo): StructType = {
+    val table = handle.snapshot(handle.latestVersion).schema
     val w = info.schema()
-    require(w.length == state.schema.length &&
-        w.fields.zip(state.schema.fields).forall { case (a, b) =>
+    require(w.length == table.length &&
+        w.fields.zip(table.fields).forall { case (a, b) =>
           a.name == b.name && DataType.equalsIgnoreNullability(a.dataType, b.dataType) },
       s"write schema ${w.simpleString} does not match table schema " +
-        s"${state.schema.simpleString}")
+        s"${table.simpleString}")
     w
+  }
+
+  /** Render an identity-partition value for the manifest. Only
+    * [[partitionableType]]s reach here. */
+  private[v2] def renderPartitionValue(row: InternalRow, ord: Int,
+      dt: DataType): Option[String] =
+    if (row.isNullAt(ord)) None
+    else Some(dt match {
+      case StringType => row.getUTF8String(ord).toString
+      case IntegerType => row.getInt(ord).toString
+      case LongType => row.getLong(ord).toString
+      case ShortType => row.getShort(ord).toString
+      case ByteType => row.getByte(ord).toString
+      case BooleanType => row.getBoolean(ord).toString
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    })
+}
+
+/** One data file is one read split. */
+private[v2] case class LakeInputPartition(absPath: String, fileId: Int,
+    fileColumns: Seq[String]) extends InputPartition
+
+private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: String,
+    rowLevel: Boolean = false)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = snap.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Partition pruning: keep (for `pushedFilters`, so the plan shows
+    * them and the scan prunes with them) every filter that references
+    * only partition columns in a shape [[LakePartitionPruning]] can
+    * evaluate exactly. ALL filters are returned as residual — Spark
+    * re-evaluates them on the rows, so pruning can only drop whole
+    * files, never change an answer. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (snap.partitionCols.nonEmpty) {
+      val pcols = snap.partitionCols.toSet
+      pushed = filters.filter(f =>
+        f.references.nonEmpty && f.references.forall(pcols.contains) &&
+          LakePartitionPruning.supported(f))
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val schemaByName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val kept =
+      if (pushed.isEmpty) snap.files
+      else snap.files.filter(f => pushed.forall(p =>
+        LakePartitionPruning.mightMatch(p, f.partition, schemaByName)))
+    // only the ROW-LEVEL scan is runtime-filterable: its relation always
+    // carries _split (a required metadata attribute), where a plain
+    // query's relation may not have requested it — Spark's v2 dynamic-
+    // filtering rules resolve filterAttributes against the relation
+    // output and fail loudly on a column that is not there
+    if (rowLevel) new LakeRowScan(handle, snap.version, kept, snap.schema, required, desc)
+    else new LakeScan(handle, snap.version, kept, snap.schema, required, desc)
   }
 }
 
-private[v2] class LakeWriteBuilder(state: GraftLakeStore.TableState,
-    writeSchema: StructType)
+/** Exact evaluation of pushed filters against a file's identity-
+  * partition values: every row in the file has EXACTLY these values,
+  * so three-valued logic over them is precise, not conservative —
+  * which is why Not() is safe here. Unsupported shapes are never
+  * pushed (see LakeScanBuilder.pushFilters). */
+private[v2] object LakePartitionPruning {
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => comparable(v)
+    case EqualNullSafe(_, v) => v == null || comparable(v)
+    case GreaterThan(_, v) => comparable(v)
+    case GreaterThanOrEqual(_, v) => comparable(v)
+    case LessThan(_, v) => comparable(v)
+    case LessThanOrEqual(_, v) => comparable(v)
+    case In(_, vs) => vs.forall(v => v == null || comparable(v))
+    case IsNull(_) | IsNotNull(_) => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case _ => false
+  }
+
+  private def comparable(v: Any): Boolean = v match {
+    case null => false
+    case _: String | _: UTF8String | _: java.lang.Integer | _: java.lang.Long |
+        _: java.lang.Short | _: java.lang.Byte | _: java.lang.Boolean => true
+    case _ => false
+  }
+
+  /** SQL three-valued logic: Some(true/false) when the predicate
+    * evaluates, None for NULL. A file is kept iff the result is
+    * Some(true) — matching what Spark's row filter would keep. */
+  def mightMatch(f: Filter, part: Map[String, Option[String]],
+      types: Map[String, DataType]): Boolean =
+    eval(f, part, types).getOrElse(false)
+
+  private def eval(f: Filter, part: Map[String, Option[String]],
+      types: Map[String, DataType]): Option[Boolean] = f match {
+    case EqualTo(a, v) => cmp(a, v, part, types).map(_ == 0)
+    case EqualNullSafe(a, v) =>
+      val stored = part(a)
+      if (v == null) Some(stored.isEmpty)
+      else if (stored.isEmpty) Some(false)
+      else cmp(a, v, part, types).map(_ == 0)
+    case GreaterThan(a, v) => cmp(a, v, part, types).map(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(a, v, part, types).map(_ >= 0)
+    case LessThan(a, v) => cmp(a, v, part, types).map(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(a, v, part, types).map(_ <= 0)
+    case In(a, vs) =>
+      val hits = vs.filter(_ != null).map(v => cmp(a, v, part, types))
+      if (hits.exists(_.contains(0))) Some(true)
+      else if (hits.exists(_.isEmpty) || vs.contains(null)) None
+      else Some(false)
+    case IsNull(a) => Some(part(a).isEmpty)
+    case IsNotNull(a) => Some(part(a).isDefined)
+    case And(l, r) => (eval(l, part, types), eval(r, part, types)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval(l, part, types), eval(r, part, types)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(c) => eval(c, part, types).map(!_)
+    case _ => Some(true) // unpushed shapes never reach here
+  }
+
+  /** Typed compare of the stored partition value against the filter
+    * value; None when the stored value is NULL. */
+  private def cmp(col: String, v: Any, part: Map[String, Option[String]],
+      types: Map[String, DataType]): Option[Int] =
+    part(col).map { stored =>
+      types(col) match {
+        case StringType =>
+          val s = v match {
+            case u: UTF8String => u.toString
+            case other => other.toString
+          }
+          stored.compareTo(s)
+        case BooleanType =>
+          java.lang.Boolean.compare(stored.toBoolean, v.asInstanceOf[Boolean])
+        case _ => // integral types
+          java.lang.Long.compare(stored.toLong, v.asInstanceOf[Number].longValue())
+      }
+    }
+}
+
+private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
+    initialFiles: Seq[LakeFile], tableSchema: StructType, required: StructType,
+    desc: String) extends Scan with Batch {
+
+  @volatile protected var files: Seq[LakeFile] = initialFiles
+
+  /** File ids this scan will read — after any runtime group filtering.
+    * For a row-level operation this IS the replaced-file set. */
+  def plannedFileIds: Set[Int] = files.map(_.id).toSet
+
+  override def readSchema(): StructType = required
+  override def description(): String = desc
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { f =>
+      LakeInputPartition(handle.tableDir.resolve(f.path).toString, f.id,
+        f.columns): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(required)
+}
+
+/** The row-level operation's scan: runtime-filterable on `_split`, so
+  * Spark's RowLevelOperationRuntimeGroupFiltering rule can shrink a
+  * MERGE/UPDATE/DELETE's copy-on-write footprint to exactly the files
+  * holding matched rows. */
+private[v2] class LakeRowScan(handle: TableHandle, baseVersion: Int,
+    initialFiles: Seq[LakeFile], tableSchema: StructType, required: StructType,
+    desc: String)
+    extends LakeScan(handle, baseVersion, initialFiles, tableSchema, required, desc)
+    with SupportsRuntimeV2Filtering {
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(LakeTable.SplitCol))
+
+  /** Runtime group filtering: Spark hands us `_split IN (ids…)` where
+    * ids are the file ids holding rows matched by the operation's
+    * condition (computed by its own subquery over this table). Keep
+    * only those files. An unparseable predicate filters nothing —
+    * always safe, the plan still re-filters rows. */
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val ids = predicates.flatMap(LakeScan.inSplitIds)
+    if (ids.nonEmpty) {
+      val keep = ids.reduce(_ intersect _)
+      files = files.filter(f => keep.contains(f.id))
+    }
+  }
+}
+
+private[v2] object LakeScan {
+  /** Parse `_split IN (v1, v2, …)` / `_split = v`; None otherwise. */
+  def inSplitIds(p: V2Predicate): Option[Set[Int]] = {
+    def isSplit(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference =>
+          r.fieldNames().length == 1 && r.fieldNames()(0) == LakeTable.SplitCol
+        case _ => false
+      }
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.nonEmpty && isSplit(ch.head) =>
+        val vals = ch.tail.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.asInstanceOf[Number].intValue }
+        if (vals.length == ch.length - 1) Some(vals.toSet) else None
+      case "=" if ch.length == 2 && isSplit(ch.head) =>
+        ch(1) match {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            Some(Set(l.value.asInstanceOf[Number].intValue))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+}
+
+/** Reads one parquet data file through Spark's vectorized reader,
+  * projecting into the required schema: columns the file predates
+  * (schema evolution) read NULL; `_split` reads the file id. */
+private[v2] class LakeReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[LakeInputPartition]
+    val fileCols = part.fileColumns.toSet
+    // columns to request from the file, in required-schema order
+    val requested = required.fields.map(_.name)
+      .filter(n => n != LakeTable.SplitCol && fileCols.contains(n))
+    // for each output ordinal: >=0 index into `requested`, -1 = _split,
+    // -2 = null (column added after this file was written)
+    val src = required.fields.map { f =>
+      if (f.name == LakeTable.SplitCol) -1
+      else {
+        val i = requested.indexOf(f.name)
+        if (i >= 0) i else -2
+      }
+    }
+    val types = required.fields.map(_.dataType)
+
+    new PartitionReader[InternalRow] {
+      private val it =
+        if (requested.nonEmpty) LakeParquet.reader(part.absPath, requested.toSeq)
+        else null
+      // a projection-to-nothing read (e.g. count(*) over only-new
+      // columns) still needs the row COUNT — read the narrowest file
+      // column just to drive iteration
+      private val fallback =
+        if (requested.isEmpty) LakeParquet.reader(part.absPath,
+          Seq(part.fileColumns.head)) else null
+      private def rows = if (it != null) it else fallback
+      // reused output buffer, the standard reader contract
+      // (consumers that buffer must copy, and do)
+      private val out = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(src.length)
+      override def next(): Boolean = rows.next()
+      override def get(): InternalRow = {
+        val r = rows.get()
+        var j = 0
+        while (j < src.length) {
+          out.update(j, src(j) match {
+            case -1 => part.fileId
+            case -2 => null
+            case i => if (r.isNullAt(i)) null else r.get(i, types(j))
+          })
+          j += 1
+        }
+        out
+      }
+      override def close(): Unit = rows.close()
+    }
+  }
+}
+
+private[v2] class LakeWriteBuilder(handle: TableHandle, writeSchema: StructType)
     extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
-  override def build(): Write = new LakeWrite(state, writeSchema, replace)
+  override def build(): Write =
+    new LakeWrite(handle, writeSchema,
+      if (replace) LakeWrite.Truncate else LakeWrite.Append)
 }
 
-private[v2] class LakeWrite(state: GraftLakeStore.TableState,
-    writeSchema: StructType, replace: Boolean)
-    extends Write with BatchWrite {
+private[v2] object LakeWrite {
+  sealed trait Mode
+  case object Append extends Mode
+  case object Truncate extends Mode
+  /** Row-level copy-on-write: replaces exactly the files `scan` read
+    * (post runtime group filtering) against the version it scanned. */
+  final case class Replace(scan: LakeScan) extends Mode
+}
+
+private[v2] class LakeWrite(handle: TableHandle, writeSchema: StructType,
+    mode: LakeWrite.Mode) extends Write with BatchWrite {
+
   override def toBatch: BatchWrite = this
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LakeWriterFactory(writeSchema)
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    state.commit(messages.map(_.asInstanceOf[LakeCommit].rows), replace)
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val snap = handle.snapshot(handle.latestVersion)
+    val pOrds = snap.partitionCols.map(c => writeSchema.fieldIndex(c))
+    new LakeWriterFactory(handle.dataDir.toString, writeSchema, pOrds)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newFiles = messages.flatMap(_.asInstanceOf[LakeCommit].files).toSeq
+    mode match {
+      case LakeWrite.Append => handle.commitAppend(newFiles)
+      case LakeWrite.Truncate => handle.commitTruncate(newFiles)
+      case LakeWrite.Replace(scan) =>
+        try handle.commitReplace(scan.baseVersion, scan.plannedFileIds, newFiles)
+        catch { case e: GraftLakeStore.CommitConflictException =>
+          // the write failed: its files must not leak into the data dir
+          deleteFiles(newFiles); throw e
+        }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteFiles(messages.collect {
+      case m: LakeCommit => m.files
+    }.flatten.toSeq)
+
+  private def deleteFiles(files: Seq[PendingFile]): Unit =
+    files.foreach { f =>
+      try java.nio.file.Files.deleteIfExists(handle.dataDir.resolve(f.name))
+      catch { case _: java.io.IOException => }
+    }
 }
 
-private[v2] case class LakeCommit(rows: Array[InternalRow])
+private[v2] case class LakeCommit(files: Seq[PendingFile])
   extends WriterCommitMessage
 
-private[v2] class LakeWriterFactory(schema: StructType) extends DataWriterFactory {
+/** Write task: streams rows into one parquet file per identity-
+  * partition value it encounters (one file total for unpartitioned
+  * tables). Files are created lazily — an empty task commits nothing. */
+private[v2] class LakeWriterFactory(dataDir: String, schema: StructType,
+    partitionOrds: Seq[Int]) extends DataWriterFactory {
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      // the incoming row may be any InternalRow over REUSED buffers
-      // (a shallow copy() of such a row holds stale string offsets —
-      // field reads later decode garbage); rendering through an
-      // UnsafeProjection of the table schema materializes every value
-      // into a fresh self-contained UnsafeRow
+      private val pTypes = partitionOrds.map(schema.fields(_).dataType)
+      // the incoming row may be any InternalRow over REUSED buffers;
+      // rendering through an UnsafeProjection of the table schema
+      // materializes every value before the parquet encoder sees it
       private val toUnsafe =
         org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
-      private val buf = ArrayBuffer[InternalRow]()
-      override def write(row: InternalRow): Unit = buf += toUnsafe(row).copy()
+      private val open = mutable.LinkedHashMap[Seq[Option[String]],
+        (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String, Array[Long])]()
+
+      private def writerFor(pvals: Seq[Option[String]]) =
+        open.getOrElseUpdate(pvals, {
+          val name = s"f-$partitionId-$taskId-${UUID.randomUUID().toString.take(12)}.parquet"
+          (LakeParquet.writer(s"$dataDir/$name", schema), name, Array(0L))
+        })
+
+      override def write(row: InternalRow): Unit = {
+        val u = toUnsafe(row)
+        val pvals = partitionOrds.indices.map(i =>
+          LakeTable.renderPartitionValue(u, partitionOrds(i), pTypes(i)))
+        val (w, _, n) = writerFor(pvals)
+        w.write(u)
+        n(0) += 1
+      }
       // the metadata-projecting write task hands (metadata, data) —
-      // the split a row came from does not pin where it lands
-      override def write(meta: InternalRow, row: InternalRow): Unit =
-        write(row)
-      override def commit(): WriterCommitMessage = LakeCommit(buf.toArray)
-      override def abort(): Unit = buf.clear()
+      // the file a row came from does not pin where it lands
+      override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
+
+      override def commit(): WriterCommitMessage = {
+        val files = open.map { case (pvals, (w, name, n)) =>
+          w.close()
+          PendingFile(name, n(0), pvals)
+        }.toSeq
+        open.clear()
+        LakeCommit(files)
+      }
+      override def abort(): Unit = {
+        open.foreach { case (_, (w, name, _)) =>
+          try w.close() catch { case _: Throwable => }
+          try java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(dataDir, name))
+          catch { case _: java.io.IOException => }
+        }
+        open.clear()
+      }
       override def close(): Unit = ()
     }
 }

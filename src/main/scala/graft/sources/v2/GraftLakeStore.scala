@@ -1,0 +1,319 @@
+package graft.sources.v2
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** Durable storage behind [[GraftLakeCatalog]]: parquet data files under
+  * a table root plus ONE JSON manifest per snapshot — the classic
+  * lake-table layout (Iceberg/Delta shape, reduced to its essentials).
+  *
+  * ```
+  * <root>/<catalog.ns.table>/
+  *   manifest-v00000.json     # snapshot 0 (CREATE: schema, no files)
+  *   manifest-v00001.json     # snapshot 1 = file list + schema
+  *   data/f-<task>-<uuid>.parquet
+  * ```
+  *
+  * Commit protocol — what makes concurrent writers safe without any
+  * coordination service:
+  *
+  *  - A snapshot is IMMUTABLE: a manifest file, once visible, never
+  *    changes, and data files are never rewritten in place (copy-on-
+  *    write creates new files). Readers resolve a version once and are
+  *    byte-stable under every later commit.
+  *  - Publishing snapshot N+1 is a single atomic filesystem operation:
+  *    the manifest is staged to a temp name and `Files.createLink`ed to
+  *    its final name — link creation fails (EEXIST) iff some other
+  *    writer already published that version. That failed link IS the
+  *    optimistic-concurrency check: appends/truncates rebase and retry;
+  *    a row-level operation (MERGE/UPDATE/DELETE), whose replacement
+  *    content was computed against a scanned base version, FAILS LOUDLY
+  *    instead — retrying would silently drop the concurrent commit
+  *    (exactly the lost-update anomaly Delta/Iceberg reject).
+  *  - Snapshots record schema PER VERSION (`ALTER TABLE ADD COLUMN` is
+  *    a metadata-only commit carrying every file over), and each file
+  *    records the columns it physically holds — readers of a widened
+  *    table fill nulls for columns a pre-evolution file predates.
+  *
+  * At 100 TB nothing here changes shape: manifests stay KB-sized
+  * (they hold file metadata, not data), data files are written by the
+  * distributed write tasks and read by the distributed scan tasks, and
+  * the only driver-side work per commit is one manifest write.
+  */
+object GraftLakeStore {
+
+  /** One data file of one snapshot. `id` is the stable file identity —
+    * the `_split` metadata column readers see, and the unit row-level
+    * operations replace. `columns` = fields physically present (schema
+    * evolution adds table columns no old file holds). `partition` =
+    * identity-partition values rendered as strings (None = SQL NULL). */
+  final case class LakeFile(id: Int, path: String, rows: Long,
+      columns: Seq[String], partition: Map[String, Option[String]])
+
+  /** A parsed, immutable snapshot. */
+  final case class Snapshot(version: Int, schema: StructType,
+      partitionCols: Seq[String], files: Seq[LakeFile], maxFileId: Int)
+
+  /** A file a write task produced, not yet committed: name is relative
+    * to the table's data dir; partition values align with the table's
+    * partitionCols. */
+  final case class PendingFile(name: String, rows: Long,
+      partition: Seq[Option[String]])
+
+  /** Default root: one per JVM (all catalog instances without an
+    * explicit `root` option share it — session clones see one store,
+    * like an external metastore), cleaned up at exit. */
+  lazy val defaultRoot: String =
+    graft.util.TempDirs.create("graft_lake_root_").toString
+
+  private val mapper = new ObjectMapper()
+
+  /** Parsed-manifest cache, keyed by absolute manifest path. Safe
+    * because manifests are immutable; expiration invalidates entries. */
+  private val cache = new ConcurrentHashMap[String, Snapshot]()
+
+  private def manifestName(v: Int) = f"manifest-v$v%05d.json"
+
+  /** Create table `key` under `root`. Directory creation is the
+    * atomicity point: of two concurrent creators exactly one wins;
+    * the loser gets [[FileAlreadyExistsException]] (the catalog maps it
+    * to Spark's typed TableAlreadyExistsException). */
+  def create(root: String, key: String, schema: StructType,
+      partitionCols: Seq[String]): TableHandle = {
+    val dir = Paths.get(root, key)
+    Files.createDirectories(Paths.get(root))
+    Files.createDirectory(dir) // throws FileAlreadyExistsException if raced
+    Files.createDirectory(dir.resolve("data"))
+    val h = new TableHandle(dir)
+    h.writeManifest(Snapshot(0, schema, partitionCols, Seq.empty, 0))
+    h
+  }
+
+  def get(root: String, key: String): Option[TableHandle] = {
+    val dir = Paths.get(root, key)
+    if (Files.isDirectory(dir)) Some(new TableHandle(dir)) else None
+  }
+
+  def drop(root: String, key: String): Boolean = {
+    val dir = Paths.get(root, key)
+    if (!Files.isDirectory(dir)) false
+    else {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach { p => cache.remove(p.toString); Files.deleteIfExists(p); () }
+      true
+    }
+  }
+
+  def list(root: String, prefix: String): Seq[String] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) Seq.empty
+    else Files.list(r).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** Raised when a row-level operation's base version is no longer the
+    * latest at commit time — the concurrent commit would be silently
+    * lost if this replace went through. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  final class TableHandle(val tableDir: Path) {
+
+    def dataDir: Path = tableDir.resolve("data")
+    def tableName: String = tableDir.getFileName.toString
+
+    /** Latest committed version: max manifest in the directory. The
+      * listing is the source of truth — another process's commit is
+      * visible here with no cache to go stale. */
+    def latestVersion: Int = {
+      val vs = Files.list(tableDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
+          n.stripPrefix("manifest-v").stripSuffix(".json").toInt }
+        .toSeq
+      require(vs.nonEmpty, s"$tableName: no manifests (corrupt table dir)")
+      vs.max
+    }
+
+    def snapshot(v: Int): Snapshot = {
+      val latest = latestVersion
+      require(v >= 0 && v <= latest, s"$tableName: no snapshot $v (have 0..$latest)")
+      val p = tableDir.resolve(manifestName(v))
+      val cached = cache.get(p.toString)
+      if (cached != null) cached
+      else if (!Files.exists(p))
+        throw new IllegalStateException(
+          s"$tableName: snapshot $v has been expired (latest is $latest); " +
+            "expired versions are unreadable by design")
+      else {
+        val s = parseManifest(new String(Files.readAllBytes(p), "UTF-8"))
+        cache.put(p.toString, s)
+        s
+      }
+    }
+
+    /** Append: carried = latest snapshot's files. Rebase-and-retry on a
+      * publish race (append order is immaterial, so rebasing is safe). */
+    def commitAppend(newFiles: Seq[PendingFile]): Int =
+      retryCommit { base =>
+        val (entries, maxId) = assignIds(base, newFiles)
+        base.copy(version = base.version + 1, files = base.files ++ entries,
+          maxFileId = maxId)
+      }
+
+    /** Truncate-replace (INSERT OVERWRITE): the new content is the
+      * whole table by intent, independent of what it replaces —
+      * rebase-and-retry is semantically a no-op, so it is safe. */
+    def commitTruncate(newFiles: Seq[PendingFile]): Int =
+      retryCommit { base =>
+        val (entries, maxId) = assignIds(base, newFiles)
+        base.copy(version = base.version + 1, files = entries, maxFileId = maxId)
+      }
+
+    /** Row-level replace: drop `replacedIds` (the files the operation's
+      * scan actually read), add the rewrite's output, carry the rest.
+      * FAILS on any commit that landed after `baseVersion` was scanned:
+      * the replacement was computed against stale content and going
+      * through would silently drop the concurrent commit. */
+    def commitReplace(baseVersion: Int, replacedIds: Set[Int],
+        newFiles: Seq[PendingFile]): Int = {
+      val latest = latestVersion
+      if (latest != baseVersion)
+        throw new CommitConflictException(
+          s"$tableName: row-level operation scanned version $baseVersion but " +
+            s"version $latest is now latest — a concurrent commit landed mid-" +
+            "operation; the statement must be retried against current state")
+      val base = snapshot(baseVersion)
+      val (entries, maxId) = assignIds(base, newFiles)
+      val next = base.copy(version = base.version + 1,
+        files = base.files.filterNot(f => replacedIds.contains(f.id)) ++ entries,
+        maxFileId = maxId)
+      if (!tryPublish(next))
+        throw new CommitConflictException(
+          s"$tableName: version ${next.version} was published concurrently " +
+            "while this row-level operation committed; retry the statement")
+      next.version
+    }
+
+    /** Metadata-only commit: new schema, every file carried over. */
+    def commitSchema(newSchema: StructType): Int =
+      retryCommit { base => base.copy(version = base.version + 1, schema = newSchema) }
+
+    /** Expire all snapshots except the newest `keepLast`. Data files
+      * referenced by a survivor are retained; files referenced only by
+      * expired snapshots are deleted. Expired versions fail loudly on
+      * read (their manifests are gone and their cache entries evicted). */
+    def expireSnapshots(keepLast: Int): Seq[Int] = synchronized {
+      require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+      val latest = latestVersion
+      val cutoff = latest - keepLast + 1 // retain [cutoff, latest]
+      val expired = (0 until cutoff).filter(v => Files.exists(tableDir.resolve(manifestName(v))))
+      if (expired.isEmpty) Seq.empty
+      else {
+        val survivors = (math.max(cutoff, 0) to latest).map(snapshot)
+        val keepPaths = survivors.flatMap(_.files.map(_.path)).toSet
+        val dropPaths = expired.flatMap(v => snapshot(v).files.map(_.path)).toSet -- keepPaths
+        expired.foreach { v =>
+          val m = tableDir.resolve(manifestName(v))
+          cache.remove(m.toString)
+          Files.deleteIfExists(m)
+        }
+        dropPaths.foreach(rel => Files.deleteIfExists(tableDir.resolve(rel)))
+        expired
+      }
+    }
+
+    private def assignIds(base: Snapshot,
+        newFiles: Seq[PendingFile]): (Seq[LakeFile], Int) = {
+      var id = base.maxFileId
+      val entries = newFiles.map { pf =>
+        id += 1
+        LakeFile(id, s"data/${pf.name}", pf.rows, base.schema.fieldNames.toSeq,
+          base.partitionCols.zip(pf.partition).toMap)
+      }
+      (entries, id)
+    }
+
+    private def retryCommit(next: Snapshot => Snapshot): Int = {
+      var attempts = 0
+      while (true) {
+        val candidate = next(snapshot(latestVersion))
+        if (tryPublish(candidate)) return candidate.version
+        attempts += 1
+        if (attempts > 100) throw new IllegalStateException(
+          s"$tableName: commit still racing after $attempts attempts")
+      }
+      -1 // unreachable
+    }
+
+    /** Atomic publish: stage to a temp file, hard-link to the final
+      * manifest name. Link creation is atomic and fails iff the target
+      * exists — the loser of a race sees `false`, never a torn file. */
+    private def tryPublish(s: Snapshot): Boolean = {
+      val target = tableDir.resolve(manifestName(s.version))
+      if (Files.exists(target)) return false
+      val tmp = Files.createTempFile(tableDir, ".manifest-", ".tmp")
+      try {
+        Files.write(tmp, renderManifest(s).getBytes("UTF-8"))
+        try { Files.createLink(target, tmp); cache.put(target.toString, s); true }
+        catch { case _: FileAlreadyExistsException => false }
+      } finally Files.deleteIfExists(tmp)
+    }
+
+    private[v2] def writeManifest(s: Snapshot): Unit = {
+      require(tryPublish(s), s"$tableName: manifest v${s.version} already exists")
+    }
+  }
+
+  // ---- manifest (de)serialization: hand-rendered, jackson-parsed ----
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  private def renderManifest(s: Snapshot): String = {
+    val files = s.files.map { f =>
+      val part = f.partition.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${esc(k)}:${v.map(esc).getOrElse("null")}" }.mkString("{", ",", "}")
+      s"""{"id":${f.id},"path":${esc(f.path)},"rows":${f.rows},""" +
+        s""""columns":${f.columns.map(esc).mkString("[", ",", "]")},""" +
+        s""""partition":$part}"""
+    }.mkString("[", ",", "]")
+    s"""{"version":${s.version},"maxFileId":${s.maxFileId},""" +
+      s""""partitionCols":${s.partitionCols.map(esc).mkString("[", ",", "]")},""" +
+      s""""schema":${s.schema.json},"files":$files}"""
+  }
+
+  private def parseManifest(json: String): Snapshot = {
+    val n = mapper.readTree(json)
+    def strs(a: JsonNode): Seq[String] =
+      a.elements().asScala.map(_.asText()).toSeq
+    val files = n.get("files").elements().asScala.map { f =>
+      val part = f.get("partition").properties().asScala.map { e =>
+        e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+      }.toMap
+      LakeFile(f.get("id").asInt(), f.get("path").asText(), f.get("rows").asLong(),
+        strs(f.get("columns")), part)
+    }.toSeq
+    Snapshot(
+      n.get("version").asInt(),
+      DataType.fromJson(n.get("schema").toString).asInstanceOf[StructType],
+      strs(n.get("partitionCols")),
+      files,
+      n.get("maxFileId").asInt())
+  }
+}

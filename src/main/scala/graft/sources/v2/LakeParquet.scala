@@ -1,0 +1,86 @@
+package graft.sources.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.io.OutputFile
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetWriteSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.types.StructType
+
+/** Task-side parquet IO for the lake catalog — every data file a
+  * [[GraftLakeCatalog]] table holds is written BY THE WRITE TASK that
+  * produced its rows and read by the scan task assigned its split, so
+  * no row ever funnels through the driver (commit messages carry file
+  * paths and row counts only). Built on Spark's own parquet machinery:
+  *
+  *  - writes go through [[ParquetWriteSupport]], the exact
+  *    InternalRow→parquet encoder Spark's file writer uses, so a lake
+  *    file is indistinguishable from one `df.write.parquet` produces
+  *    (DuckDB reads the same files in specs);
+  *  - reads go through [[VectorizedParquetRecordReader]], Spark's
+  *    codegen-facing vectorized reader, with explicit CORRECTED
+  *    datetime rebase on both sides (the modern, non-Julian encoding —
+  *    deterministic regardless of any session conf).
+  *
+  * Column pruning is native: the reader is initialized with exactly the
+  * requested column names, so unprojected columns are never decoded
+  * (and, at real-storage scale, never read).
+  */
+object LakeParquet {
+
+  /** Conf a writer needs; ParquetWriteSupport.init asserts these. */
+  private def writeConf(schema: StructType): Configuration = {
+    val conf = new Configuration()
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    conf
+  }
+
+  private class Builder(out: OutputFile)
+      extends ParquetWriter.Builder[InternalRow, Builder](out) {
+    override def self(): Builder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  /** Open a parquet writer for `schema` at `file` (local/hadoop path). */
+  def writer(file: String, schema: StructType): ParquetWriter[InternalRow] = {
+    val conf = writeConf(schema)
+    new Builder(HadoopOutputFile.fromPath(new Path(file), conf))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  /** Open a vectorized reader over `file` returning only `columns`
+    * (which must all exist in the file), as InternalRows. Caller must
+    * close. Rows are views over the current batch — valid until the
+    * next call to `next()`; buffering consumers must copy (the standard
+    * PartitionReader contract). */
+  def reader(file: String, columns: Seq[String]): RowIter = {
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    var ok = false
+    try {
+      r.initialize(file, java.util.Arrays.asList(columns: _*))
+      ok = true
+    } finally if (!ok) r.close()
+    new RowIter(r)
+  }
+
+  final class RowIter(r: VectorizedParquetRecordReader) extends AutoCloseable {
+    def next(): Boolean = r.nextKeyValue()
+    def get(): InternalRow = r.getCurrentValue.asInstanceOf[InternalRow]
+    override def close(): Unit = r.close()
+  }
+}
