@@ -67,11 +67,15 @@ class GraftLakeCatalog extends TableCatalog {
   }
   override def name(): String = catName
 
+  /** Storage key = namespace + table name. The CATALOG name is a
+    * session-local alias and deliberately not part of it: two sessions
+    * registering the same root under different names read and write the
+    * same tables (LakeStoreSpec pins it). */
   private def key(ident: Identifier): String =
-    (catName +: ident.namespace() :+ ident.name()).mkString(".")
+    (ident.namespace() :+ ident.name()).mkString(".")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val prefix = (catName +: namespace).mkString(".") + "."
+    val prefix = namespace.mkString(".") + "."
     GraftLakeStore.list(root, prefix)
       .map(k => Identifier.of(namespace, k.stripPrefix(prefix))).toArray
   }

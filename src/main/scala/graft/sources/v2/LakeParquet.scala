@@ -43,6 +43,15 @@ object LakeParquet {
     conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
     conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
     conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    // raw local fs, uncached: Hadoop's default checksummed LocalFileSystem
+    // would drop a hidden .crc sidecar next to every data file (polluting
+    // manifest-driven GC and file counts); the uncached lookup keeps this
+    // choice out of Hadoop's global FileSystem cache, which Spark's own
+    // writers share
+    conf.setClass("fs.file.impl",
+      classOf[org.apache.hadoop.fs.RawLocalFileSystem],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    conf.setBoolean("fs.file.impl.disable.cache", true)
     conf
   }
 

@@ -1,0 +1,145 @@
+package graft.sources.v2
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** Row-level operations over the file-backed lake: runtime group
+  * filtering bounds the copy-on-write footprint, ALTER TABLE ADD COLUMN
+  * evolves schema without touching data, and identity partitioning
+  * prunes files at planning. */
+class LakeDmlSpec extends SparkSpec {
+
+  private def lakeSession(cat: String, root: String): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ss
+  }
+
+  test("runtime group filtering: a single-key UPDATE on a multi-file table rewrites exactly one file") {
+    val root = graft.util.TempDirs.create("graft_lake_rgf_").toString
+    val ss = lakeSession("rgf", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE rgf.ns.t (k BIGINT, v BIGINT)")
+    // three write tasks -> three files with disjoint key ranges
+    (0L until 300L).map(k => (k, k * 10)).toDF("k", "v")
+      .repartitionByRange(3, $"k").writeTo("rgf.ns.t").append()
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val base = handle.snapshot(1)
+    assert(base.files.size === 3)
+
+    ss.sql("UPDATE rgf.ns.t SET v = -1 WHERE k = 137")
+
+    val next = handle.snapshot(2)
+    val baseIds = base.files.map(_.id).toSet
+    val carried = next.files.map(_.id).toSet.intersect(baseIds)
+    // exactly ONE of the three base files was replaced; the other two
+    // carried over by manifest reference (no rewrite)
+    assert(carried.size === 2,
+      s"base=$baseIds next=${next.files.map(_.id).toSet} — runtime group " +
+        "filtering did not bound the rewrite to the matched file")
+    // the rewrite's output holds exactly the replaced file's row count
+    val replacedRows = base.files.filterNot(f => carried.contains(f.id)).map(_.rows).sum
+    val newRows = next.files.filterNot(f => baseIds.contains(f.id)).map(_.rows).sum
+    assert(newRows === replacedRows)
+    // and the answer is right
+    assert(ss.sql("SELECT v FROM rgf.ns.t WHERE k = 137").collect().toSeq
+      === Seq(Row(-1L)))
+    assert(ss.sql("SELECT count(*) FROM rgf.ns.t").head().getLong(0) === 300L)
+    assert(ss.sql("SELECT sum(v) FROM rgf.ns.t WHERE k <> 137").head().getLong(0)
+      === (0L until 300L).filter(_ != 137L).map(_ * 10).sum)
+  }
+
+  test("runtime group filtering: a MERGE touching one file's keys carries the rest over") {
+    val root = graft.util.TempDirs.create("graft_lake_rgfm_").toString
+    val ss = lakeSession("rgm", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE rgm.ns.t (k BIGINT, v BIGINT)")
+    (0L until 300L).map(k => (k, k)).toDF("k", "v")
+      .repartitionByRange(3, $"k").writeTo("rgm.ns.t").append()
+    Seq((5L, 500L), (7L, 700L)).toDF("k", "nv").createOrReplaceTempView("rgm_chg")
+    ss.sql(
+      """MERGE INTO rgm.ns.t t USING rgm_chg c ON t.k = c.k
+        |WHEN MATCHED THEN UPDATE SET v = c.nv""".stripMargin)
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val base = handle.snapshot(1)
+    val next = handle.snapshot(2)
+    val carried = next.files.map(_.id).toSet.intersect(base.files.map(_.id).toSet)
+    assert(carried.size === 2, "both keys live in the first range file; " +
+      "only that file should be replaced")
+    assert(ss.sql("SELECT sum(v) FROM rgm.ns.t").head().getLong(0)
+      === (0L until 300L).sum - 5 - 7 + 500 + 700)
+  }
+
+  test("ALTER TABLE ADD COLUMN: old snapshots keep their schema, old files read NULL") {
+    val root = graft.util.TempDirs.create("graft_lake_evo_").toString
+    val ss = lakeSession("evo", root)
+    ss.sql("CREATE TABLE evo.ns.t (k BIGINT, v STRING)")
+    ss.sql("INSERT INTO evo.ns.t VALUES (1, 'a'), (2, 'b')")
+    ss.sql("ALTER TABLE evo.ns.t ADD COLUMN note STRING")
+    ss.sql("INSERT INTO evo.ns.t VALUES (3, 'c', 'fresh')")
+
+    // current read spans the evolution boundary: old rows read NULL
+    assert(ss.sql("SELECT k, v, note FROM evo.ns.t ORDER BY k").collect().toSeq
+      === Seq(Row(1L, "a", null), Row(2L, "b", null), Row(3L, "c", "fresh")))
+    // pre-evolution snapshot keeps the OLD schema
+    val v1 = ss.sql("SELECT * FROM evo.ns.t VERSION AS OF 1")
+    assert(v1.columns.toSeq === Seq("k", "v"))
+    assert(v1.orderBy("k").collect().toSeq === Seq(Row(1L, "a"), Row(2L, "b")))
+    // the new column is usable in predicates/aggregates
+    assert(ss.sql("SELECT count(*) FROM evo.ns.t WHERE note IS NULL")
+      .head().getLong(0) === 2L)
+    // non-nullable / nested / other changes fail loudly
+    val e = intercept[Throwable](
+      ss.sql("ALTER TABLE evo.ns.t RENAME COLUMN v TO w"))
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("ADD COLUMN") || m.contains("RENAME")), msgs(e))
+  }
+
+  test("identity partitioning: a partition predicate prunes files at planning") {
+    val root = graft.util.TempDirs.create("graft_lake_part_").toString
+    val ss = lakeSession("prt", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE prt.ns.t (k BIGINT, m STRING) PARTITIONED BY (m)")
+    (0L until 120L).map(k => (k, f"1995-${k % 12 + 1}%02d")).toDF("k", "m")
+      .coalesce(1).writeTo("prt.ns.t").append()
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    // one write task, one file per partition value it saw
+    assert(handle.snapshot(1).files.size === 12)
+    assert(handle.snapshot(1).files.forall(f => f.partition.keySet === Set("m")))
+
+    val pruned = ss.sql("SELECT k FROM prt.ns.t WHERE m = '1995-03'")
+    // the scan plans exactly ONE input split (file) under the predicate
+    assert(pruned.rdd.getNumPartitions === 1)
+    assert(pruned.count() === 10L)
+    val range = ss.sql(
+      "SELECT count(*) FROM prt.ns.t WHERE m >= '1995-10' AND m <= '1995-12'")
+    assert(range.head().getLong(0) === 30L)
+    val rangeScan = ss.sql("SELECT k FROM prt.ns.t WHERE m >= '1995-10' AND m <= '1995-12'")
+    assert(rangeScan.rdd.getNumPartitions === 3)
+    // pruning is visible in the plan (pushed filters on the scan)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), plan)
+    // and partition-pruned answers equal unpruned recomputation
+    assert(ss.sql("SELECT sum(k) FROM prt.ns.t WHERE m = '1995-03'").head().getLong(0)
+      === (0L until 120L).filter(_ % 12 == 2).sum)
+  }
+
+  test("partitioned DML: UPDATE of one partition leaves other partitions' files untouched") {
+    val root = graft.util.TempDirs.create("graft_lake_partdml_").toString
+    val ss = lakeSession("pdm", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE pdm.ns.t (k BIGINT, m STRING) PARTITIONED BY (m)")
+    (0L until 40L).map(k => (k, s"g${k % 4}")).toDF("k", "m")
+      .coalesce(1).writeTo("pdm.ns.t").append()
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    assert(handle.snapshot(1).files.size === 4)
+    ss.sql("UPDATE pdm.ns.t SET k = k + 1000 WHERE m = 'g2'")
+    val base = handle.snapshot(1).files.map(_.id).toSet
+    val next = handle.snapshot(2)
+    assert(next.files.map(_.id).toSet.intersect(base).size === 3,
+      "only g2's file should be rewritten")
+    assert(ss.sql("SELECT count(*) FROM pdm.ns.t WHERE k >= 1000").head().getLong(0) === 10L)
+  }
+}

@@ -1,0 +1,170 @@
+package graft.sources.v2
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** The storage contract behind the lake catalog now that it is file-
+  * backed: snapshots survive the writing session (a FRESH catalog
+  * instance in a second SparkSession reads every committed version from
+  * disk), data files are plain parquet, expiration GCs only what no
+  * survivor references, and the commit protocol is optimistic —
+  * concurrent CREATEs raise the typed error and a row-level replace
+  * over a stale base fails loudly instead of last-writer-wins. */
+class LakeStoreSpec extends SparkSpec {
+
+  /** A session with its own catalog name + explicit root, so each test
+    * controls (and can inspect) the table directory. */
+  private def lakeSession(cat: String, root: String,
+      base: SparkSession): SparkSession = {
+    val ss = base.newSession()
+    ss.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ss
+  }
+
+  test("snapshots survive the session: a fresh catalog instance reads every VERSION AS OF") {
+    val root = graft.util.TempDirs.create("graft_lake_persist_").toString
+    val writer = lakeSession("lkw", root, spark)
+    import writer.implicits._
+    writer.sql("CREATE TABLE lkw.ns.t (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo("lkw.ns.t").append()
+    writer.sql("UPDATE lkw.ns.t SET v = 'z' WHERE k = 2")
+
+    // a SECOND SparkSession: fresh SessionState, fresh GraftLakeCatalog
+    // instance — everything it knows comes from the manifests on disk
+    val reader = lakeSession("lkr", root, spark)
+    assert(reader.sql("SELECT * FROM lkr.ns.t VERSION AS OF 0").count() === 0L)
+    assert(reader.sql("SELECT * FROM lkr.ns.t VERSION AS OF 1 ORDER BY k")
+      .collect().toSeq === Seq(Row(1L, "a"), Row(2L, "b")))
+    assert(reader.sql("SELECT * FROM lkr.ns.t VERSION AS OF 2 ORDER BY k")
+      .collect().toSeq === Seq(Row(1L, "a"), Row(2L, "z")))
+    assert(reader.sql("SELECT * FROM lkr.ns.t ORDER BY k")
+      .collect().toSeq === Seq(Row(1L, "a"), Row(2L, "z")))
+    // and the reader can keep writing where the writer left off (the
+    // INSERT must run on the READER session — its catalog registration)
+    reader.sql("INSERT INTO lkr.ns.t VALUES (3, 'c')")
+    assert(writer.sql("SELECT count(*) FROM lkw.ns.t").head().getLong(0) === 3L)
+  }
+
+  test("data files are plain parquet under the table root, one manifest per snapshot") {
+    val root = graft.util.TempDirs.create("graft_lake_layout_").toString
+    val ss = lakeSession("lkl", root, spark)
+    import ss.implicits._
+    ss.sql("CREATE TABLE lkl.ns.t (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1).writeTo("lkl.ns.t").append()
+    val dir = Paths.get(root, "ns.t")
+    val manifests = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("manifest-")).toSeq.sorted
+    assert(manifests === Seq("manifest-v00000.json", "manifest-v00001.json"))
+    val data = Files.list(dir.resolve("data")).iterator().asScala.toSeq
+    assert(data.size === 1)
+    // any parquet reader sees the rows — the storage is not bespoke
+    assert(spark.read.parquet(data.head.toString).orderBy("k").collect().toSeq
+      === Seq(Row(1L, "a"), Row(2L, "b")))
+  }
+
+  test("expiration: retained versions unchanged, expired fail loudly, orphaned files GC'd") {
+    val root = graft.util.TempDirs.create("graft_lake_expire_").toString
+    val ss = lakeSession("lke", root, spark)
+    import ss.implicits._
+    ss.sql("CREATE TABLE lke.ns.t (k BIGINT, v STRING)")
+    Seq((1L, "seed")).toDF("k", "v").coalesce(1).writeTo("lke.ns.t").append()
+    // v2 truncate-replaces: v1's file is referenced by NO survivor once
+    // v0/v1 expire
+    ss.sql("INSERT OVERWRITE lke.ns.t SELECT k, 'over' FROM lke.ns.t")
+    Seq((2L, "tail")).toDF("k", "v").coalesce(1).writeTo("lke.ns.t").append()
+
+    val dir = Paths.get(root, "ns.t")
+    def dataFiles() = Files.list(dir.resolve("data")).iterator().asScala.size
+    assert(dataFiles() === 3)
+    val pre = ss.sql("SELECT * FROM lke.ns.t VERSION AS OF 2 ORDER BY k").collect().toSeq
+
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    assert(handle.expireSnapshots(keepLast = 2) === Seq(0, 1))
+
+    // retained reads byte-identical
+    assert(ss.sql("SELECT * FROM lke.ns.t VERSION AS OF 2 ORDER BY k")
+      .collect().toSeq === pre)
+    assert(ss.sql("SELECT * FROM lke.ns.t ORDER BY k").collect().toSeq
+      === Seq(Row(1L, "over"), Row(2L, "tail")))
+    // expired reads fail loudly
+    val e = intercept[Throwable](
+      ss.sql("SELECT * FROM lke.ns.t VERSION AS OF 1").collect())
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("expired")), msgs(e))
+    // v1's seed file was referenced only by expired snapshots — gone;
+    // the overwrite + tail files survive
+    assert(dataFiles() === 2)
+  }
+
+  test("raced CREATE TABLE raises the typed TableAlreadyExistsException for the loser") {
+    val root = graft.util.TempDirs.create("graft_lake_race_").toString
+    val ss = lakeSession("lkc", root, spark)
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results =
+      try Await.result(Future.sequence((0 until 4).map { _ =>
+        Future {
+          try { ss.sql("CREATE TABLE lkc.ns.raced (k BIGINT)"); "ok" }
+          catch {
+            case e: Throwable =>
+              def chain(t: Throwable): List[Throwable] =
+                if (t == null) Nil else t :: chain(t.getCause)
+              if (chain(e).exists(
+                _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException]))
+                "exists" else s"unexpected: $e"
+          }
+        }
+      }), 120.seconds).toList
+      finally pool.shutdown()
+    assert(results.count(_ == "ok") === 1, results)
+    assert(results.count(_ == "exists") === 3, results)
+  }
+
+  test("a row-level replace over a stale base fails loudly (optimistic concurrency)") {
+    val root = graft.util.TempDirs.create("graft_lake_conflict_").toString
+    val ss = lakeSession("lkx", root, spark)
+    import ss.implicits._
+    ss.sql("CREATE TABLE lkx.ns.t (k BIGINT, v BIGINT)")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").writeTo("lkx.ns.t").append()
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val scannedBase = handle.latestVersion // = 1, as a row-level scan would pin
+    // a concurrent append lands between the scan and the commit
+    Seq((3L, 30L)).toDF("k", "v").writeTo("lkx.ns.t").append()
+    val e = intercept[GraftLakeStore.CommitConflictException] {
+      handle.commitReplace(scannedBase, replacedIds = Set(1), newFiles = Seq.empty)
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // nothing was lost: the table still holds all three rows
+    assert(ss.sql("SELECT count(*) FROM lkx.ns.t").head().getLong(0) === 3L)
+  }
+
+  test("appends racing appends lose no rows (rebase-and-retry commit)") {
+    val root = graft.util.TempDirs.create("graft_lake_appendrace_").toString
+    val ss = lakeSession("lka", root, spark)
+    ss.sql("CREATE TABLE lka.ns.t (k BIGINT)")
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence((0 until 6).map { i =>
+      Future {
+        val s2 = ss.newSession()
+        s2.conf.set("spark.sql.catalog.lka", classOf[GraftLakeCatalog].getName)
+        s2.conf.set("spark.sql.catalog.lka.root", root)
+        s2.sql(s"INSERT INTO lka.ns.t VALUES ($i)")
+      }
+    }), 120.seconds)
+    finally pool.shutdown()
+    assert(ss.sql("SELECT count(*) FROM lka.ns.t").head().getLong(0) === 6L)
+    assert(GraftLakeStore.get(root, "ns.t").get.latestVersion === 6)
+  }
+}
