@@ -47,7 +47,7 @@ object Bench {
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: $unknown")
     }
-    warmup(spark, sfDir)
+    val staging = warmup(spark, sfDir)
     // SPARK_GRAFT_BENCH_STREAMS=N switches to the CONCURRENT-throughput
     // mode: N query streams over session clones, one FAIR pool each —
     // the multi-tenant posture of a shared cluster. Mutually exclusive
@@ -135,8 +135,12 @@ object Bench {
       ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
       val method = "per-query min over 2 independent full sweeps " +
         "(decorrelates multi-second host stalls) + end-of-run resample of " +
-        "queries with >2x sweep disagreement or >1s merged time"
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"notes":$notes,"method":"$method","sf":"$sfDir"}"""
+        "queries with >2x sweep disagreement or >1s merged time; " +
+        "staging = untimed first-touch build cost per memoized surface " +
+        "(the per-query time measures the post-staging read)"
+      val stagingJson = staging.map { case (k, v) =>
+        "\"" + keyOf(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"staging":$stagingJson,"notes":$notes,"method":"$method","sf":"$sfDir"}"""
     }
     println(line(identity[String], _.toString))
     // sidecar copy with full names — survives any stdout mangling.
@@ -194,9 +198,15 @@ object Bench {
             val errs = Seq.newBuilder[String]
             rotated.foreach { case (name, fn) =>
               val t0 = System.nanoTime()
-              try { fn(ss, sfDir).count() }
+              // record the duration ONLY on success — mirroring the
+              // serial path's rule that a failure's time-to-failure
+              // must not poison totals/percentiles (a fast failure
+              // would deflate them while hiding in `errors`)
+              try {
+                fn(ss, sfDir).count()
+                times += (System.nanoTime() - t0) / 1e9
+              }
               catch { case e: Throwable => errs += s"$name:${e.getClass.getSimpleName}" }
-              times += (System.nanoTime() - t0) / 1e9
             }
             (times.result(), errs.result())
           }
@@ -238,8 +248,15 @@ object Bench {
     * query. Each table gets one full-width read (hash of all columns —
     * a bare count() would be satisfied from parquet metadata and warm
     * nothing), and every custom kernel path (minhash/simhash/gram-set/
-    * intersect, cosine/LSH-bucket) is evaluated once. */
-  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    * intersect, cosine/LSH-bucket) is evaluated once.
+    *
+    * Returns the STAGING map: first-touch wall seconds per memoized
+    * staged surface (lake MERGE/MV/feed staging, ANN index build,
+    * layout writes, Derby load, streaming first runs). The recorded
+    * per-query times for these queries measure the post-staging READ by
+    * design — the sidecar's `staging` entries keep the one-off costs
+    * visible instead of looking like 0.1 s MERGEs (round-8 finding #2). */
+  private def warmup(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     Tables.all.foreach { n =>
       try {
         val df = Tables(spark, sfDir, n)
@@ -255,8 +272,15 @@ object Bench {
     // each step in its own try: a failure in one warmup must not skip
     // the later one-off costs (that would silently inflate their
     // timed queries with exactly the cost warmup exists to pre-pay)
+    val staging = Seq.newBuilder[(String, Double)]
     def step(body: => Unit): Unit =
       try body catch { case _: Throwable => }
+    // named step: records the first-touch wall time under `name`
+    def staged(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try body catch { case _: Throwable => }
+      staging += name -> (System.nanoTime() - t0) / 1e9
+    }
     step {
       val g = gfn.gram_set(col("text"), 5)
       Tables(spark, sfDir, "documents")
@@ -274,26 +298,71 @@ object Bench {
         .agg(sum("c"), max("b")).collect()
     }
     step(SparkEntry.queries("q22_multi_join")(spark, sfDir).count())
-    // q65's partitioned layout is written once per JVM (memoized) —
-    // pay the one-off layout cost here so the timed query measures
-    // what it declares: the partition-pruned READ
-    step(SparkEntry.queries("q65_partition_pruning")(spark, sfDir).count())
-    // likewise q72's Derby load (memoized), q102's one-off bucketed
-    // write, and q71's first-touch streaming-engine class loading /
-    // state-store init
-    step(SparkEntry.queries("q72_jdbc_roundtrip")(spark, sfDir).count())
-    step(SparkEntry.queries("q102_bucketed_join")(spark, sfDir).count())
-    step(SparkEntry.queries("q104_zorder_skipping")(spark, sfDir).count())
-    step(SparkEntry.queries("q71_streaming_daily")(spark, sfDir).count())
+    // memoized one-off stagings, each recorded in the `staging` sidecar
+    // map: the timed query then measures what it declares — the
+    // post-staging READ — with the build cost visible here instead of
+    // masquerading as a 0.1 s MERGE.
+    // q65's partitioned layout write
+    staged("q65_partition_pruning")(
+      SparkEntry.queries("q65_partition_pruning")(spark, sfDir).count())
+    // Derby load, bucketed write, z-order layout
+    staged("q72_jdbc_roundtrip")(
+      SparkEntry.queries("q72_jdbc_roundtrip")(spark, sfDir).count())
+    staged("q102_bucketed_join")(
+      SparkEntry.queries("q102_bucketed_join")(spark, sfDir).count())
+    staged("q104_zorder_skipping")(
+      SparkEntry.queries("q104_zorder_skipping")(spark, sfDir).count())
+    // ANN index build (q204 shares it via the persisted-index path)
+    staged("q204_ann_index_read")(
+      SparkEntry.queries("q204_ann_index_read")(spark, sfDir).count())
+    staged("q203_cbo_stats_join")(
+      SparkEntry.queries("q203_cbo_stats_join")(spark, sfDir).count())
+    staged("q205_compacted_scan")(
+      SparkEntry.queries("q205_compacted_scan")(spark, sfDir).count())
+    // lake staging: CREATE + seed + MERGE (q208/q209/q212 share),
+    // MV build (q210), rollback (q213), WAP routing (q215), the
+    // change-feed stream run (q216), expiration (q217), compaction
+    // (q218), evolution (q219), the partitioned ingest (q220), and
+    // the streaming MV (q214)
+    staged("q208_sql_merge_into")(
+      SparkEntry.queries("q208_sql_merge_into")(spark, sfDir).count())
+    staged("q210_mv_incremental")(
+      SparkEntry.queries("q210_mv_incremental")(spark, sfDir).count())
+    staged("q213_version_rollback")(
+      SparkEntry.queries("q213_version_rollback")(spark, sfDir).count())
+    staged("q215_write_audit_publish")(
+      SparkEntry.queries("q215_write_audit_publish")(spark, sfDir).count())
+    staged("q214_streaming_mv_refresh")(
+      SparkEntry.queries("q214_streaming_mv_refresh")(spark, sfDir).count())
+    staged("q216_change_feed_consumer")(
+      SparkEntry.queries("q216_change_feed_consumer")(spark, sfDir).count())
+    staged("q217_snapshot_expiration")(
+      SparkEntry.queries("q217_snapshot_expiration")(spark, sfDir).count())
+    staged("q218_lake_compaction")(
+      SparkEntry.queries("q218_lake_compaction")(spark, sfDir).count())
+    staged("q219_schema_evolution")(
+      SparkEntry.queries("q219_schema_evolution")(spark, sfDir).count())
+    staged("q220_partitioned_lake")(
+      SparkEntry.queries("q220_partitioned_lake")(spark, sfDir).count())
+    // streaming first-touch: engine class loading / state-store init
+    staged("q71_streaming_daily")(
+      SparkEntry.queries("q71_streaming_daily")(spark, sfDir).count())
     // q92/q95 stage their own source copies (doubled / sentinel'd)
     // once per JVM
-    step(SparkEntry.queries("q92_streaming_dedup")(spark, sfDir).count())
-    step(SparkEntry.queries("q95_streaming_sessions")(spark, sfDir).count())
-    step(SparkEntry.queries("q96_stream_stream_join")(spark, sfDir).count())
+    staged("q92_streaming_dedup")(
+      SparkEntry.queries("q92_streaming_dedup")(spark, sfDir).count())
+    staged("q95_streaming_sessions")(
+      SparkEntry.queries("q95_streaming_sessions")(spark, sfDir).count())
+    staged("q96_stream_stream_join")(
+      SparkEntry.queries("q96_stream_stream_join")(spark, sfDir).count())
     // q115/q118 share one split-3 staged source copy per JVM
-    step(SparkEntry.queries("q115_streaming_running_totals")(spark, sfDir).count())
-    step(SparkEntry.queries("q118_streaming_foreachbatch")(spark, sfDir).count())
+    staged("q115_streaming_running_totals")(
+      SparkEntry.queries("q115_streaming_running_totals")(spark, sfDir).count())
+    staged("q118_streaming_foreachbatch")(
+      SparkEntry.queries("q118_streaming_foreachbatch")(spark, sfDir).count())
     // q200 stages its own time-split + sentinel source copy per JVM
-    step(SparkEntry.queries("q200_streaming_timers")(spark, sfDir).count())
+    staged("q200_streaming_timers")(
+      SparkEntry.queries("q200_streaming_timers")(spark, sfDir).count())
+    staging.result()
   }
 }

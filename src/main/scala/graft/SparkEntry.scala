@@ -22,7 +22,8 @@ object SparkEntry {
       graft.multimodal.MultimodalOps.queries ++ graft.sources.LayoutQueries.queries ++
       graft.sources.v2.RangeSourceQueries.queries ++
       graft.sources.v2.MergeQueries.queries ++
-      graft.sources.v2.LakeOps.queries ++ QualityOps.queries ++
+      graft.sources.v2.LakeOps.queries ++ graft.sources.v2.LakeLifecycle.queries ++
+      QualityOps.queries ++
       graft.sources.BucketedQueries.queries ++ graft.sources.ZOrderQueries.queries ++
       graft.sources.CboQueries.queries ++ graft.sources.CompactionQueries.queries ++
       graft.sources.JdbcQueries.queries ++ graft.streaming.StreamingQueries.queries
@@ -40,7 +41,7 @@ object SparkEntry {
     "q118_streaming_foreachbatch", "q131_stream_static_join",
     "q184_transform_with_state", "q185_statestore_read",
     "q200_streaming_timers", "q214_streaming_mv_refresh",
-    "q72_jdbc_roundtrip")
+    "q216_change_feed_consumer", "q72_jdbc_roundtrip")
 
   // every excluded name must exist — the predecessor of this list
   // carried four misspelled entries for a full round, silently turning
@@ -61,7 +62,8 @@ object SparkEntry {
       graft.multimodal.MultimodalOps.oracle ++ graft.sources.LayoutQueries.oracle ++
       graft.sources.v2.RangeSourceQueries.oracle ++
       graft.sources.v2.MergeQueries.oracle ++
-      graft.sources.v2.LakeOps.oracle ++ QualityOps.oracle ++
+      graft.sources.v2.LakeOps.oracle ++ graft.sources.v2.LakeLifecycle.oracle ++
+      QualityOps.oracle ++
       graft.sources.BucketedQueries.oracle ++ graft.sources.ZOrderQueries.oracle ++
       graft.sources.CboQueries.oracle ++ graft.sources.CompactionQueries.oracle ++
       graft.sources.JdbcQueries.oracle ++ graft.streaming.StreamingQueries.oracle

@@ -72,11 +72,18 @@ object QualityOps {
       .select(lit("lineitem_pk_unique").as("check_name"),
         col("violations"), col("checked"))
     // referential integrity: one join per edge, violations and checked
-    // from the SAME pass (left join + null-parent count)
+    // from the SAME pass (left join + null-parent count). The parent
+    // side is DEDUPLICATED first: a duplicated parent key would
+    // multiply child rows through the join and inflate `checked` past
+    // the oracle's plain child count — and this fixture really does
+    // carry duplicate "unique" keys (the lineitem PK), so the distinct
+    // is correctness, not hygiene. It is also the cheaper plan: the
+    // join builds against unique keys, semi-join shaped.
     def fk(name: String, child: DataFrame, childKey: String,
         parent: DataFrame, parentKey: String): DataFrame =
       child.select(col(childKey))
-        .join(parent.select(col(parentKey).as("__pk"), lit(1).as("__present")),
+        .join(parent.select(col(parentKey).as("__pk")).distinct()
+            .withColumn("__present", lit(1)),
           col(childKey) === col("__pk"), "left")
         .agg(count(lit(1)).as("checked"),
           viol(col("__present").isNull).as("violations"))

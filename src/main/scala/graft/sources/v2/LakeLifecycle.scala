@@ -1,0 +1,263 @@
+package graft.sources.v2
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+import graft.operators.Exact
+
+/** Second wave of lake-table lifecycle operators, all over the
+  * file-backed [[GraftLakeStore]] (round 9): incremental change-feed
+  * consumption, snapshot expiration, compaction-as-a-snapshot, schema
+  * evolution, and partitioned lake tables. Reference analog: none —
+  * the reference recomputes and overwrites whole tables every run
+  * (src/data_processor.py:237-269); these are the maintenance moves a
+  * warehouse performs once tables are durable and versioned.
+  *
+  *  - q216 change-feed consumer: tails q208's commit log through the
+  *    real StreamExecution engine ([[LakeFeedProvider]]), folds the
+  *    `insert`/`delete` stream by row content, and must reconstruct the
+  *    table's current state EXACTLY (q97's oracle — the batch truth).
+  *    This is the incremental-consumer contract: a downstream pipeline
+  *    keeps pace with a mutating table by reading only changed files,
+  *    never rescanning the base.
+  *  - q217 snapshot expiration: history is append-only (every MERGE /
+  *    rollback / micro-batch adds a snapshot), so a production table
+  *    expires old snapshots nightly. Expiration must not move a single
+  *    byte of the retained state — the declared query reads the latest
+  *    snapshot after expiring all but the last two and must equal the
+  *    seed recompute; staging additionally proves expired versions fail
+  *    loudly and orphaned data files are GC'd (LakeStoreSpec pins the
+  *    mechanics).
+  *  - q218 lake compaction: many-small-files ingestion (three separate
+  *    INSERTs) bin-packed by one `INSERT OVERWRITE t SELECT … FROM t`
+  *    with a REPARTITION(2) hint — compaction IS a snapshot, so readers of old
+  *    versions are untouched and the operation is time-travel-undoable.
+  *    Staging asserts the file count dropped; the oracle (q205's shape)
+  *    pins that the row multiset never changed.
+  *  - q219 schema evolution: `ALTER TABLE ADD COLUMN` between two
+  *    appends; the declared query reads ACROSS the boundary — rows from
+  *    pre-evolution files surface NULL for the new column, by manifest
+  *    metadata alone (no file rewritten).
+  *  - q220 partitioned lake table: orders ingested month-partitioned
+  *    through the catalog; a 3-month question plans only the matching
+  *    files (LakeDmlSpec pins the split count) and must answer exactly
+  *    what the unpartitioned base answers (q65's oracle).
+  */
+object LakeLifecycle {
+
+  private val staged = new ConcurrentHashMap[String, String]()
+  private val nextId = new AtomicInteger()
+
+  private def memo(s: SparkSession, dir: String, what: String)(
+      build: (SparkSession, Int) => String): String =
+    staged.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir:$what",
+      { _ => build(MergeQueries.lakeSession(s), nextId.incrementAndGet()) })
+
+  // ---- q216: change-feed consumer ----------------------------------
+
+  /** Runs the feed over q208's staged table once per (app, dir),
+    * accumulating each micro-batch as `b<batchId>` parquet dirs
+    * (overwrite-by-batchId: the q118/q214 idempotent-replay guard). */
+  private def ensureFeedAcc(s: SparkSession, dir: String): String =
+    memo(s, dir, "feed") { (ss, id) =>
+      val tbl = MergeQueries.ensureStaged(s, dir).stripPrefix("graft_lake.")
+      val acc = graft.util.TempDirs.create(s"graft_lake_feed$id" + "_").toString
+      val feed = ss.readStream
+        .format(classOf[LakeFeedProvider].getName)
+        .option("root", GraftLakeStore.defaultRoot)
+        .option("table", tbl)
+        .load()
+      val q = feed.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.write.mode("overwrite").parquet(s"$acc/b$batchId")
+        }
+        .option("checkpointLocation", s"$acc/_chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      acc
+    }
+
+  /** q216: reconstruct the table's current state from the change feed
+    * alone — fold insert−delete by row content; oracle = q97's (the
+    * post-MERGE state computed from the raw tables). */
+  def changeFeedConsumer(s: SparkSession, dir: String): DataFrame = {
+    val acc = ensureFeedAcc(s, dir)
+    s.read.parquet(s"$acc/b*")
+      .groupBy(col("c_custkey"), col("c_name"), col("bal_cents"))
+      .agg(sum(when(col(LakeFeed.ChangeTypeCol) === "insert", 1L)
+        .otherwise(-1L)).as("net"))
+      .filter(col("net") > 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("bal_cents") / 100.0).cast("double").as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  // ---- q217: snapshot expiration -----------------------------------
+
+  /** Staging: seed → DELETE every third key → rollback via time travel
+    * (v3 = v1's content), then expire all but the last two snapshots.
+    * The staging itself asserts the expiration CONTRACT loudly — a
+    * declared query must not depend on a silently-broken invariant. */
+  private def ensureExpired(s: SparkSession, dir: String): String =
+    memo(s, dir, "expire") { (ss, id) =>
+      val tbl = s"graft_lake.lake.customer_exp$id"
+      ss.sql(s"CREATE TABLE $tbl (c_custkey BIGINT, c_name STRING, bal_cents BIGINT)")
+      Tables(ss, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          Exact.cents(col("c_acctbal")).as("bal_cents"))
+        .writeTo(tbl).append()
+      ss.sql(s"DELETE FROM $tbl WHERE c_custkey % 3 = 0")
+      ss.sql(s"INSERT OVERWRITE $tbl SELECT * FROM $tbl VERSION AS OF 1")
+      val handle = GraftLakeStore
+        .get(GraftLakeStore.defaultRoot, tbl.stripPrefix("graft_lake.")).get
+      val expired = handle.expireSnapshots(keepLast = 2)
+      require(expired == Seq(0, 1), s"expected to expire v0,v1 — got $expired")
+      // the contract: retained versions readable, expired loud
+      require(ss.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2").head().getLong(0) >= 0)
+      val failed =
+        try { ss.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1").collect(); false }
+        catch { case _: Throwable => true }
+      require(failed, "reading an expired snapshot must fail loudly")
+      tbl
+    }
+
+  /** q217: the latest snapshot after expiration — byte-equal to the
+    * seed (the rollback state), proving expiration moved no data. */
+  def snapshotExpiration(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureExpired(s, dir)
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT c_custkey, c_name,
+         | CAST(bal_cents / 100.0 AS DOUBLE) AS c_acctbal
+         |FROM $tbl ORDER BY c_custkey""".stripMargin)
+  }
+
+  // ---- q218: compaction as a snapshot ------------------------------
+
+  private def ensureCompacted(s: SparkSession, dir: String): String =
+    memo(s, dir, "compact") { (ss, id) =>
+      val tbl = s"graft_lake.lake.li_comp$id"
+      ss.sql(s"CREATE TABLE $tbl " +
+        "(l_returnflag STRING, qty BIGINT, price_cents BIGINT)")
+      val li = Tables(ss, dir, "lineitem").select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"),
+        Exact.cents(col("l_extendedprice")).as("price_cents"))
+      // three fragmented ingests -> many small files
+      (0 to 2).foreach { i =>
+        li.filter(pmod(col("l_orderkey"), lit(3)) === i)
+          .repartition(8).writeTo(tbl).append()
+      }
+      val handle = GraftLakeStore
+        .get(GraftLakeStore.defaultRoot, tbl.stripPrefix("graft_lake.")).get
+      val before = handle.snapshot(handle.latestVersion).files.size
+      // compaction IS a commit: one statement, bin count via the hint
+      ss.sql(s"INSERT OVERWRITE $tbl SELECT /*+ REPARTITION(2) */ * FROM $tbl")
+      val after = handle.snapshot(handle.latestVersion).files.size
+      require(after < before && after <= 2,
+        s"compaction must shrink the layout: $before -> $after files")
+      tbl
+    }
+
+  /** q218: pricing rollup from the COMPACTED lake table; oracle
+    * aggregates raw lineitem (q205's shape) — layout changed, answer
+    * must not. */
+  def lakeCompaction(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureCompacted(s, dir)
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT l_returnflag, count(*) AS n_items, sum(qty) AS sum_qty,
+         | CAST(sum(price_cents) / 100.0 AS DOUBLE) AS sum_price
+         |FROM $tbl GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  // ---- q219: schema evolution ---------------------------------------
+
+  private def ensureEvolved(s: SparkSession, dir: String): String =
+    memo(s, dir, "evolve") { (ss, id) =>
+      val tbl = s"graft_lake.lake.nation_evo$id"
+      ss.sql(s"CREATE TABLE $tbl (n_nationkey BIGINT, n_name STRING)")
+      val nation = Tables(ss, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      nation.filter(col("n_nationkey") < 12).writeTo(tbl).append()
+      ss.sql(s"ALTER TABLE $tbl ADD COLUMN ingest_tag STRING")
+      nation.filter(col("n_nationkey") >= 12)
+        .withColumn("ingest_tag", lit("v2")).writeTo(tbl).append()
+      tbl
+    }
+
+  /** q219: read across the evolution boundary — pre-evolution rows
+    * carry NULL for the added column, from manifest metadata alone. */
+  def schemaEvolutionRead(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureEvolved(s, dir)
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT n_nationkey, n_name, ingest_tag,
+         | count(*) OVER (PARTITION BY ingest_tag IS NULL) AS cohort_size
+         |FROM $tbl ORDER BY n_nationkey""".stripMargin)
+  }
+
+  // ---- q220: partitioned lake table ---------------------------------
+
+  private def ensurePartitioned(s: SparkSession, dir: String): String =
+    memo(s, dir, "partitioned") { (ss, id) =>
+      val tbl = s"graft_lake.lake.orders_bym$id"
+      ss.sql(s"CREATE TABLE $tbl " +
+        "(o_orderkey BIGINT, o_month STRING, price_cents BIGINT) " +
+        "PARTITIONED BY (o_month)")
+      Tables(ss, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          substring(col("o_orderdate").cast("string"), 1, 7).as("o_month"),
+          Exact.cents(col("o_totalprice")).as("price_cents"))
+        // co-locate each month in one write task -> one file per month
+        .repartition(4, col("o_month"))
+        .writeTo(tbl).append()
+      tbl
+    }
+
+  /** q220: 3-month question over the month-partitioned lake table —
+    * the scan plans only the matching files (LakeDmlSpec pins the
+    * split count); q65's oracle over raw orders. */
+  def partitionedLakeScan(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensurePartitioned(s, dir)
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT o_month, count(*) AS n_orders,
+         | CAST(sum(price_cents) / 100.0 AS DOUBLE) AS sum_total
+         |FROM $tbl
+         |WHERE o_month BETWEEN '1995-01' AND '1995-03'
+         |GROUP BY o_month ORDER BY o_month""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_change_feed_consumer" -> (changeFeedConsumer _),
+    "q217_snapshot_expiration" -> (snapshotExpiration _),
+    "q218_lake_compaction" -> (lakeCompaction _),
+    "q219_schema_evolution" -> (schemaEvolutionRead _),
+    "q220_partitioned_lake" -> (partitionedLakeScan _))
+
+  val oracle: Map[String, String] = Map(
+    // the feed-reconstructed state must equal the post-MERGE batch
+    // truth: q97's oracle verbatim (q208 shares it the same way)
+    "q216_change_feed_consumer" -> graft.operators.CdcOps.oracle("q97_cdc_merge"),
+    // expiration moved no data: the retained latest = the seed
+    // (rollback restored it), q209's oracle verbatim
+    "q217_snapshot_expiration" -> MergeQueries.oracle("q209_time_travel"),
+    // q205's multiset-identity shape: compaction changes layout only
+    "q218_lake_compaction" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q219_schema_evolution" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CASE WHEN n_nationkey >= 12 THEN 'v2' END AS ingest_tag,
+        | (SELECT count(*) FROM nation i WHERE (i.n_nationkey >= 12) =
+        |   (o.n_nationkey >= 12)) AS cohort_size
+        |FROM nation o ORDER BY n_nationkey""".stripMargin,
+    // q65's oracle verbatim: partitioning must not change the answer
+    "q220_partitioned_lake" ->
+      graft.sources.LayoutQueries.oracle("q65_partition_pruning"))
+}

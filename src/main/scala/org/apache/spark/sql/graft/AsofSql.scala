@@ -122,6 +122,19 @@ object AsofSqlRewrite {
             j += 1
             if (up(j) == "OUTER") j += 1
           case "INNER" => j += 1
+          // a mistyped join DIRECTION must stay a loud error: silently
+          // reading `a ASOF RIGHT JOIN b` as alias `asof` + plain RIGHT
+          // JOIN would return every inequality match instead of the
+          // latest row. An alias literally named asof directly before a
+          // right join is far rarer than the typo — and a quoted alias
+          // still opts out.
+          case "RIGHT" | "FULL" =>
+            var n = j + 1
+            if (up(n) == "OUTER") n += 1
+            if (up(n) == "JOIN") fail(sql, t.start,
+              s"ASOF ${up(j)} JOIN is not supported — ASOF supports LEFT " +
+                "and INNER only (quote the alias as `asof` if a right/full " +
+                "join off an asof alias is really intended)")
           case _ =>
         }
         if (up(j) != "JOIN") { i += 1 }

@@ -56,7 +56,14 @@ class ConcurrencySpec extends SparkSpec {
     // stagings (MV seed+MERGE, delete+rollback) racing first touch,
     // and the two-version diff whose snapshots must pin under writes
     "q210_mv_incremental", "q212_snapshot_diff", "q213_version_rollback",
-    "q215_write_audit_publish")
+    "q215_write_audit_publish",
+    // the round-9 file-backed-lake wave: expiration (mutates the
+    // manifest set under readers), compaction-as-a-snapshot, schema
+    // evolution (metadata-only commit), and the partitioned ingest —
+    // all memoized multi-statement stagings racing first touch over
+    // the on-disk store's atomic-link commit protocol
+    "q217_snapshot_expiration", "q218_lake_compaction",
+    "q219_schema_evolution", "q220_partitioned_lake")
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq

@@ -175,8 +175,10 @@ class SqlParitySpec extends SparkSpec {
         s"unclassified=${(skippedNames.toSet -- skipReasons.keySet).toSeq.sorted.mkString(",")} " +
         s"stale=${(skipReasons.keySet -- skippedNames.toSet).toSeq.sorted.mkString(",")}")
     // erosion floor beneath the exact classification above (belt and
-    // braces for a partial refactor of this block)
-    assert(ran >= 185, s"only $ran oracle statements still parse in Spark SQL")
+    // braces for a partial refactor of this block) — raised 185 → 189
+    // in round 9 to lock in the round-8 replay gains (189/193 then;
+    // round 9 adds four more replayable lake-lifecycle oracles)
+    assert(ran >= 189, s"only $ran oracle statements still parse in Spark SQL")
   }
 
   /** The two recursion shapes behind every skip, demonstrated on

@@ -81,7 +81,13 @@ class AsofSqlSpec extends SparkSpec {
       "SELECT * FROM a ASOF JOIN b USING (k)" -> "ON condition",
       "SELECT * FROM a ASOF JOIN b" -> "ON condition",
       "SELECT * FROM a ASOF JOIN b JOIN c ON b.k = c.k ON a.k = b.k AND a.t >= b.t"
-        -> "parenthesize the right side")) {
+        -> "parenthesize the right side",
+      // a mistyped DIRECTION must not silently demote ASOF to an alias
+      // and return every inequality match — LEFT/INNER only, loudly
+      "SELECT * FROM a ASOF RIGHT JOIN b ON a.k = b.k AND a.t >= b.t"
+        -> "LEFT and INNER only",
+      "SELECT * FROM a ASOF FULL OUTER JOIN b ON a.k = b.k AND a.t >= b.t"
+        -> "LEFT and INNER only")) {
       val e = intercept[IllegalArgumentException](AsofSqlRewrite(q))
       assert(e.getMessage.contains(frag), s"$q → ${e.getMessage}")
     }
@@ -90,12 +96,15 @@ class AsofSqlSpec extends SparkSpec {
   test("rewrite: ASOF in non-join positions is an ordinary identifier") {
     // the keyword treatment requires the following tokens to actually
     // form [LEFT [OUTER] | INNER] JOIN; everywhere else `asof` is a
-    // name, exactly as DuckDB accepts it in expression positions
+    // name, exactly as DuckDB accepts it in expression positions.
+    // (`a asof RIGHT JOIN b` is deliberately NOT in this list: an
+    // unquoted asof directly before RIGHT/FULL JOIN reads as a mistyped
+    // ASOF direction and fails loudly — a quoted `asof` alias opts out.)
     for (q <- Seq(
       "SELECT asof FROM t",                              // column named asof
       "SELECT * FROM a ASOF",                            // trailing alias
       "SELECT * FROM t asof WHERE asof.x > 1",           // alias + qualifier
-      "SELECT * FROM a asof RIGHT JOIN b ON asof.k = b.k", // alias, then a right join
+      "SELECT * FROM a `asof` RIGHT JOIN b ON b.k = 1",  // quoted alias opts out
       "SELECT a.asof FROM a ORDER BY asof"))             // qualified + order by
       assert(AsofSqlRewrite(q) eq q, q)
   }

@@ -1,0 +1,130 @@
+package graft.sources.v2
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The change-feed source and the round-9 lifecycle queries (q216-
+  * q220): feed semantics per commit kind, checkpointed incremental
+  * consumption, and engine-side equality of each declared query with
+  * its recompute. */
+class LakeFeedSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def lakeSession(cat: String, root: String): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ss
+  }
+
+  private def runFeed(ss: SparkSession, root: String, table: String,
+      acc: String): Unit = {
+    val q = ss.readStream.format(classOf[LakeFeedProvider].getName)
+      .option("root", root).option("table", table).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.write.mode("overwrite").parquet(s"$acc/b$batchId")
+      }
+      .option("checkpointLocation", s"$acc/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("feed semantics: appends stream as inserts, CoW rewrites as delete+insert, by version") {
+    val root = graft.util.TempDirs.create("graft_feed_sem_").toString
+    val ss = lakeSession("fds", root)
+    ss.sql("CREATE TABLE fds.ns.t (k BIGINT, v STRING)")
+    ss.sql("INSERT INTO fds.ns.t VALUES (1, 'a'), (2, 'b')") // v1
+    ss.sql("UPDATE fds.ns.t SET v = 'z' WHERE k = 2")        // v2 (CoW)
+    val acc = graft.util.TempDirs.create("graft_feed_acc_").toString
+    runFeed(ss, root, "ns.t", acc)
+    val got = spark.read.parquet(s"$acc/b*")
+      .select("k", "v", LakeFeed.ChangeTypeCol, LakeFeed.CommitVersionCol)
+      .orderBy(LakeFeed.CommitVersionCol, LakeFeed.ChangeTypeCol, "k")
+      .collect().toSeq
+    // the two-row INSERT lands as two single-row files (two write
+    // tasks), so runtime group filtering bounds the UPDATE's rewrite to
+    // k=2's file alone — (1,'a') never cycles through the feed at all
+    assert(got === Seq(
+      Row(1L, "a", "insert", 1), Row(2L, "b", "insert", 1), // v1 append
+      Row(2L, "b", "delete", 2),                            // v2 removes k=2's file
+      Row(2L, "z", "insert", 2)                             // v2 rewrite of it
+    ))
+    // reconstruction: insert − delete by row content = current state
+    val state = spark.read.parquet(s"$acc/b*")
+      .groupBy("k", "v")
+      .agg(sum(when(col(LakeFeed.ChangeTypeCol) === "insert", 1L)
+        .otherwise(-1L)).as("net"))
+      .filter(col("net") > 0).select("k", "v").orderBy("k")
+      .collect().toSeq
+    assert(state === Seq(Row(1L, "a"), Row(2L, "z")))
+  }
+
+  test("checkpointed incremental consumption: a restart consumes only new versions") {
+    val root = graft.util.TempDirs.create("graft_feed_inc_").toString
+    val ss = lakeSession("fdi", root)
+    ss.sql("CREATE TABLE fdi.ns.t (k BIGINT)")
+    ss.sql("INSERT INTO fdi.ns.t VALUES (1)") // v1
+    val acc = graft.util.TempDirs.create("graft_feed_acc2_").toString
+    runFeed(ss, root, "ns.t", acc)
+    val afterFirst = spark.read.parquet(s"$acc/b*").count()
+    assert(afterFirst === 1L)
+    // two more commits land; the SAME checkpoint resumes mid-history
+    ss.sql("INSERT INTO fdi.ns.t VALUES (2)") // v2
+    ss.sql("INSERT INTO fdi.ns.t VALUES (3)") // v3
+    runFeed(ss, root, "ns.t", acc)
+    val rows = spark.read.parquet(s"$acc/b*")
+      .select("k", LakeFeed.CommitVersionCol).orderBy("k").collect().toSeq
+    // batch dirs are keyed by batchId, so a rescan-from-zero would have
+    // OVERWRITTEN b0 with duplicate v1 rows; instead v2+v3 arrived as
+    // the next batch
+    assert(rows === Seq(Row(1L, 1), Row(2L, 2), Row(3L, 3)))
+  }
+
+  test("q216 change-feed reconstruction equals the q208 post-MERGE read") {
+    val viaFeed = LakeLifecycle.changeFeedConsumer(spark, sf).collect().toSeq
+    val viaTable = MergeQueries.sqlMergeInto(spark, sf).collect().toSeq
+    assert(viaFeed.nonEmpty)
+    assert(viaFeed === viaTable)
+  }
+
+  test("q217 expiration kept the rollback state byte-identical to the seed") {
+    import org.apache.spark.sql.functions._
+    val got = LakeLifecycle.snapshotExpiration(spark, sf).collect().toSeq
+    val seed = graft.Tables(spark, sf, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        (graft.operators.Exact.cents(col("c_acctbal")) / 100.0)
+          .cast("double").as("c_acctbal"))
+      .orderBy("c_custkey").collect().toSeq
+    assert(got === seed)
+  }
+
+  test("q218 compaction preserved the exact row multiset of three fragmented ingests") {
+    import org.apache.spark.sql.functions._
+    val got = LakeLifecycle.lakeCompaction(spark, sf).collect().toSeq
+    val want = graft.Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        (sum(graft.operators.Exact.cents(col("l_extendedprice"))) / 100.0)
+          .cast("double").as("sum_price"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(got === want)
+  }
+
+  test("q219 reads across the evolution boundary; q220 equals the unpartitioned rollup") {
+    val evo = LakeLifecycle.schemaEvolutionRead(spark, sf).collect().toSeq
+    assert(evo.size === 25)
+    assert(evo.count(_.isNullAt(2)) === 12) // pre-evolution rows: NULL tag
+    assert(evo.filter(!_.isNullAt(2)).forall(_.getString(2) == "v2"))
+    val bym = LakeLifecycle.partitionedLakeScan(spark, sf).collect().toSeq
+    val base = graft.sources.LayoutQueries.partitionPrunedScan(spark, sf)
+      .collect().toSeq
+    assert(bym.map(r => (r.getString(0), r.getLong(1))) ===
+      base.map(r => (r.getString(0), r.getLong(1))))
+  }
+}
