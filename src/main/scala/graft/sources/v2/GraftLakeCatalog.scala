@@ -312,18 +312,33 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Partition pruning: keep (for `pushedFilters`, so the plan shows
-    * them and the scan prunes with them) every filter that references
-    * only partition columns in a shape [[LakePartitionPruning]] can
-    * evaluate exactly. ALL filters are returned as residual — Spark
-    * re-evaluates them on the rows, so pruning can only drop whole
-    * files, never change an answer. */
+  /** File pruning — two metadata tiers, both captured in
+    * `pushedFilters` (so the plan shows them) and both only ever
+    * dropping WHOLE files, never rows (ALL filters are returned as
+    * residual; Spark re-evaluates them on the rows):
+    *
+    *  - partition-column filters evaluate EXACTLY against a file's
+    *    identity-partition values ([[LakePartitionPruning]]);
+    *  - data-column filters evaluate CONSERVATIVELY against the
+    *    per-file min/max/null-count statistics the write tasks
+    *    collected ([[LakeStatsPruning]] — Iceberg's file-metrics
+    *    skipping): a file is dropped only when its stats PROVE no row
+    *    can match.
+    *
+    * For ROW-LEVEL operations this same pruning bounds the
+    * copy-on-write footprint statically (a pruned file is a group
+    * never read, so it carries over by manifest reference) — sound by
+    * the group-based contract, and it composes with the runtime
+    * group filter. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    if (snap.partitionCols.nonEmpty) {
-      val pcols = snap.partitionCols.toSet
-      pushed = filters.filter(f =>
-        f.references.nonEmpty && f.references.forall(pcols.contains) &&
-          LakePartitionPruning.supported(f))
+    val pcols = snap.partitionCols.toSet
+    val statCols = snap.schema.fields
+      .filter(f => LakeStatsPruning.supportedType(f.dataType))
+      .map(_.name).toSet -- pcols
+    pushed = filters.filter { f =>
+      f.references.nonEmpty && (
+        (f.references.forall(pcols.contains) && LakePartitionPruning.supported(f)) ||
+        (f.references.forall(statCols.contains) && LakeStatsPruning.supported(f)))
     }
     filters
   }
@@ -331,10 +346,14 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
 
   override def build(): Scan = {
     val schemaByName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val pcols = snap.partitionCols.toSet
     val kept =
       if (pushed.isEmpty) snap.files
-      else snap.files.filter(f => pushed.forall(p =>
-        LakePartitionPruning.mightMatch(p, f.partition, schemaByName)))
+      else snap.files.filter(f => pushed.forall { p =>
+        if (p.references.forall(pcols.contains))
+          LakePartitionPruning.mightMatch(p, f.partition, schemaByName)
+        else LakeStatsPruning.mayMatch(p, f.stats, f.rows, schemaByName)
+      })
     // only the ROW-LEVEL scan is runtime-filterable: its relation always
     // carries _split (a required metadata attribute), where a plain
     // query's relation may not have requested it — Spark's v2 dynamic-
@@ -432,6 +451,193 @@ private[v2] object LakePartitionPruning {
           java.lang.Long.compare(stored.toLong, v.asInstanceOf[Number].longValue())
       }
     }
+}
+
+/** CONSERVATIVE evaluation of pushed filters against per-file
+  * min/max/null-count statistics (Iceberg's metrics-based file
+  * skipping): `mayMatch` answers "could any row in this file satisfy
+  * the predicate?" — false only when the stats PROVE it cannot.
+  * Missing stats always answer true (never prune blind). Not() is
+  * deliberately unsupported: negating a conservative answer is not
+  * conservative.
+  *
+  * Orderings are chosen so the writer's collected bounds and this
+  * evaluator agree with Spark's own comparison semantics: integrals
+  * compare as Long, floating point as Double (files containing NaN
+  * record no bounds), strings compare as java Strings and are bounded
+  * ONLY when pure ASCII ≤ 64 bytes (ASCII is where UTF8String binary
+  * order and String order coincide; anything else records no bound
+  * rather than a lie). */
+private[v2] object LakeStatsPruning {
+
+  def supportedType(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+        BooleanType | org.apache.spark.sql.types.DoubleType |
+        org.apache.spark.sql.types.FloatType => true
+    case _ => false
+  }
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => v != null
+    case EqualNullSafe(_, _) => true
+    case GreaterThan(_, v) => v != null
+    case GreaterThanOrEqual(_, v) => v != null
+    case LessThan(_, v) => v != null
+    case LessThanOrEqual(_, v) => v != null
+    case In(_, vs) => vs != null
+    case IsNull(_) | IsNotNull(_) => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  def mayMatch(f: Filter, stats: Map[String, GraftLakeStore.ColStats],
+      rows: Long, types: Map[String, DataType]): Boolean = f match {
+    case EqualTo(a, v) => inRange(a, v, stats, rows, types)
+    case EqualNullSafe(a, null) => stats.get(a).forall(_.nulls > 0)
+    case EqualNullSafe(a, v) => inRange(a, v, stats, rows, types)
+    // c(stored) = sign(v − stored): "some value > v" needs max > v,
+    // i.e. c(max) < 0 — the comparator reads filter-value-first
+    case GreaterThan(a, v) =>
+      bound(a, v, stats, rows, types)((min, max, c) => c(max) < 0)
+    case GreaterThanOrEqual(a, v) =>
+      bound(a, v, stats, rows, types)((min, max, c) => c(max) <= 0)
+    case LessThan(a, v) =>
+      bound(a, v, stats, rows, types)((min, max, c) => c(min) > 0)
+    case LessThanOrEqual(a, v) =>
+      bound(a, v, stats, rows, types)((min, max, c) => c(min) >= 0)
+    case In(a, vs) =>
+      // IN (NULL, …) matches only via a non-null member (SQL: x = NULL
+      // is never true), so an all-null list proves no match
+      vs.filter(_ != null).exists(v => inRange(a, v, stats, rows, types))
+    case IsNull(a) => stats.get(a).forall(_.nulls > 0)
+    case IsNotNull(a) => stats.get(a).forall(_.nulls < rows)
+    case And(l, r) =>
+      mayMatch(l, stats, rows, types) && mayMatch(r, stats, rows, types)
+    case Or(l, r) =>
+      mayMatch(l, stats, rows, types) || mayMatch(r, stats, rows, types)
+    case _ => true
+  }
+
+  /** v within [min, max]? true when unbounded; false when the file is
+    * all-NULL (an equality never matches NULL). */
+  private def inRange(a: String, v: Any,
+      stats: Map[String, GraftLakeStore.ColStats], rows: Long,
+      types: Map[String, DataType]): Boolean =
+    bound(a, v, stats, rows, types)((min, max, c) => c(min) >= 0 && c(max) <= 0)
+
+  /** Evaluate `pred(min, max, cmpVagainst)` when bounds exist; an
+    * all-NULL column answers false (no non-null value to compare), a
+    * column without recorded bounds answers true. `c(x)` compares the
+    * FILTER value v against stored bound x: sign of (v - x). */
+  private def bound(a: String, v: Any,
+      stats: Map[String, GraftLakeStore.ColStats], rows: Long,
+      types: Map[String, DataType])(
+      pred: (String, String, String => Int) => Boolean): Boolean =
+    stats.get(a) match {
+      case None => true
+      case Some(st) =>
+        if (st.nulls == rows) false // every value NULL: no comparison matches
+        else (st.min, st.max) match {
+          case (Some(mn), Some(mx)) =>
+            val c = (stored: String) => compareTo(v, stored, types(a))
+            pred(mn, mx, c)
+          case _ => true // bounds invalidated (NaN / non-ASCII / long strings)
+        }
+    }
+
+  /** Sign of (filter value − stored bound), typed by the column. */
+  private def compareTo(v: Any, stored: String, dt: DataType): Int = dt match {
+    case StringType =>
+      val s = v match {
+        case u: UTF8String => u.toString
+        case other => other.toString
+      }
+      s.compareTo(stored)
+    case BooleanType =>
+      java.lang.Boolean.compare(v.asInstanceOf[Boolean], stored.toBoolean)
+    case org.apache.spark.sql.types.DoubleType |
+        org.apache.spark.sql.types.FloatType =>
+      java.lang.Double.compare(v.asInstanceOf[Number].doubleValue(), stored.toDouble)
+    case _ =>
+      java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stored.toLong)
+  }
+
+  /** Per-file stats collector the write task drives row by row. */
+  final class Collector(schema: StructType) {
+    private val cols = schema.fields.zipWithIndex
+      .filter { case (f, _) => supportedType(f.dataType) }
+    private val n = cols.length
+    private val nulls = new Array[Long](n)
+    private val mins = new Array[String](n)
+    private val maxs = new Array[String](n)
+    private val dead = new Array[Boolean](n) // bound invalidated
+
+    def update(row: InternalRow): Unit = {
+      var i = 0
+      while (i < n) {
+        val (f, ord) = cols(i)
+        if (row.isNullAt(ord)) nulls(i) += 1
+        else if (!dead(i)) {
+          val rendered: String = f.dataType match {
+            case StringType =>
+              val u = row.getUTF8String(ord)
+              // ASCII ≤ 64 bytes only: cheap, and the one regime where
+              // binary order == String order (see object scaladoc)
+              if (u.numBytes > 64 || !isAscii(u)) { dead(i) = true; null }
+              else u.toString
+            case IntegerType => row.getInt(ord).toString
+            case LongType => row.getLong(ord).toString
+            case ShortType => row.getShort(ord).toString
+            case ByteType => row.getByte(ord).toString
+            case BooleanType => row.getBoolean(ord).toString
+            case org.apache.spark.sql.types.DoubleType =>
+              val d = row.getDouble(ord)
+              if (d.isNaN) { dead(i) = true; null } else d.toString
+            case org.apache.spark.sql.types.FloatType =>
+              val d = row.getFloat(ord)
+              if (d.isNaN) { dead(i) = true; null } else d.toDouble.toString
+            case other => throw new IllegalStateException(s"unreachable: $other")
+          }
+          if (rendered != null) {
+            if (mins(i) == null || compareTo2(rendered, mins(i), f.dataType) < 0)
+              mins(i) = rendered
+            if (maxs(i) == null || compareTo2(rendered, maxs(i), f.dataType) > 0)
+              maxs(i) = rendered
+          }
+        } // dead bound: nulls are still counted above; values need no work
+        i += 1
+      }
+    }
+
+    private def compareTo2(a: String, b: String, dt: DataType): Int = dt match {
+      case StringType => a.compareTo(b)
+      case BooleanType => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+      case org.apache.spark.sql.types.DoubleType |
+          org.apache.spark.sql.types.FloatType =>
+        java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _ => java.lang.Long.compare(a.toLong, b.toLong)
+    }
+
+    private def isAscii(u: UTF8String): Boolean = {
+      var i = 0
+      val nb = u.numBytes
+      while (i < nb) {
+        if ((u.getByte(i) & 0x80) != 0) return false
+        i += 1
+      }
+      true
+    }
+
+    def result(): Map[String, GraftLakeStore.ColStats] =
+      cols.indices.map { i =>
+        val (f, _) = cols(i)
+        val (mn, mx) =
+          if (dead(i)) (None, None)
+          else (Option(mins(i)), Option(maxs(i)))
+        f.name -> GraftLakeStore.ColStats(mn, mx, nulls(i))
+      }.toMap
+  }
 }
 
 private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
@@ -642,20 +848,23 @@ private[v2] class LakeWriterFactory(dataDir: String, schema: StructType,
       private val toUnsafe =
         org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
       private val open = mutable.LinkedHashMap[Seq[Option[String]],
-        (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String, Array[Long])]()
+        (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String, Array[Long],
+          LakeStatsPruning.Collector)]()
 
       private def writerFor(pvals: Seq[Option[String]]) =
         open.getOrElseUpdate(pvals, {
           val name = s"f-$partitionId-$taskId-${UUID.randomUUID().toString.take(12)}.parquet"
-          (LakeParquet.writer(s"$dataDir/$name", schema), name, Array(0L))
+          (LakeParquet.writer(s"$dataDir/$name", schema), name, Array(0L),
+            new LakeStatsPruning.Collector(schema))
         })
 
       override def write(row: InternalRow): Unit = {
         val u = toUnsafe(row)
         val pvals = partitionOrds.indices.map(i =>
           LakeTable.renderPartitionValue(u, partitionOrds(i), pTypes(i)))
-        val (w, _, n) = writerFor(pvals)
+        val (w, _, n, stats) = writerFor(pvals)
         w.write(u)
+        stats.update(u)
         n(0) += 1
       }
       // the metadata-projecting write task hands (metadata, data) —
@@ -663,15 +872,15 @@ private[v2] class LakeWriterFactory(dataDir: String, schema: StructType,
       override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
 
       override def commit(): WriterCommitMessage = {
-        val files = open.map { case (pvals, (w, name, n)) =>
+        val files = open.map { case (pvals, (w, name, n, stats)) =>
           w.close()
-          PendingFile(name, n(0), pvals)
+          PendingFile(name, n(0), pvals, stats.result())
         }.toSeq
         open.clear()
         LakeCommit(files)
       }
       override def abort(): Unit = {
-        open.foreach { case (_, (w, name, _)) =>
+        open.foreach { case (_, (w, name, _, _)) =>
           try w.close() catch { case _: Throwable => }
           try java.nio.file.Files.deleteIfExists(
             java.nio.file.Paths.get(dataDir, name))

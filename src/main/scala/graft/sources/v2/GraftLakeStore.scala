@@ -54,17 +54,28 @@ object GraftLakeStore {
     * evolution adds table columns no old file holds). `partition` =
     * identity-partition values rendered as strings (None = SQL NULL). */
   final case class LakeFile(id: Int, path: String, rows: Long,
-      columns: Seq[String], partition: Map[String, Option[String]])
+      columns: Seq[String], partition: Map[String, Option[String]],
+      stats: Map[String, ColStats] = Map.empty)
 
-  /** A parsed, immutable snapshot. */
+  /** Per-file column statistics collected by the write task — the
+    * data-skipping metadata (Iceberg's file metrics). min/max are
+    * present iff the file holds at least one non-null value AND the
+    * writer could bound it (long strings invalidate the bound rather
+    * than record a truncated lie); `nulls` is always exact. */
+  final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+
+  /** A parsed, immutable snapshot. `op` records what created it —
+    * create/append/overwrite/replace/schema — purely descriptive
+    * metadata surfaced by the history view (q222). */
   final case class Snapshot(version: Int, schema: StructType,
-      partitionCols: Seq[String], files: Seq[LakeFile], maxFileId: Int)
+      partitionCols: Seq[String], files: Seq[LakeFile], maxFileId: Int,
+      op: String = "create")
 
   /** A file a write task produced, not yet committed: name is relative
     * to the table's data dir; partition values align with the table's
     * partitionCols. */
   final case class PendingFile(name: String, rows: Long,
-      partition: Seq[Option[String]])
+      partition: Seq[Option[String]], stats: Map[String, ColStats] = Map.empty)
 
   /** Default root: one per JVM (all catalog instances without an
     * explicit `root` option share it — session clones see one store,
@@ -165,7 +176,7 @@ object GraftLakeStore {
       retryCommit { base =>
         val (entries, maxId) = assignIds(base, newFiles)
         base.copy(version = base.version + 1, files = base.files ++ entries,
-          maxFileId = maxId)
+          maxFileId = maxId, op = "append")
       }
 
     /** Truncate-replace (INSERT OVERWRITE): the new content is the
@@ -174,7 +185,8 @@ object GraftLakeStore {
     def commitTruncate(newFiles: Seq[PendingFile]): Int =
       retryCommit { base =>
         val (entries, maxId) = assignIds(base, newFiles)
-        base.copy(version = base.version + 1, files = entries, maxFileId = maxId)
+        base.copy(version = base.version + 1, files = entries,
+          maxFileId = maxId, op = "overwrite")
       }
 
     /** Row-level replace: drop `replacedIds` (the files the operation's
@@ -194,7 +206,7 @@ object GraftLakeStore {
       val (entries, maxId) = assignIds(base, newFiles)
       val next = base.copy(version = base.version + 1,
         files = base.files.filterNot(f => replacedIds.contains(f.id)) ++ entries,
-        maxFileId = maxId)
+        maxFileId = maxId, op = "replace")
       if (!tryPublish(next))
         throw new CommitConflictException(
           s"$tableName: version ${next.version} was published concurrently " +
@@ -204,7 +216,8 @@ object GraftLakeStore {
 
     /** Metadata-only commit: new schema, every file carried over. */
     def commitSchema(newSchema: StructType): Int =
-      retryCommit { base => base.copy(version = base.version + 1, schema = newSchema) }
+      retryCommit { base =>
+        base.copy(version = base.version + 1, schema = newSchema, op = "schema") }
 
     /** Expire all snapshots except the newest `keepLast`. Data files
       * referenced by a survivor are retained; files referenced only by
@@ -236,7 +249,7 @@ object GraftLakeStore {
       val entries = newFiles.map { pf =>
         id += 1
         LakeFile(id, s"data/${pf.name}", pf.rows, base.schema.fieldNames.toSeq,
-          base.partitionCols.zip(pf.partition).toMap)
+          base.partitionCols.zip(pf.partition).toMap, pf.stats)
       }
       (entries, id)
     }
@@ -289,11 +302,17 @@ object GraftLakeStore {
     val files = s.files.map { f =>
       val part = f.partition.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${esc(k)}:${v.map(esc).getOrElse("null")}" }.mkString("{", ",", "}")
+      val stats = f.stats.toSeq.sortBy(_._1).map { case (k, st) =>
+        s"${esc(k)}:{" +
+          s""""min":${st.min.map(esc).getOrElse("null")},""" +
+          s""""max":${st.max.map(esc).getOrElse("null")},""" +
+          s""""nulls":${st.nulls}}"""
+      }.mkString("{", ",", "}")
       s"""{"id":${f.id},"path":${esc(f.path)},"rows":${f.rows},""" +
         s""""columns":${f.columns.map(esc).mkString("[", ",", "]")},""" +
-        s""""partition":$part}"""
+        s""""partition":$part,"stats":$stats}"""
     }.mkString("[", ",", "]")
-    s"""{"version":${s.version},"maxFileId":${s.maxFileId},""" +
+    s"""{"version":${s.version},"maxFileId":${s.maxFileId},"op":${esc(s.op)},""" +
       s""""partitionCols":${s.partitionCols.map(esc).mkString("[", ",", "]")},""" +
       s""""schema":${s.schema.json},"files":$files}"""
   }
@@ -306,14 +325,20 @@ object GraftLakeStore {
       val part = f.get("partition").properties().asScala.map { e =>
         e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
       }.toMap
+      val stats = Option(f.get("stats")).map(_.properties().asScala.map { e =>
+        def os(x: JsonNode) = if (x == null || x.isNull) None else Some(x.asText())
+        e.getKey -> ColStats(os(e.getValue.get("min")), os(e.getValue.get("max")),
+          e.getValue.get("nulls").asLong())
+      }.toMap).getOrElse(Map.empty[String, ColStats])
       LakeFile(f.get("id").asInt(), f.get("path").asText(), f.get("rows").asLong(),
-        strs(f.get("columns")), part)
+        strs(f.get("columns")), part, stats)
     }.toSeq
     Snapshot(
       n.get("version").asInt(),
       DataType.fromJson(n.get("schema").toString).asInstanceOf[StructType],
       strs(n.get("partitionCols")),
       files,
-      n.get("maxFileId").asInt())
+      n.get("maxFileId").asInt(),
+      Option(n.get("op")).map(_.asText()).getOrElse("create"))
   }
 }

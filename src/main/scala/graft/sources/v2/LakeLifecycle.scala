@@ -231,12 +231,64 @@ object LakeLifecycle {
          |GROUP BY o_month ORDER BY o_month""".stripMargin)
   }
 
+  // ---- q221: min/max data skipping --------------------------------
+
+  /** Orders ingested RANGE-CLUSTERED on the key (repartitionByRange →
+    * each write task holds one disjoint key range), so every file's
+    * manifest carries tight o_orderkey min/max — the layout a
+    * sorted-ingest or clustered table produces, and what makes the
+    * stats usable (random placement gives every file the full range
+    * and skips nothing). */
+  private def ensureClustered(s: SparkSession, dir: String): String =
+    memo(s, dir, "clustered") { (ss, id) =>
+      val tbl = s"graft_lake.lake.orders_rng$id"
+      ss.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, price_cents BIGINT)")
+      val src = Tables(ss, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          Exact.cents(col("o_totalprice")).as("price_cents"))
+      src.repartitionByRange(8, col("o_orderkey")).writeTo(tbl).append()
+      tbl
+    }
+
+  /** q221: a key-range question answered by opening only the files
+    * whose [min,max] intersects it — LakeDmlSpec pins the planned
+    * split count; the oracle is the same range over raw orders. */
+  def dataSkippingScan(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureClustered(s, dir)
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT count(*) AS n_orders,
+         | CAST(sum(price_cents) / 100.0 AS DOUBLE) AS sum_total
+         |FROM $tbl WHERE o_orderkey BETWEEN 100 AND 1000""".stripMargin)
+  }
+
+  // ---- q222: snapshot history --------------------------------------
+
+  /** q222: the table's commit history from manifests alone — version,
+    * operation kind, row count per snapshot (Delta's DESCRIBE HISTORY
+    * shape). Driver-side work is one KB-sized manifest read per
+    * version (bounded by history length, never data size); the row
+    * counts come from write-task metadata, so the oracle — which
+    * RECOMPUTES each version's count from the raw tables — also gates
+    * that the manifests' accounting matches the data. */
+  def lakeHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tbl = MergeQueries.ensureStaged(s, dir)
+    val handle = GraftLakeStore
+      .get(GraftLakeStore.defaultRoot, tbl.stripPrefix("graft_lake.")).get
+    (0 to handle.latestVersion).map { v =>
+      val sn = handle.snapshot(v)
+      (v, sn.op, sn.files.map(_.rows).sum)
+    }.toDF("version", "operation", "n_rows").orderBy("version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_change_feed_consumer" -> (changeFeedConsumer _),
     "q217_snapshot_expiration" -> (snapshotExpiration _),
     "q218_lake_compaction" -> (lakeCompaction _),
     "q219_schema_evolution" -> (schemaEvolutionRead _),
-    "q220_partitioned_lake" -> (partitionedLakeScan _))
+    "q220_partitioned_lake" -> (partitionedLakeScan _),
+    "q221_lake_data_skipping" -> (dataSkippingScan _),
+    "q222_lake_history" -> (lakeHistory _))
 
   val oracle: Map[String, String] = Map(
     // the feed-reconstructed state must equal the post-MERGE batch
@@ -259,5 +311,30 @@ object LakeLifecycle {
         |FROM nation o ORDER BY n_nationkey""".stripMargin,
     // q65's oracle verbatim: partitioning must not change the answer
     "q220_partitioned_lake" ->
-      graft.sources.LayoutQueries.oracle("q65_partition_pruning"))
+      graft.sources.LayoutQueries.oracle("q65_partition_pruning"),
+    // skipping must not change the answer: same range over raw orders
+    "q221_lake_data_skipping" ->
+      """SELECT count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS DOUBLE)
+        |  AS sum_total
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 1000""".stripMargin,
+    // each version's manifest row count recomputed from the raw
+    // tables: v1 = the seed, v2 = seed − deletes + inserts under q97's
+    // change-set (matched-D = 1995-order customers whose max status is
+    // F; inserted = the %97 key space)
+    "q222_lake_history" ->
+      """SELECT CAST(0 AS INT) AS version, 'create' AS operation,
+        | CAST(0 AS BIGINT) AS n_rows
+        |UNION ALL
+        |SELECT 1, 'append', (SELECT count(*) FROM customer)
+        |UNION ALL
+        |SELECT 2, 'replace',
+        | (SELECT count(*) FROM customer)
+        | - (SELECT count(*) FROM customer c WHERE c.c_custkey IN (
+        |      SELECT o_custkey FROM orders
+        |      WHERE o_orderdate >= DATE '1995-01-01'
+        |        AND o_orderdate < DATE '1996-01-01'
+        |      GROUP BY o_custkey HAVING max(o_orderstatus) = 'F'))
+        | + (SELECT count(*) FROM customer WHERE c_custkey % 97 = 0)
+        |ORDER BY version""".stripMargin)
 }

@@ -126,6 +126,80 @@ class LakeDmlSpec extends SparkSpec {
       === (0L until 120L).filter(_ % 12 == 2).sum)
   }
 
+  test("min/max data skipping: a key-range predicate plans only intersecting files") {
+    val root = graft.util.TempDirs.create("graft_lake_skip_").toString
+    val ss = lakeSession("skp", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE skp.ns.t (k BIGINT, v STRING)")
+    (0L until 800L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(8, $"k").writeTo("skp.ns.t").append()
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val files = handle.snapshot(1).files
+    assert(files.size === 8)
+    // every file carries tight long bounds and exact null counts
+    files.foreach { f =>
+      val st = f.stats("k")
+      assert(st.min.isDefined && st.max.isDefined && st.nulls === 0L, f)
+      assert(st.min.get.toLong <= st.max.get.toLong)
+    }
+    // a range inside one ~100-key stripe plans 1-2 files, not 8
+    val pruned = ss.sql("SELECT k FROM skp.ns.t WHERE k BETWEEN 120 AND 140")
+    assert(pruned.rdd.getNumPartitions <= 2,
+      s"expected <=2 of 8 files under the range, got ${pruned.rdd.getNumPartitions}")
+    assert(pruned.count() === 21L)
+    // point lookup: exactly one file
+    val point = ss.sql("SELECT v FROM skp.ns.t WHERE k = 555")
+    assert(point.rdd.getNumPartitions === 1)
+    assert(point.collect().map(_.getString(0)).toSeq === Seq("v555"))
+    // skipping composes with DML: a ranged DELETE rewrites only the
+    // intersecting file(s) even before runtime filtering
+    ss.sql("DELETE FROM skp.ns.t WHERE k BETWEEN 120 AND 140")
+    val next = handle.snapshot(2)
+    val carried = next.files.map(_.id).toSet.intersect(files.map(_.id).toSet)
+    assert(carried.size >= 6, s"ranged DELETE should carry >=6 of 8 files, " +
+      s"carried ${carried.size}")
+    assert(ss.sql("SELECT count(*) FROM skp.ns.t").head().getLong(0) === 779L)
+  }
+
+  test("stats honesty: all-NULL prunes equality, IsNull/IsNotNull prune by null counts") {
+    val root = graft.util.TempDirs.create("graft_lake_nulls_").toString
+    val ss = lakeSession("nul", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE nul.ns.t (k BIGINT, v BIGINT)")
+    // file A: v all NULL; file B: v never NULL — written as two appends
+    (1L to 5L).map(k => (k, None: Option[Long])).toDF("k", "v")
+      .coalesce(1).writeTo("nul.ns.t").append()
+    (6L to 9L).map(k => (k, Some(k * 10))).toDF("k", "v")
+      .coalesce(1).writeTo("nul.ns.t").append()
+    val eq = ss.sql("SELECT k FROM nul.ns.t WHERE v = 70")
+    assert(eq.rdd.getNumPartitions === 1) // all-NULL file proves no match
+    assert(eq.collect().map(_.getLong(0)).toSeq === Seq(7L))
+    val isNull = ss.sql("SELECT k FROM nul.ns.t WHERE v IS NULL")
+    assert(isNull.rdd.getNumPartitions === 1) // zero-nulls file pruned
+    assert(isNull.count() === 5L)
+    val isNotNull = ss.sql("SELECT k FROM nul.ns.t WHERE v IS NOT NULL")
+    assert(isNotNull.rdd.getNumPartitions === 1) // all-null file pruned
+    assert(isNotNull.count() === 4L)
+  }
+
+  test("q222's history matches per-version recomputes through the manifests") {
+    val root = graft.util.TempDirs.create("graft_lake_hist_").toString
+    val ss = lakeSession("hst", root)
+    ss.sql("CREATE TABLE hst.ns.t (k BIGINT)")
+    ss.sql("INSERT INTO hst.ns.t VALUES (1), (2), (3)")
+    ss.sql("DELETE FROM hst.ns.t WHERE k = 2")
+    ss.sql("INSERT OVERWRITE hst.ns.t VALUES (9)")
+    ss.sql("ALTER TABLE hst.ns.t ADD COLUMN note STRING")
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val hist = (0 to handle.latestVersion).map { v =>
+      val sn = handle.snapshot(v)
+      (v, sn.op, sn.files.map(_.rows).sum)
+    }
+    assert(hist === Seq(
+      (0, "create", 0L), (1, "append", 3L), (2, "replace", 2L),
+      (3, "overwrite", 1L), (4, "schema", 1L)))
+  }
+
   test("partitioned DML: UPDATE of one partition leaves other partitions' files untouched") {
     val root = graft.util.TempDirs.create("graft_lake_partdml_").toString
     val ss = lakeSession("pdm", root)
