@@ -336,6 +336,8 @@ object Bench {
       SparkEntry.queries("q214_streaming_mv_refresh")(spark, sfDir).count())
     staged("q216_change_feed_consumer")(
       SparkEntry.queries("q216_change_feed_consumer")(spark, sfDir).count())
+    staged("q223_streaming_lake_sink")(
+      SparkEntry.queries("q223_streaming_lake_sink")(spark, sfDir).count())
     staged("q217_snapshot_expiration")(
       SparkEntry.queries("q217_snapshot_expiration")(spark, sfDir).count())
     staged("q218_lake_compaction")(

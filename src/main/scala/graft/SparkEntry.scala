@@ -41,7 +41,8 @@ object SparkEntry {
     "q118_streaming_foreachbatch", "q131_stream_static_join",
     "q184_transform_with_state", "q185_statestore_read",
     "q200_streaming_timers", "q214_streaming_mv_refresh",
-    "q216_change_feed_consumer", "q72_jdbc_roundtrip")
+    "q216_change_feed_consumer", "q223_streaming_lake_sink",
+    "q72_jdbc_roundtrip")
 
   // every excluded name must exist — the predecessor of this list
   // carried four misspelled entries for a full round, silently turning

@@ -181,7 +181,8 @@ class LakeTable(ident: String, handle: TableHandle, pinned: Option[Int])
   override def capabilities(): util.Set[TableCapability] =
     if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** `_split`: the stable id of the data FILE holding the row — the
     * lake analog of Iceberg's `_file`, doubling as the GROUP identity
@@ -210,7 +211,8 @@ class LakeTable(ident: String, handle: TableHandle, pinned: Option[Int])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, s"${name()}: a version-pinned read cannot be written")
-    new LakeWriteBuilder(handle, LakeTable.checkedSchema(handle, info))
+    new LakeWriteBuilder(handle, LakeTable.checkedSchema(handle, info),
+      info.queryId())
   }
 
   /** Group-based (copy-on-write) row-level operations with RUNTIME
@@ -775,13 +777,13 @@ private[v2] class LakeReaderFactory(required: StructType)
   }
 }
 
-private[v2] class LakeWriteBuilder(handle: TableHandle, writeSchema: StructType)
-    extends WriteBuilder with SupportsTruncate {
+private[v2] class LakeWriteBuilder(handle: TableHandle, writeSchema: StructType,
+    queryId: String) extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
   override def build(): Write =
     new LakeWrite(handle, writeSchema,
-      if (replace) LakeWrite.Truncate else LakeWrite.Append)
+      if (replace) LakeWrite.Truncate else LakeWrite.Append, queryId)
 }
 
 private[v2] object LakeWrite {
@@ -794,9 +796,41 @@ private[v2] object LakeWrite {
 }
 
 private[v2] class LakeWrite(handle: TableHandle, writeSchema: StructType,
-    mode: LakeWrite.Mode) extends Write with BatchWrite {
+    mode: LakeWrite.Mode, queryId: String = "") extends Write with BatchWrite {
 
   override def toBatch: BatchWrite = this
+
+  /** Streaming APPEND sink: every micro-batch epoch commits as one
+    * snapshot, deduplicated by (queryId, epochId) so a replayed epoch
+    * (retry after a commit that beat the checkpoint) appends nothing
+    * twice — the lake-side half of exactly-once, complementing the
+    * change-feed source. Append-only by design: Complete-mode
+    * truncation per epoch is rejected loudly. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(mode == LakeWrite.Append,
+      s"graft_lake streaming writes are append-only (got $mode)")
+    val write = this
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+        val batch = write.createBatchWriterFactory(info)
+        new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+          override def createWriter(partitionId: Int, taskId: Long,
+              epochId: Long): DataWriter[InternalRow] =
+            batch.createWriter(partitionId, taskId)
+        }
+      }
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+        val files = messages.flatMap(_.asInstanceOf[LakeCommit].files).toSeq
+        val (_, committed) = handle.commitEpochAppend(queryId, epochId, files)
+        // duplicate replay: this epoch's rows are already in the table;
+        // the re-written files must not linger as orphans
+        if (!committed) write.deleteFiles(files)
+      }
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        write.abort(messages)
+    }
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val snap = handle.snapshot(handle.latestVersion)
@@ -823,7 +857,7 @@ private[v2] class LakeWrite(handle: TableHandle, writeSchema: StructType,
       case m: LakeCommit => m.files
     }.flatten.toSeq)
 
-  private def deleteFiles(files: Seq[PendingFile]): Unit =
+  private[v2] def deleteFiles(files: Seq[PendingFile]): Unit =
     files.foreach { f =>
       try java.nio.file.Files.deleteIfExists(handle.dataDir.resolve(f.name))
       catch { case _: java.io.IOException => }

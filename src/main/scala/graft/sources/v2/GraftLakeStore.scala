@@ -66,10 +66,15 @@ object GraftLakeStore {
 
   /** A parsed, immutable snapshot. `op` records what created it —
     * create/append/overwrite/replace/schema — purely descriptive
-    * metadata surfaced by the history view (q222). */
+    * metadata surfaced by the history view (q222). `txn` is the
+    * exactly-once marker of a STREAMING epoch commit: (queryId,
+    * epochId) of the micro-batch that produced this snapshot, checked
+    * by [[TableHandle.commitEpochAppend]] so a replayed epoch (task
+    * retry after a commit that beat the checkpoint) commits nothing
+    * twice — Delta's txn-version device. */
   final case class Snapshot(version: Int, schema: StructType,
       partitionCols: Seq[String], files: Seq[LakeFile], maxFileId: Int,
-      op: String = "create")
+      op: String = "create", txn: Option[(String, Long)] = None)
 
   /** A file a write task produced, not yet committed: name is relative
     * to the table's data dir; partition values align with the table's
@@ -214,6 +219,35 @@ object GraftLakeStore {
       next.version
     }
 
+    /** Streaming epoch append with exactly-once replay protection:
+      * if ANY retained snapshot already carries this (queryId,
+      * epochId) txn marker, the epoch was committed before a failure
+      * and this call is its replay — commit nothing and report the
+      * duplicate so the caller can delete the re-written files.
+      * Returns (version, committed?). */
+    def commitEpochAppend(queryId: String, epochId: Long,
+        newFiles: Seq[PendingFile]): (Int, Boolean) = {
+      var attempts = 0
+      while (true) {
+        val latest = latestVersion
+        val dup = (latest to 0 by -1).exists { v =>
+          try snapshot(v).txn.contains((queryId, epochId))
+          catch { case _: IllegalStateException => false } // expired: older than any replay window
+        }
+        if (dup) return (latest, false)
+        val base = snapshot(latest)
+        val (entries, maxId) = assignIds(base, newFiles)
+        val next = base.copy(version = base.version + 1,
+          files = base.files ++ entries, maxFileId = maxId,
+          op = "append", txn = Some((queryId, epochId)))
+        if (tryPublish(next)) return (next.version, true)
+        attempts += 1
+        if (attempts > 100) throw new IllegalStateException(
+          s"$tableName: epoch commit still racing after $attempts attempts")
+      }
+      (-1, false) // unreachable
+    }
+
     /** Metadata-only commit: new schema, every file carried over. */
     def commitSchema(newSchema: StructType): Int =
       retryCommit { base =>
@@ -312,7 +346,9 @@ object GraftLakeStore {
         s""""columns":${f.columns.map(esc).mkString("[", ",", "]")},""" +
         s""""partition":$part,"stats":$stats}"""
     }.mkString("[", ",", "]")
-    s"""{"version":${s.version},"maxFileId":${s.maxFileId},"op":${esc(s.op)},""" +
+    val txn = s.txn.map { case (q, e) =>
+      s""""txnQuery":${esc(q)},"txnEpoch":$e,""" }.getOrElse("")
+    s"""{"version":${s.version},"maxFileId":${s.maxFileId},"op":${esc(s.op)},$txn""" +
       s""""partitionCols":${s.partitionCols.map(esc).mkString("[", ",", "]")},""" +
       s""""schema":${s.schema.json},"files":$files}"""
   }
@@ -339,6 +375,7 @@ object GraftLakeStore {
       strs(n.get("partitionCols")),
       files,
       n.get("maxFileId").asInt(),
-      Option(n.get("op")).map(_.asText()).getOrElse("create"))
+      Option(n.get("op")).map(_.asText()).getOrElse("create"),
+      Option(n.get("txnQuery")).map(q => (q.asText(), n.get("txnEpoch").asLong())))
   }
 }

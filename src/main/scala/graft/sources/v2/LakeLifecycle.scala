@@ -281,8 +281,70 @@ object LakeLifecycle {
     }.toDF("version", "operation", "n_rows").orderBy("version")
   }
 
+  // ---- q223: native streaming APPEND sink ---------------------------
+
+  /** Stage the events source as three files so maxFilesPerTrigger=1
+    * yields three genuine micro-batches (the q115 split-3 device). */
+  private def ensureEventsSplit(s: SparkSession, dir: String): String =
+    memo(s, dir, "evsplit") { (ss, id) =>
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val out = graft.util.TempDirs.create(s"graft_lake_evsplit$id" + "_")
+      val ev = ss.read.parquet(s"$dir/events.parquet")
+      (0 until 3).foreach { i =>
+        val part = graft.util.TempDirs.create(s"graft_lake_evpart$i" + "_")
+        ev.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(part.toString)
+        val l = java.nio.file.Files.list(part)
+        val f = try l.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally l.close()
+        java.nio.file.Files.move(f, out.resolve(s"events_$i.parquet"))
+      }
+      out.toString
+    }
+
+  /** Staging: `writeStream.toTable` straight into a lake table — the
+    * catalog's native STREAMING_WRITE path, no foreachBatch. Each
+    * micro-batch epoch commits as one snapshot carrying its (queryId,
+    * epochId) txn marker, so a replayed epoch appends nothing twice
+    * (LakeFeedSpec pins the dedup and the 3-epoch history). With the
+    * change-feed source (q216) this closes the loop: streams in and
+    * out of the lake, both through the real engine. */
+  private def ensureStreamSink(s: SparkSession, dir: String): String =
+    memo(s, dir, "streamsink") { (ss, id) =>
+      val tbl = s"graft_lake.lake.events_sink$id"
+      ss.sql(s"CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, value_cents BIGINT)")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = ensureEventsSplit(s, dir)
+      val schema = ss.read.parquet(s"$dir/events.parquet").schema
+      val chk = graft.util.TempDirs.create(s"graft_lake_sinkchk$id" + "_").toString
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          Exact.cents(col("value")).as("value_cents"))
+        .writeStream
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .toTable(tbl)
+      q.awaitTermination()
+      tbl
+    }
+
+  /** q223: the streamed-in table's rollup — must equal the batch
+    * aggregate over raw events (ingestion was append-only and
+    * exactly-once). */
+  def streamingLakeSink(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureStreamSink(s, dir)
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT count(*) AS n_events,
+         | count(DISTINCT user_id) AS n_users,
+         | CAST(sum(value_cents) / 100.0 AS DOUBLE) AS total_value
+         |FROM $tbl""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_change_feed_consumer" -> (changeFeedConsumer _),
+    "q223_streaming_lake_sink" -> (streamingLakeSink _),
     "q217_snapshot_expiration" -> (snapshotExpiration _),
     "q218_lake_compaction" -> (lakeCompaction _),
     "q219_schema_evolution" -> (schemaEvolutionRead _),
@@ -294,6 +356,14 @@ object LakeLifecycle {
     // the feed-reconstructed state must equal the post-MERGE batch
     // truth: q97's oracle verbatim (q208 shares it the same way)
     "q216_change_feed_consumer" -> graft.operators.CdcOps.oracle("q97_cdc_merge"),
+    // the streamed-in table must hold exactly the source: same rollup
+    // over raw events
+    "q223_streaming_lake_sink" ->
+      """SELECT count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS DOUBLE)
+        |  AS total_value
+        |FROM events""".stripMargin,
     // expiration moved no data: the retained latest = the seed
     // (rollback restored it), q209's oracle verbatim
     "q217_snapshot_expiration" -> MergeQueries.oracle("q209_time_travel"),

@@ -116,6 +116,37 @@ class LakeFeedSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q223 streaming sink: one snapshot per epoch, txn-marked, replays append nothing") {
+    import org.apache.spark.sql.functions._
+    // stage + read through the declared query first (memoized)
+    val got = LakeLifecycle.streamingLakeSink(spark, sf).collect().toSeq
+    val want = graft.Tables(spark, sf, "events")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        (sum(graft.operators.Exact.cents(col("value"))) / 100.0)
+          .cast("double").as("total_value")).collect().toSeq
+    assert(got === want)
+    // history: v0 create + exactly one append snapshot per micro-batch
+    // epoch, each carrying its distinct (queryId, epochId) txn marker
+    val tbls = GraftLakeStore.list(GraftLakeStore.defaultRoot, "lake.events_sink")
+    assert(tbls.size === 1, tbls)
+    val handle = GraftLakeStore.get(GraftLakeStore.defaultRoot, tbls.head).get
+    assert(handle.latestVersion === 3)
+    val snaps = (1 to 3).map(handle.snapshot)
+    assert(snaps.forall(_.op == "append"))
+    val txns = snaps.flatMap(_.txn)
+    assert(txns.size === 3 && txns.distinct.size === 3, txns)
+    assert(txns.map(_._1).distinct.size === 1, "one query id across epochs")
+    // exactly-once: replaying a committed epoch appends NOTHING
+    val (q, e) = txns.last
+    val (v, committed) = handle.commitEpochAppend(q, e, Seq.empty)
+    assert(!committed && v === 3)
+    assert(handle.latestVersion === 3)
+    // while a genuinely new epoch commits
+    val (v2, c2) = handle.commitEpochAppend(q, e + 100, Seq.empty)
+    assert(c2 && v2 === 4)
+  }
+
   test("q219 reads across the evolution boundary; q220 equals the unpartitioned rollup") {
     val evo = LakeLifecycle.schemaEvolutionRead(spark, sf).collect().toSeq
     assert(evo.size === 25)
