@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -85,10 +85,27 @@ private[v2] case class LakeFeedPartition(absPath: String,
   extends InputPartition
 
 private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow contract: capture the end of "available" ONCE
+  // at query start; every later latestOffset() answers that bound, so
+  // the run drains exactly the versions that existed when it began and
+  // terminates deterministically (without this, Spark falls back to a
+  // single-batch mode whose termination is best-effort — observed
+  // flaking to zero batches under a loaded suite)
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(handle.latestVersion)
 
   override def initialOffset(): Offset = LakeFeedOffset(0)
-  override def latestOffset(): Offset = LakeFeedOffset(handle.latestVersion)
+  override def latestOffset(): Offset =
+    LakeFeedOffset(availableNowTarget.getOrElse(handle.latestVersion))
+  // SupportsAdmissionControl variant (the one the engine actually
+  // calls): no rate limiting — a version range is already the natural
+  // admission unit, so every micro-batch drains to the bound
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
   override def deserializeOffset(json: String): Offset =
     LakeFeedOffset(json.trim.toInt)
 

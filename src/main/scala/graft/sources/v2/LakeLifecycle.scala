@@ -342,9 +342,57 @@ object LakeLifecycle {
          |FROM $tbl""".stripMargin)
   }
 
+  // ---- q224: Z-ordered lake compaction ------------------------------
+
+  /** Stage lineitem keys into the lake RANDOMLY placed (repartition →
+    * every file spans the whole key space, stats prune nothing), then
+    * rewrite Z-ORDERED as one overwrite snapshot: cluster by the
+    * (l_partkey, l_suppkey) Morton code (ZOrderQueries.zvalue — the
+    * codegen'd bit-interleave, no UDF), range-partitioned + sorted so
+    * each file covers a small RECTANGLE of the 2-D key space and the
+    * manifest's min/max become selective in BOTH dimensions at once —
+    * OPTIMIZE ZORDER as a lake snapshot, composing q104's device with
+    * the round-9 stats skipping. LakeDmlSpec pins that the z-ordered
+    * layout plans strictly fewer files under a box predicate than the
+    * random layout did. */
+  private def ensureZOrdered(s: SparkSession, dir: String): String =
+    memo(s, dir, "zorder") { (ss, id) =>
+      val tbl = s"graft_lake.lake.li_z$id"
+      ss.sql(s"CREATE TABLE $tbl " +
+        "(l_partkey BIGINT, l_suppkey BIGINT, price_cents BIGINT)")
+      Tables(ss, dir, "lineitem")
+        .select(col("l_partkey").cast("long").as("l_partkey"),
+          col("l_suppkey").cast("long").as("l_suppkey"),
+          Exact.cents(col("l_extendedprice")).as("price_cents"))
+        .repartition(8) // deliberately unclustered: the "before" layout
+        .writeTo(tbl).append()
+      val z = graft.sources.ZOrderQueries.zvalue(col("l_partkey"), col("l_suppkey"))
+      ss.table(tbl)
+        .withColumn("__z", z)
+        .repartitionByRange(8, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .writeTo(tbl).overwrite(lit(true))
+      tbl
+    }
+
+  /** q224: a 2-D box question over the z-ordered lake table — the scan
+    * plans only files whose stats-rectangle intersects the box; the
+    * oracle is the same box over raw lineitem. */
+  def zorderedLakeScan(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureZOrdered(s, dir)
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT count(*) AS n_items,
+         | CAST(sum(price_cents) / 100.0 AS DOUBLE) AS sum_price
+         |FROM $tbl
+         |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 2 AND 8
+         |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_change_feed_consumer" -> (changeFeedConsumer _),
     "q223_streaming_lake_sink" -> (streamingLakeSink _),
+    "q224_lake_zorder" -> (zorderedLakeScan _),
     "q217_snapshot_expiration" -> (snapshotExpiration _),
     "q218_lake_compaction" -> (lakeCompaction _),
     "q219_schema_evolution" -> (schemaEvolutionRead _),
@@ -382,6 +430,13 @@ object LakeLifecycle {
     // q65's oracle verbatim: partitioning must not change the answer
     "q220_partitioned_lake" ->
       graft.sources.LayoutQueries.oracle("q65_partition_pruning"),
+    // the z-ordered rewrite changes layout only: same box over raw rows
+    "q224_lake_zorder" ->
+      """SELECT count(*) AS n_items,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS DOUBLE)
+        |  AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 2 AND 8""".stripMargin,
     // skipping must not change the answer: same range over raw orders
     "q221_lake_data_skipping" ->
       """SELECT count(*) AS n_orders,

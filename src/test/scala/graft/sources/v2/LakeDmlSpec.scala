@@ -2,6 +2,7 @@ package graft.sources.v2
 
 import graft.SparkSpec
 import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Row-level operations over the file-backed lake: runtime group
   * filtering bounds the copy-on-write footprint, ALTER TABLE ADD COLUMN
@@ -180,6 +181,34 @@ class LakeDmlSpec extends SparkSpec {
     val isNotNull = ss.sql("SELECT k FROM nul.ns.t WHERE v IS NOT NULL")
     assert(isNotNull.rdd.getNumPartitions === 1) // all-null file pruned
     assert(isNotNull.count() === 4L)
+  }
+
+  test("z-ordered compaction makes stats selective in BOTH dimensions") {
+    val root = graft.util.TempDirs.create("graft_lake_z_").toString
+    val ss = lakeSession("zor", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE zor.ns.t (a BIGINT, b BIGINT)")
+    // 32x32 grid, randomly placed across 8 files: every file spans the
+    // whole key space, so a box predicate prunes nothing
+    val grid = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    grid.toDF("a", "b").repartition(8).writeTo("zor.ns.t").append()
+    val box = "a BETWEEN 4 AND 7 AND b BETWEEN 20 AND 23"
+    val before = ss.sql(s"SELECT a FROM zor.ns.t WHERE $box").rdd.getNumPartitions
+    assert(before === 8, "random placement must defeat stats pruning")
+    // OPTIMIZE ZORDER as one overwrite snapshot
+    val z = graft.sources.ZOrderQueries.zvalue(col("a"), col("b"), bits = 6)
+    ss.table("zor.ns.t").withColumn("__z", z)
+      .repartitionByRange(8, col("__z")).sortWithinPartitions("__z")
+      .drop("__z").writeTo("zor.ns.t").overwrite(lit(true))
+    val after = ss.sql(s"SELECT a FROM zor.ns.t WHERE $box")
+    assert(after.rdd.getNumPartitions <= 3,
+      s"z-ordered files should bound the 4x4 box to <=3 of 8 files, " +
+        s"got ${after.rdd.getNumPartitions}")
+    assert(after.count() === 16L)
+    // layout changed, answer did not; history records the rewrite
+    assert(ss.sql("SELECT count(*) FROM zor.ns.t").head().getLong(0) === 1024L)
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    assert(handle.snapshot(2).op === "overwrite")
   }
 
   test("q222's history matches per-version recomputes through the manifests") {

@@ -116,9 +116,8 @@ class LakeFeedSpec extends SparkSpec {
     assert(got === want)
   }
 
-  test("q223 streaming sink: one snapshot per epoch, txn-marked, replays append nothing") {
+  test("q223 streaming sink reconstructs the batch rollup over raw events") {
     import org.apache.spark.sql.functions._
-    // stage + read through the declared query first (memoized)
     val got = LakeLifecycle.streamingLakeSink(spark, sf).collect().toSeq
     val want = graft.Tables(spark, sf, "events")
       .agg(count(lit(1)).as("n_events"),
@@ -126,11 +125,39 @@ class LakeFeedSpec extends SparkSpec {
         (sum(graft.operators.Exact.cents(col("value"))) / 100.0)
           .cast("double").as("total_value")).collect().toSeq
     assert(got === want)
-    // history: v0 create + exactly one append snapshot per micro-batch
-    // epoch, each carrying its distinct (queryId, epochId) txn marker
-    val tbls = GraftLakeStore.list(GraftLakeStore.defaultRoot, "lake.events_sink")
-    assert(tbls.size === 1, tbls)
-    val handle = GraftLakeStore.get(GraftLakeStore.defaultRoot, tbls.head).get
+  }
+
+  test("streaming sink: one snapshot per epoch, txn-marked, replays append nothing") {
+    // self-contained staging (own root + tiny 3-file source), so the
+    // history assertions cannot collide with other suites' memoized
+    // q223 stagings at other scale factors
+    val root = graft.util.TempDirs.create("graft_sink_hist_").toString
+    val ss = lakeSession("snk", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE snk.ns.t (k BIGINT)")
+    val src = graft.util.TempDirs.create("graft_sink_src_")
+    (0 until 3).foreach { i =>
+      val part = graft.util.TempDirs.create(s"graft_sink_part$i" + "_")
+      Seq(Tuple1(i.toLong)).toDF("k").coalesce(1)
+        .write.mode("overwrite").parquet(part.toString)
+      val l = java.nio.file.Files.list(part)
+      val f = try l.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally l.close()
+      java.nio.file.Files.move(f, src.resolve(s"k_$i.parquet"))
+    }
+    val chk = graft.util.TempDirs.create("graft_sink_chk_").toString
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream.option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("snk.ns.t")
+    q.awaitTermination()
+    assert(ss.sql("SELECT sum(k) FROM snk.ns.t").head().getLong(0) === 3L)
+    // v0 create + exactly one append per epoch, each txn-marked
+    val handle = GraftLakeStore.get(root, "ns.t").get
     assert(handle.latestVersion === 3)
     val snaps = (1 to 3).map(handle.snapshot)
     assert(snaps.forall(_.op == "append"))
@@ -138,12 +165,12 @@ class LakeFeedSpec extends SparkSpec {
     assert(txns.size === 3 && txns.distinct.size === 3, txns)
     assert(txns.map(_._1).distinct.size === 1, "one query id across epochs")
     // exactly-once: replaying a committed epoch appends NOTHING
-    val (q, e) = txns.last
-    val (v, committed) = handle.commitEpochAppend(q, e, Seq.empty)
+    val (qid, e) = txns.last
+    val (v, committed) = handle.commitEpochAppend(qid, e, Seq.empty)
     assert(!committed && v === 3)
     assert(handle.latestVersion === 3)
     // while a genuinely new epoch commits
-    val (v2, c2) = handle.commitEpochAppend(q, e + 100, Seq.empty)
+    val (v2, c2) = handle.commitEpochAppend(qid, e + 100, Seq.empty)
     assert(c2 && v2 === 4)
   }
 
