@@ -11,13 +11,13 @@ import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, Suppo
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import GraftLakeStore.{LakeFile, PendingFile, Snapshot, TableHandle}
+import GraftLakeStore.{LakeFile, PendingDv, PendingFile, Snapshot, TableHandle}
 
 /** A DataSource-V2 `TableCatalog` whose tables support the row-level
   * operation protocol (`MERGE INTO` / `UPDATE` / `DELETE` as SQL
@@ -124,8 +124,18 @@ class GraftLakeCatalog extends TableCatalog {
         s"partition column $c: ${f.dataType.simpleString} is not a supported " +
           "partition type (string/int/long/short/byte/boolean)")
     }
+    // persist only the properties the engine interprets; Spark adds
+    // bookkeeping keys (owner, provider, …) a manifest need not carry
+    val mode = Option(properties.get(LakeTable.DmlModeProp))
+      .getOrElse(LakeTable.CopyOnWrite)
+    require(mode == LakeTable.CopyOnWrite || mode == LakeTable.MergeOnRead,
+      s"${LakeTable.DmlModeProp} must be '${LakeTable.CopyOnWrite}' or " +
+        s"'${LakeTable.MergeOnRead}', got '$mode'")
+    val props =
+      if (mode == LakeTable.CopyOnWrite) Map.empty[String, String]
+      else Map(LakeTable.DmlModeProp -> mode)
     val h =
-      try GraftLakeStore.create(root, key(ident), schema, pcols)
+      try GraftLakeStore.create(root, key(ident), schema, pcols, props)
       catch {
         // both the pre-checked path and a lost CREATE race raise the
         // typed error Spark callers expect
@@ -178,6 +188,15 @@ class LakeTable(ident: String, handle: TableHandle, pinned: Option[Int])
     pinned.fold(ident)(v => s"$ident@v$v")
   override def schema(): StructType =
     handle.snapshot(pinned.getOrElse(handle.latestVersion)).schema
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    handle.snapshot(pinned.getOrElse(handle.latestVersion)).props
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  private def mergeOnRead: Boolean =
+    handle.snapshot(handle.latestVersion).props
+      .get(LakeTable.DmlModeProp).contains(LakeTable.MergeOnRead)
   override def capabilities(): util.Set[TableCapability] =
     if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
@@ -191,7 +210,12 @@ class LakeTable(ident: String, handle: TableHandle, pinned: Option[Int])
     * metadata-projecting write task, the path its own reference tables
     * exercise (the projection-less task hands the writer the RAW
     * MergeRows output, leading `__row_operation` column included — the
-    * write schema no longer describes the physical rows). */
+    * write schema no longer describes the physical rows).
+    *
+    * `_pos`: the row's position within its data file (Iceberg's `_pos`)
+    * — with `_split` it forms the stable ROW IDENTITY merge-on-read
+    * row-level operations delete by (a position-delete names exactly
+    * one physical row, forever: data files are immutable). */
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = LakeTable.SplitCol
@@ -199,6 +223,13 @@ class LakeTable(ident: String, handle: TableHandle, pinned: Option[Int])
       override def isNullable: Boolean = false
       override def comment(): String =
         "stable id of the data file (write group) holding the row"
+    },
+    new MetadataColumn {
+      override def name(): String = LakeTable.PosCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "row position within the data file (with _split: the stable row id)"
     })
 
   /** The snapshot is captured when the ScanBuilder is created
@@ -228,7 +259,8 @@ class LakeTable(ident: String, handle: TableHandle, pinned: Option[Int])
     * in between fails the replace loudly (optimistic concurrency). */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new RowLevelOperation {
+    if (mergeOnRead) () => new LakeDeltaOperation(ident, handle, info)
+    else () => new RowLevelOperation {
       @volatile private var builtScan: LakeScan = _
       override def command(): RowLevelOperation.Command = info.command()
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -259,8 +291,72 @@ class LakeTable(ident: String, handle: TableHandle, pinned: Option[Int])
     }
 }
 
+/** Merge-on-read row-level operation (Spark's DELTA-based protocol,
+  * [[SupportsDelta]]): instead of rewriting matched GROUPS, the rewrite
+  * plans produce a stream of per-ROW actions — delete(rowId) /
+  * insert(row) — and the writer records deletes as position-delete
+  * vectors keyed by the stable row identity `(_split, _pos)`. No data
+  * file is rewritten, ever: a DELETE matching 0.1% of a 100 TB table
+  * commits KBs of delete parquet, where copy-on-write would rewrite the
+  * matched files. Updates are represented as delete+reinsert
+  * ([[SupportsDelta.representUpdateAsDeleteAndInsert]]), the position-
+  * delete storage model's native shape (Iceberg v2 does the same).
+  * The static filter pushdown on the operation's scan still bounds
+  * which files are READ (partition + min/max pruning); what changed vs
+  * copy-on-write is only what gets WRITTEN. */
+private[v2] class LakeDeltaOperation(ident: String, handle: TableHandle,
+    info: RowLevelOperationInfo) extends RowLevelOperation with SupportsDelta {
+
+  @volatile private var builtScan: LakeScan = _
+
+  override def command(): RowLevelOperation.Command = info.command()
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val snap = handle.snapshot(handle.latestVersion)
+    new LakeScanBuilder(handle, snap, s"$ident merge-on-read ${info.command()}") {
+      override def build(): Scan = {
+        val s = super.build().asInstanceOf[LakeScan]
+        builtScan = s
+        s
+      }
+    }
+  }
+
+  /** The stable row identity a position delete names. */
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(LakeTable.SplitCol),
+    Expressions.column(LakeTable.PosCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+
+  override def newWriteBuilder(writeInfo: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = {
+        val scan = builtScan
+        require(scan != null,
+          s"$ident: delta write built before its scan — protocol wiring bug")
+        // the row schema (insert/reinsert payload) must be the table
+        // schema; a DELETE-only plan may carry no row schema at all
+        val rowSchema = writeInfo.schema()
+        if (rowSchema.nonEmpty) LakeTable.checkedSchema(handle, writeInfo)
+        new LakeDeltaWrite(handle, scan)
+      }
+    }
+}
+
 object LakeTable {
   private[v2] val SplitCol = "_split"
+  private[v2] val PosCol = "_pos"
+
+  /** Table property selecting the row-level operation strategy:
+    * `copy-on-write` (default — matched files are rewritten) or
+    * `merge-on-read` (matched rows are recorded as position-delete
+    * vectors; no data file is rewritten). */
+  private[v2] val DmlModeProp = "write.dml.mode"
+  private[v2] val CopyOnWrite = "copy-on-write"
+  private[v2] val MergeOnRead = "merge-on-read"
 
   private[v2] def partitionableType(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | ShortType | ByteType | BooleanType => true
@@ -300,9 +396,13 @@ object LakeTable {
     })
 }
 
-/** One data file is one read split. */
+/** One data file is one read split. `dvAbsPaths` = position-delete
+  * parquets applying to this file (merge-on-read deletes, usually
+  * empty); `rows` = the file's physical row count, which bounds every
+  * delete position — the reader sizes its skip bitmap by it. */
 private[v2] case class LakeInputPartition(absPath: String, fileId: Int,
-    fileColumns: Seq[String]) extends InputPartition
+    fileColumns: Seq[String], rows: Long = 0L,
+    dvAbsPaths: Seq[String] = Seq.empty) extends InputPartition
 
 private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: String,
     rowLevel: Boolean = false)
@@ -659,7 +759,8 @@ private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
   override def planInputPartitions(): Array[InputPartition] =
     files.map { f =>
       LakeInputPartition(handle.tableDir.resolve(f.path).toString, f.id,
-        f.columns): InputPartition
+        f.columns, f.rows,
+        f.dvs.map(d => handle.tableDir.resolve(d.path).toString)): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -720,9 +821,48 @@ private[v2] object LakeScan {
   }
 }
 
+/** Position-delete vector IO: one DV file is a plain parquet of
+  * `(file_id INT, pos BIGINT)` rows — Iceberg v2's position-delete
+  * shape, readable by any engine. The loader unions every DV covering a
+  * data file into a skip bitmap sized by the file's physical rows. */
+private[v2] object LakeDv {
+  val schema: StructType = StructType(Seq(
+    StructField("file_id", IntegerType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Union of this file's deleted positions across `dvPaths`; null when
+    * there are none (the common case — skip-test elided entirely). */
+  def loadPositions(dvPaths: Seq[String], fileId: Int,
+      rows: Long): java.util.BitSet = {
+    if (dvPaths.isEmpty) return null
+    require(rows <= Int.MaxValue,
+      s"file row count $rows exceeds the position bitmap range")
+    val set = new java.util.BitSet(rows.toInt)
+    dvPaths.foreach { p =>
+      val it = LakeParquet.reader(p, Seq("file_id", "pos"))
+      try {
+        while (it.next()) {
+          val r = it.get()
+          if (r.getInt(0) == fileId) {
+            val pos = r.getLong(1)
+            require(pos >= 0 && pos < rows,
+              s"delete position $pos out of range [0, $rows) for file $fileId")
+            set.set(pos.toInt)
+          }
+        }
+      } finally it.close()
+    }
+    set
+  }
+}
+
 /** Reads one parquet data file through Spark's vectorized reader,
   * projecting into the required schema: columns the file predates
-  * (schema evolution) read NULL; `_split` reads the file id. */
+  * (schema evolution) read NULL; `_split` reads the file id, `_pos` the
+  * row's position within the file. Positions deleted by a delete
+  * vector are skipped — the merge-on-read half of the read path — while
+  * the position counter still advances over them (a position names a
+  * PHYSICAL row, deleted or not). */
 private[v2] class LakeReaderFactory(required: StructType)
     extends PartitionReaderFactory {
 
@@ -731,11 +871,13 @@ private[v2] class LakeReaderFactory(required: StructType)
     val fileCols = part.fileColumns.toSet
     // columns to request from the file, in required-schema order
     val requested = required.fields.map(_.name)
-      .filter(n => n != LakeTable.SplitCol && fileCols.contains(n))
+      .filter(n => n != LakeTable.SplitCol && n != LakeTable.PosCol &&
+        fileCols.contains(n))
     // for each output ordinal: >=0 index into `requested`, -1 = _split,
-    // -2 = null (column added after this file was written)
+    // -2 = null (column added after this file was written), -3 = _pos
     val src = required.fields.map { f =>
       if (f.name == LakeTable.SplitCol) -1
+      else if (f.name == LakeTable.PosCol) -3
       else {
         val i = requested.indexOf(f.name)
         if (i >= 0) i else -2
@@ -754,17 +896,27 @@ private[v2] class LakeReaderFactory(required: StructType)
         if (requested.isEmpty) LakeParquet.reader(part.absPath,
           Seq(part.fileColumns.head)) else null
       private def rows = if (it != null) it else fallback
+      private val deleted =
+        LakeDv.loadPositions(part.dvAbsPaths, part.fileId, part.rows)
+      private var pos: Long = -1L
       // reused output buffer, the standard reader contract
       // (consumers that buffer must copy, and do)
       private val out = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(src.length)
-      override def next(): Boolean = rows.next()
+      override def next(): Boolean = {
+        while (rows.next()) {
+          pos += 1
+          if (deleted == null || !deleted.get(pos.toInt)) return true
+        }
+        false
+      }
       override def get(): InternalRow = {
         val r = rows.get()
         var j = 0
         while (j < src.length) {
           out.update(j, src(j) match {
             case -1 => part.fileId
+            case -3 => pos
             case -2 => null
             case i => if (r.isNullAt(i)) null else r.get(i, types(j))
           })
@@ -867,60 +1019,171 @@ private[v2] class LakeWrite(handle: TableHandle, writeSchema: StructType,
 private[v2] case class LakeCommit(files: Seq[PendingFile])
   extends WriterCommitMessage
 
-/** Write task: streams rows into one parquet file per identity-
-  * partition value it encounters (one file total for unpartitioned
-  * tables). Files are created lazily — an empty task commits nothing. */
+/** The shared task-side row sink: streams rows into one parquet file
+  * per identity-partition value it encounters (one file total for
+  * unpartitioned tables). Files are created lazily — an empty task
+  * commits nothing. Used by both the plain batch writer and the
+  * merge-on-read delta writer's insert path. */
+private[v2] class LakeRowFileWriter(dataDir: String, schema: StructType,
+    partitionOrds: Seq[Int], partitionId: Int, taskId: Long) {
+  private val pTypes = partitionOrds.map(schema.fields(_).dataType)
+  // the incoming row may be any InternalRow over REUSED buffers;
+  // rendering through an UnsafeProjection of the table schema
+  // materializes every value before the parquet encoder sees it
+  private val toUnsafe =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+  private val open = mutable.LinkedHashMap[Seq[Option[String]],
+    (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String, Array[Long],
+      LakeStatsPruning.Collector)]()
+
+  private def writerFor(pvals: Seq[Option[String]]) =
+    open.getOrElseUpdate(pvals, {
+      val name = s"f-$partitionId-$taskId-${UUID.randomUUID().toString.take(12)}.parquet"
+      (LakeParquet.writer(s"$dataDir/$name", schema), name, Array(0L),
+        new LakeStatsPruning.Collector(schema))
+    })
+
+  def write(row: InternalRow): Unit = {
+    val u = toUnsafe(row)
+    val pvals = partitionOrds.indices.map(i =>
+      LakeTable.renderPartitionValue(u, partitionOrds(i), pTypes(i)))
+    val (w, _, n, stats) = writerFor(pvals)
+    w.write(u)
+    stats.update(u)
+    n(0) += 1
+  }
+
+  def commitFiles(): Seq[PendingFile] = {
+    val files = open.map { case (pvals, (w, name, n, stats)) =>
+      w.close()
+      PendingFile(name, n(0), pvals, stats.result())
+    }.toSeq
+    open.clear()
+    files
+  }
+
+  def abort(): Unit = {
+    open.foreach { case (_, (w, name, _, _)) =>
+      try w.close() catch { case _: Throwable => }
+      try java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dataDir, name))
+      catch { case _: java.io.IOException => }
+    }
+    open.clear()
+  }
+}
+
 private[v2] class LakeWriterFactory(dataDir: String, schema: StructType,
     partitionOrds: Seq[Int]) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val pTypes = partitionOrds.map(schema.fields(_).dataType)
-      // the incoming row may be any InternalRow over REUSED buffers;
-      // rendering through an UnsafeProjection of the table schema
-      // materializes every value before the parquet encoder sees it
-      private val toUnsafe =
-        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
-      private val open = mutable.LinkedHashMap[Seq[Option[String]],
-        (org.apache.parquet.hadoop.ParquetWriter[InternalRow], String, Array[Long],
-          LakeStatsPruning.Collector)]()
-
-      private def writerFor(pvals: Seq[Option[String]]) =
-        open.getOrElseUpdate(pvals, {
-          val name = s"f-$partitionId-$taskId-${UUID.randomUUID().toString.take(12)}.parquet"
-          (LakeParquet.writer(s"$dataDir/$name", schema), name, Array(0L),
-            new LakeStatsPruning.Collector(schema))
-        })
-
-      override def write(row: InternalRow): Unit = {
-        val u = toUnsafe(row)
-        val pvals = partitionOrds.indices.map(i =>
-          LakeTable.renderPartitionValue(u, partitionOrds(i), pTypes(i)))
-        val (w, _, n, stats) = writerFor(pvals)
-        w.write(u)
-        stats.update(u)
-        n(0) += 1
-      }
+      private val sink =
+        new LakeRowFileWriter(dataDir, schema, partitionOrds, partitionId, taskId)
+      override def write(row: InternalRow): Unit = sink.write(row)
       // the metadata-projecting write task hands (metadata, data) —
       // the file a row came from does not pin where it lands
-      override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
+      override def write(meta: InternalRow, row: InternalRow): Unit = sink.write(row)
+      override def commit(): WriterCommitMessage = LakeCommit(sink.commitFiles())
+      override def abort(): Unit = sink.abort()
+      override def close(): Unit = ()
+    }
+}
+
+/** Merge-on-read write: the rewrite plans hand per-row ACTIONS —
+  * `delete(rowId)` for matched deletes (and the delete half of
+  * updates), `insert(row)`/`reinsert(row)` for new and updated rows.
+  * Deletes are buffered per data-file id and committed as ONE
+  * position-delete parquet per task; inserts stream through the same
+  * row sink batch appends use. The commit attaches the delete vectors
+  * to the files they cover and appends the insert files — no data file
+  * is rewritten (GraftLakeStore.commitDelta). */
+private[v2] class LakeDeltaWrite(handle: TableHandle, scan: LakeScan)
+    extends DeltaWrite with DeltaBatchWrite {
+
+  override def toBatch: DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val snap = handle.snapshot(handle.latestVersion)
+    val pOrds = snap.partitionCols.map(c => snap.schema.fieldIndex(c))
+    new LakeDeltaWriterFactory(handle.dataDir.toString, snap.schema, pOrds)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: LakeDeltaCommit => m }
+    val inserts = ms.flatMap(_.files).toSeq
+    val dvs = ms.flatMap(_.dv).toSeq
+    try handle.commitDelta(scan.baseVersion, dvs, inserts)
+    catch { case e: GraftLakeStore.CommitConflictException =>
+      deleteAll(inserts, dvs); throw e
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: LakeDeltaCommit => m }
+    deleteAll(ms.flatMap(_.files).toSeq, ms.flatMap(_.dv).toSeq)
+  }
+
+  private def deleteAll(files: Seq[PendingFile], dvs: Seq[PendingDv]): Unit =
+    (files.map(_.name) ++ dvs.map(_.name)).foreach { n =>
+      try java.nio.file.Files.deleteIfExists(handle.dataDir.resolve(n))
+      catch { case _: java.io.IOException => }
+    }
+}
+
+private[v2] case class LakeDeltaCommit(files: Seq[PendingFile],
+    dv: Option[PendingDv]) extends WriterCommitMessage
+
+private[v2] class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
+    partitionOrds: Seq[Int]) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val inserts =
+        new LakeRowFileWriter(dataDir, schema, partitionOrds, partitionId, taskId)
+      // deleted positions per data-file id; sorted at commit so the
+      // delete parquet is clustered by (file_id, pos)
+      private val dels = mutable.TreeMap[Int, mutable.ArrayBuffer[Long]]()
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels.getOrElseUpdate(id.getInt(0), mutable.ArrayBuffer.empty) += id.getLong(1)
+
+      // unreachable with representUpdateAsDeleteAndInsert=true, but the
+      // semantics are exactly delete-then-insert either way
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        delete(meta, id)
+        insert(row)
+      }
+
+      override def insert(row: InternalRow): Unit = inserts.write(row)
 
       override def commit(): WriterCommitMessage = {
-        val files = open.map { case (pvals, (w, name, n, stats)) =>
-          w.close()
-          PendingFile(name, n(0), pvals, stats.result())
-        }.toSeq
-        open.clear()
-        LakeCommit(files)
+        val dv =
+          if (dels.isEmpty) None
+          else {
+            val name = s"dv-$partitionId-$taskId-${UUID.randomUUID().toString.take(12)}.parquet"
+            val w = LakeParquet.writer(s"$dataDir/$name", LakeDv.schema)
+            val out = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(2)
+            try dels.foreach { case (fileId, positions) =>
+              out.update(0, fileId)
+              positions.sorted.foreach { p =>
+                out.update(1, p)
+                w.write(out)
+              }
+            } finally w.close()
+            Some(PendingDv(name, dels.map { case (id, ps) =>
+              id -> ps.length.toLong }.toMap))
+          }
+        val msg = LakeDeltaCommit(inserts.commitFiles(), dv)
+        dels.clear()
+        msg
       }
+
       override def abort(): Unit = {
-        open.foreach { case (_, (w, name, _, _)) =>
-          try w.close() catch { case _: Throwable => }
-          try java.nio.file.Files.deleteIfExists(
-            java.nio.file.Paths.get(dataDir, name))
-          catch { case _: java.io.IOException => }
-        }
-        open.clear()
+        inserts.abort()
+        dels.clear()
       }
       override def close(): Unit = ()
     }

@@ -52,10 +52,26 @@ object GraftLakeStore {
     * the `_split` metadata column readers see, and the unit row-level
     * operations replace. `columns` = fields physically present (schema
     * evolution adds table columns no old file holds). `partition` =
-    * identity-partition values rendered as strings (None = SQL NULL). */
+    * identity-partition values rendered as strings (None = SQL NULL).
+    * `dvs` = delete vectors applied to this file (merge-on-read DML):
+    * each ref names a position-delete parquet and the count of THIS
+    * file's positions it holds — append-only per file (a position can
+    * be deleted once: the scan never surfaces already-deleted rows). */
   final case class LakeFile(id: Int, path: String, rows: Long,
       columns: Seq[String], partition: Map[String, Option[String]],
-      stats: Map[String, ColStats] = Map.empty)
+      stats: Map[String, ColStats] = Map.empty,
+      dvs: Seq[DvRef] = Seq.empty) {
+    /** Rows visible to a reader: physical rows minus deleted positions. */
+    def liveRows: Long = rows - dvs.map(_.dels).sum
+  }
+
+  /** One delete-vector reference: `path` (relative to the table dir)
+    * names a position-delete parquet file — schema `(file_id INT, pos
+    * BIGINT)`, plain parquet any engine reads, Iceberg v2's
+    * position-delete shape — and `dels` counts the positions it holds
+    * for the OWNING [[LakeFile]] (one delete parquet may cover several
+    * data files; each references it with its own count). */
+  final case class DvRef(path: String, dels: Long)
 
   /** Per-file column statistics collected by the write task — the
     * data-skipping metadata (Iceberg's file metrics). min/max are
@@ -74,13 +90,19 @@ object GraftLakeStore {
     * twice — Delta's txn-version device. */
   final case class Snapshot(version: Int, schema: StructType,
       partitionCols: Seq[String], files: Seq[LakeFile], maxFileId: Int,
-      op: String = "create", txn: Option[(String, Long)] = None)
+      op: String = "create", txn: Option[(String, Long)] = None,
+      props: Map[String, String] = Map.empty)
 
   /** A file a write task produced, not yet committed: name is relative
     * to the table's data dir; partition values align with the table's
     * partitionCols. */
   final case class PendingFile(name: String, rows: Long,
       partition: Seq[Option[String]], stats: Map[String, ColStats] = Map.empty)
+
+  /** A position-delete parquet a merge-on-read write task produced, not
+    * yet committed: `dels` maps each covered data-file id to the number
+    * of its positions recorded in the file. */
+  final case class PendingDv(name: String, dels: Map[Int, Long])
 
   /** Default root: one per JVM (all catalog instances without an
     * explicit `root` option share it — session clones see one store,
@@ -101,13 +123,14 @@ object GraftLakeStore {
     * the loser gets [[FileAlreadyExistsException]] (the catalog maps it
     * to Spark's typed TableAlreadyExistsException). */
   def create(root: String, key: String, schema: StructType,
-      partitionCols: Seq[String]): TableHandle = {
+      partitionCols: Seq[String],
+      props: Map[String, String] = Map.empty): TableHandle = {
     val dir = Paths.get(root, key)
     Files.createDirectories(Paths.get(root))
     Files.createDirectory(dir) // throws FileAlreadyExistsException if raced
     Files.createDirectory(dir.resolve("data"))
     val h = new TableHandle(dir)
-    h.writeManifest(Snapshot(0, schema, partitionCols, Seq.empty, 0))
+    h.writeManifest(Snapshot(0, schema, partitionCols, Seq.empty, 0, props = props))
     h
   }
 
@@ -219,6 +242,58 @@ object GraftLakeStore {
       next.version
     }
 
+    /** Merge-on-read row-level commit: NO data file is rewritten — the
+      * snapshot carries every base file forward, attaching the new
+      * position-delete vectors to the files they cover, plus the
+      * operation's insert files. This is the Iceberg-v2/Delta-DV write
+      * shape: a DELETE touching 0.1% of a 100 TB table commits KBs of
+      * delete vectors, not a rewrite.
+      *
+      * Concurrency: a delta commit REBASES over intervening pure
+      * appends (an appended file cannot hold a matched row — it did not
+      * exist when the operation scanned — and delete positions refer to
+      * immutable files, so replaying the same deltas on the advanced
+      * base is exactly the operation's intent). Any other intervening
+      * op (replace/overwrite/delta/schema) fails loudly: the matched
+      * rows may have moved or changed, and retrying silently would
+      * reintroduce the lost-update anomaly. */
+    def commitDelta(baseVersion: Int, dvFiles: Seq[PendingDv],
+        insertFiles: Seq[PendingFile]): Int = {
+      var attempts = 0
+      while (true) {
+        val latest = latestVersion
+        if (latest != baseVersion) {
+          val nonAppend = ((baseVersion + 1) to latest)
+            .map(v => v -> snapshot(v).op).filterNot(_._2 == "append")
+          if (nonAppend.nonEmpty)
+            throw new CommitConflictException(
+              s"$tableName: merge-on-read operation scanned version " +
+                s"$baseVersion but ${nonAppend.map { case (v, op) => s"v$v($op)" }
+                  .mkString(", ")} landed mid-operation; only concurrent " +
+                "appends are rebasable — retry the statement against current state")
+        }
+        val base = snapshot(latestVersion)
+        val targetIds = dvFiles.flatMap(_.dels.keySet).toSet
+        val baseIds = base.files.map(_.id).toSet
+        require(targetIds.subsetOf(baseIds),
+          s"$tableName: delete vectors target unknown file ids " +
+            s"${(targetIds -- baseIds).toSeq.sorted.mkString(", ")}")
+        val withDvs = base.files.map { f =>
+          val refs = dvFiles.collect {
+            case d if d.dels.contains(f.id) => DvRef(s"data/${d.name}", d.dels(f.id)) }
+          if (refs.isEmpty) f else f.copy(dvs = f.dvs ++ refs)
+        }
+        val (entries, maxId) = assignIds(base, insertFiles)
+        val next = base.copy(version = base.version + 1,
+          files = withDvs ++ entries, maxFileId = maxId, op = "delta")
+        if (tryPublish(next)) return next.version
+        attempts += 1
+        if (attempts > 100) throw new IllegalStateException(
+          s"$tableName: delta commit still racing after $attempts attempts")
+      }
+      -1 // unreachable
+    }
+
     /** Streaming epoch append with exactly-once replay protection:
       * if ANY retained snapshot already carries this (queryId,
       * epochId) txn marker, the epoch was committed before a failure
@@ -264,9 +339,11 @@ object GraftLakeStore {
       val expired = (0 until cutoff).filter(v => Files.exists(tableDir.resolve(manifestName(v))))
       if (expired.isEmpty) Seq.empty
       else {
+        def refs(s: Snapshot): Seq[String] =
+          s.files.flatMap(f => f.path +: f.dvs.map(_.path))
         val survivors = (math.max(cutoff, 0) to latest).map(snapshot)
-        val keepPaths = survivors.flatMap(_.files.map(_.path)).toSet
-        val dropPaths = expired.flatMap(v => snapshot(v).files.map(_.path)).toSet -- keepPaths
+        val keepPaths = survivors.flatMap(refs).toSet
+        val dropPaths = expired.flatMap(v => refs(snapshot(v))).toSet -- keepPaths
         expired.foreach { v =>
           val m = tableDir.resolve(manifestName(v))
           cache.remove(m.toString)
@@ -342,15 +419,19 @@ object GraftLakeStore {
           s""""max":${st.max.map(esc).getOrElse("null")},""" +
           s""""nulls":${st.nulls}}"""
       }.mkString("{", ",", "}")
+      val dvs = f.dvs.map { d =>
+        s"""{"path":${esc(d.path)},"dels":${d.dels}}""" }.mkString("[", ",", "]")
       s"""{"id":${f.id},"path":${esc(f.path)},"rows":${f.rows},""" +
         s""""columns":${f.columns.map(esc).mkString("[", ",", "]")},""" +
-        s""""partition":$part,"stats":$stats}"""
+        s""""partition":$part,"stats":$stats,"dvs":$dvs}"""
     }.mkString("[", ",", "]")
     val txn = s.txn.map { case (q, e) =>
       s""""txnQuery":${esc(q)},"txnEpoch":$e,""" }.getOrElse("")
+    val props = s.props.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${esc(k)}:${esc(v)}" }.mkString("{", ",", "}")
     s"""{"version":${s.version},"maxFileId":${s.maxFileId},"op":${esc(s.op)},$txn""" +
       s""""partitionCols":${s.partitionCols.map(esc).mkString("[", ",", "]")},""" +
-      s""""schema":${s.schema.json},"files":$files}"""
+      s""""props":$props,"schema":${s.schema.json},"files":$files}"""
   }
 
   private def parseManifest(json: String): Snapshot = {
@@ -366,8 +447,11 @@ object GraftLakeStore {
         e.getKey -> ColStats(os(e.getValue.get("min")), os(e.getValue.get("max")),
           e.getValue.get("nulls").asLong())
       }.toMap).getOrElse(Map.empty[String, ColStats])
+      val dvs = Option(f.get("dvs")).map(_.elements().asScala.map { d =>
+        DvRef(d.get("path").asText(), d.get("dels").asLong())
+      }.toSeq).getOrElse(Seq.empty)
       LakeFile(f.get("id").asInt(), f.get("path").asText(), f.get("rows").asLong(),
-        strs(f.get("columns")), part, stats)
+        strs(f.get("columns")), part, stats, dvs)
     }.toSeq
     Snapshot(
       n.get("version").asInt(),
@@ -376,6 +460,8 @@ object GraftLakeStore {
       files,
       n.get("maxFileId").asInt(),
       Option(n.get("op")).map(_.asText()).getOrElse("create"),
-      Option(n.get("txnQuery")).map(q => (q.asText(), n.get("txnEpoch").asLong())))
+      Option(n.get("txnQuery")).map(q => (q.asText(), n.get("txnEpoch").asLong())),
+      Option(n.get("props")).map(_.properties().asScala.map { e =>
+        e.getKey -> e.getValue.asText() }.toMap).getOrElse(Map.empty))
   }
 }

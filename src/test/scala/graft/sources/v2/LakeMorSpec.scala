@@ -1,0 +1,234 @@
+package graft.sources.v2
+
+import graft.SparkSpec
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** Merge-on-read row-level operations (`TBLPROPERTIES
+  * ('write.dml.mode'='merge-on-read')`): DELETE/UPDATE/MERGE commit
+  * position-delete vectors through Spark's delta-write protocol
+  * (SupportsDelta) instead of rewriting matched files — the Iceberg-v2
+  * position-delete design. The pins:
+  *
+  *  - NO data file is rewritten by DML, ever (every base file id
+  *    survives the commit by manifest reference);
+  *  - the answers equal the copy-on-write answers (same SQL, same
+  *    result, different write shape);
+  *  - delete vectors are plain parquet any engine reads;
+  *  - a delta commit rebases over concurrent appends and fails loudly
+  *    over anything else;
+  *  - expiration GC retains DV files referenced by survivors;
+  *  - compaction (INSERT OVERWRITE) purges DVs naturally — the new
+  *    snapshot's files carry none.
+  */
+class LakeMorSpec extends SparkSpec {
+
+  private def lakeSession(cat: String, root: String): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ss
+  }
+
+  private def morTable(ss: SparkSession, name: String, cols: String): Unit =
+    ss.sql(s"CREATE TABLE $name ($cols) " +
+      "TBLPROPERTIES ('write.dml.mode'='merge-on-read')")
+
+  test("merge-on-read DELETE rewrites no data file — it commits a delete vector") {
+    val root = graft.util.TempDirs.create("graft_mor_del_").toString
+    val ss = lakeSession("mord", root)
+    import ss.implicits._
+    morTable(ss, "mord.ns.t", "k BIGINT, v BIGINT")
+    (0L until 300L).map(k => (k, k * 10)).toDF("k", "v")
+      .repartitionByRange(3, $"k").writeTo("mord.ns.t").append()
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val base = handle.snapshot(1)
+    assert(base.files.size === 3)
+
+    ss.sql("DELETE FROM mord.ns.t WHERE k % 100 = 37")
+
+    val next = handle.snapshot(2)
+    assert(next.op === "delta")
+    // EVERY base data file survives by reference — zero rewrites
+    assert(next.files.map(f => (f.id, f.path)).toSet
+      .intersect(base.files.map(f => (f.id, f.path)).toSet).size === 3,
+      s"base=${base.files.map(_.id)} next=${next.files.map(_.id)}")
+    // the three deleted rows live in DVs, one per covering file
+    assert(next.files.map(_.dvs.map(_.dels).sum).sum === 3L)
+    assert(next.files.map(_.liveRows).sum === 297L)
+    // and the read path applies them
+    assert(ss.sql("SELECT count(*) FROM mord.ns.t").head().getLong(0) === 297L)
+    assert(ss.sql("SELECT count(*) FROM mord.ns.t WHERE k % 100 = 37")
+      .head().getLong(0) === 0L)
+    // time travel: the pre-delete snapshot still reads every row
+    assert(ss.sql("SELECT count(*) FROM mord.ns.t VERSION AS OF 1")
+      .head().getLong(0) === 300L)
+  }
+
+  test("merge-on-read MERGE: updates are delete+reinsert, inserts append — base files untouched") {
+    val root = graft.util.TempDirs.create("graft_mor_mrg_").toString
+    val ss = lakeSession("morm", root)
+    import ss.implicits._
+    morTable(ss, "morm.ns.t", "k BIGINT, v BIGINT")
+    (0L until 300L).map(k => (k, k)).toDF("k", "v")
+      .repartitionByRange(3, $"k").writeTo("morm.ns.t").append()
+    Seq((5L, "U", 500L), (7L, "U", 700L), (137L, "D", 0L), (-1L, "I", 42L))
+      .toDF("k", "op", "nv").createOrReplaceTempView("morm_chg")
+    ss.sql(
+      """MERGE INTO morm.ns.t t USING morm_chg c ON t.k = c.k
+        |WHEN MATCHED AND c.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = c.nv
+        |WHEN NOT MATCHED AND c.op = 'I' THEN INSERT (k, v) VALUES (c.k, c.nv)
+        |""".stripMargin)
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val base = handle.snapshot(1)
+    val next = handle.snapshot(2)
+    val baseIds = base.files.map(_.id).toSet
+    // all three base files carried; updates/inserts landed in NEW files
+    assert(next.files.map(_.id).toSet.intersect(baseIds) === baseIds)
+    // deletes: 2 updated pre-images + 1 deleted row = 3 positions
+    assert(next.files.filter(f => baseIds.contains(f.id))
+      .map(_.dvs.map(_.dels).sum).sum === 3L)
+    // inserted rows: 2 updated post-images + 1 new row
+    assert(next.files.filterNot(f => baseIds.contains(f.id))
+      .map(_.rows).sum === 3L)
+    // the answers are the copy-on-write answers
+    assert(ss.sql("SELECT v FROM morm.ns.t WHERE k = 5").head().getLong(0) === 500L)
+    assert(ss.sql("SELECT v FROM morm.ns.t WHERE k = 7").head().getLong(0) === 700L)
+    assert(ss.sql("SELECT count(*) FROM morm.ns.t WHERE k = 137").head().getLong(0) === 0L)
+    assert(ss.sql("SELECT v FROM morm.ns.t WHERE k = -1").head().getLong(0) === 42L)
+    assert(ss.sql("SELECT count(*) FROM morm.ns.t").head().getLong(0) === 300L)
+    assert(ss.sql("SELECT sum(v) FROM morm.ns.t").head().getLong(0)
+      === (0L until 300L).sum - 5 - 7 - 137 + 500 + 700 + 42)
+  }
+
+  test("chained DML composes: a second DELETE stacks a second DV; UPDATE of a reinserted row works") {
+    val root = graft.util.TempDirs.create("graft_mor_chain_").toString
+    val ss = lakeSession("morc", root)
+    import ss.implicits._
+    morTable(ss, "morc.ns.t", "k BIGINT, v BIGINT")
+    (0L until 100L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1).writeTo("morc.ns.t").append()
+    ss.sql("UPDATE morc.ns.t SET v = 1000 WHERE k = 10")
+    ss.sql("UPDATE morc.ns.t SET v = 2000 WHERE k = 10") // row now lives in an insert file
+    ss.sql("DELETE FROM morc.ns.t WHERE k = 20")
+    assert(ss.sql("SELECT v FROM morc.ns.t WHERE k = 10").head().getLong(0) === 2000L)
+    assert(ss.sql("SELECT count(*) FROM morc.ns.t").head().getLong(0) === 99L)
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val sn = handle.snapshot(handle.latestVersion)
+    // the seed file accumulated DVs across commits; no file was rewritten
+    assert(sn.files.exists(_.dvs.size >= 2))
+    assert(sn.files.map(_.liveRows).sum === 99L)
+    // every intermediate version reads its own state
+    assert(ss.sql("SELECT v FROM morc.ns.t VERSION AS OF 2 WHERE k = 10")
+      .head().getLong(0) === 1000L)
+  }
+
+  test("delete vectors are plain parquet any engine reads") {
+    val root = graft.util.TempDirs.create("graft_mor_interop_").toString
+    val ss = lakeSession("mori", root)
+    import ss.implicits._
+    morTable(ss, "mori.ns.t", "k BIGINT")
+    (0L until 50L).map(Tuple1(_)).toDF("k").coalesce(1).writeTo("mori.ns.t").append()
+    ss.sql("DELETE FROM mori.ns.t WHERE k IN (3, 7)")
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val dv = handle.snapshot(2).files.flatMap(_.dvs).head
+    val raw = spark.read.parquet(handle.tableDir.resolve(dv.path).toString)
+    assert(raw.columns.toSeq === Seq("file_id", "pos"))
+    assert(raw.count() === 2L)
+    assert(raw.select("pos").collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 7L))
+  }
+
+  test("store: a delta commit rebases over a concurrent append, fails loudly over a replace") {
+    val root = graft.util.TempDirs.create("graft_mor_cc_").toString
+    val ss = lakeSession("morx", root)
+    import ss.implicits._
+    morTable(ss, "morx.ns.t", "k BIGINT")
+    (0L until 10L).map(Tuple1(_)).toDF("k").coalesce(1).writeTo("morx.ns.t").append()
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val fileId = handle.snapshot(1).files.head.id
+
+    // a DV parquet on disk for the commit to reference
+    def stageDv(tag: String): GraftLakeStore.PendingDv = {
+      val name = s"dv-test-$tag.parquet"
+      val w = LakeParquet.writer(handle.dataDir.resolve(name).toString, LakeDv.schema)
+      val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      r.update(0, fileId); r.update(1, 2L)
+      try w.write(r) finally w.close()
+      GraftLakeStore.PendingDv(name, Map(fileId -> 1L))
+    }
+
+    // scanned v1; an append lands (v2); the delta commit REBASES onto it
+    (10L until 15L).map(Tuple1(_)).toDF("k").coalesce(1).writeTo("morx.ns.t").append()
+    val v = handle.commitDelta(1, Seq(stageDv("a")), Seq.empty)
+    assert(v === 3)
+    assert(ss.sql("SELECT count(*) FROM morx.ns.t").head().getLong(0) === 14L)
+
+    // scanned v3; an overwrite lands (v4); the delta commit FAILS loudly
+    ss.sql("INSERT OVERWRITE morx.ns.t SELECT * FROM morx.ns.t")
+    val e = intercept[GraftLakeStore.CommitConflictException](
+      handle.commitDelta(3, Seq(stageDv("b")), Seq.empty))
+    assert(e.getMessage.contains("rebasable"))
+  }
+
+  test("expiration GC retains DV files referenced by survivors; compaction purges DVs") {
+    val root = graft.util.TempDirs.create("graft_mor_gc_").toString
+    val ss = lakeSession("morg", root)
+    import ss.implicits._
+    morTable(ss, "morg.ns.t", "k BIGINT")
+    (0L until 100L).map(Tuple1(_)).toDF("k").coalesce(1).writeTo("morg.ns.t").append()
+    ss.sql("DELETE FROM morg.ns.t WHERE k < 10")        // v2: DV
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val dvPath = handle.snapshot(2).files.flatMap(_.dvs).head.path
+    // expire v0/v1: the DV is referenced by the survivor and must stay
+    handle.expireSnapshots(keepLast = 1)
+    assert(java.nio.file.Files.exists(handle.tableDir.resolve(dvPath)))
+    assert(ss.sql("SELECT count(*) FROM morg.ns.t").head().getLong(0) === 90L)
+    // compaction rewrites live rows; the new snapshot carries no DVs
+    ss.sql("INSERT OVERWRITE morg.ns.t SELECT /*+ REPARTITION(1) */ * FROM morg.ns.t")
+    val sn = handle.snapshot(handle.latestVersion)
+    assert(sn.files.forall(_.dvs.isEmpty))
+    assert(sn.files.map(_.rows).sum === 90L)
+    // after expiring the DV'd snapshot, the orphaned DV file is GC'd
+    handle.expireSnapshots(keepLast = 1)
+    assert(!java.nio.file.Files.exists(handle.tableDir.resolve(dvPath)))
+    assert(ss.sql("SELECT count(*) FROM morg.ns.t").head().getLong(0) === 90L)
+  }
+
+  test("table properties surface and an unknown dml mode is rejected loudly") {
+    val root = graft.util.TempDirs.create("graft_mor_props_").toString
+    val ss = lakeSession("morp", root)
+    morTable(ss, "morp.ns.t", "k BIGINT")
+    // the persisted property survives a fresh catalog instance
+    val ss2 = lakeSession("morp2", root)
+    val show = ss2.sql("SHOW TBLPROPERTIES morp2.ns.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(show.get("write.dml.mode").contains("merge-on-read"))
+    val e = intercept[Throwable](
+      ss.sql("CREATE TABLE morp.ns.bad (k BIGINT) " +
+        "TBLPROPERTIES ('write.dml.mode'='sideways')"))
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("write.dml.mode")), msgs(e))
+  }
+
+  test("partitioned merge-on-read table: partition-local DML deletes by position, files untouched") {
+    val root = graft.util.TempDirs.create("graft_mor_part_").toString
+    val ss = lakeSession("morq", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE morq.ns.t (k BIGINT, g STRING) PARTITIONED BY (g) " +
+      "TBLPROPERTIES ('write.dml.mode'='merge-on-read')")
+    (0L until 40L).map(k => (k, s"g${k % 4}")).toDF("k", "g")
+      .coalesce(1).writeTo("morq.ns.t").append()
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    assert(handle.snapshot(1).files.size === 4)
+    ss.sql("UPDATE morq.ns.t SET k = k + 1000 WHERE g = 'g2'")
+    val next = handle.snapshot(2)
+    // all four partition files carried; only g2's carries a DV
+    assert(next.files.map(_.id).toSet === handle.snapshot(1).files.map(_.id).toSet
+      ++ next.files.filterNot(f => handle.snapshot(1).files.map(_.id).contains(f.id)).map(_.id))
+    val dvd = next.files.filter(_.dvs.nonEmpty)
+    assert(dvd.size === 1 && dvd.head.partition("g").contains("g2"))
+    assert(ss.sql("SELECT count(*) FROM morq.ns.t WHERE k >= 1000").head().getLong(0) === 10L)
+    assert(ss.sql("SELECT count(*) FROM morq.ns.t").head().getLong(0) === 40L)
+  }
+}
