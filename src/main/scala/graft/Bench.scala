@@ -346,6 +346,12 @@ object Bench {
       SparkEntry.queries("q219_schema_evolution")(spark, sfDir).count())
     staged("q220_partitioned_lake")(
       SparkEntry.queries("q220_partitioned_lake")(spark, sfDir).count())
+    // merge-on-read: the delta-write MERGE staging (q225) and the
+    // row-level change-feed run over it (q226)
+    staged("q225_mor_merge")(
+      SparkEntry.queries("q225_mor_merge")(spark, sfDir).count())
+    staged("q226_mor_change_audit")(
+      SparkEntry.queries("q226_mor_change_audit")(spark, sfDir).count())
     // streaming first-touch: engine class loading / state-store init
     staged("q71_streaming_daily")(
       SparkEntry.queries("q71_streaming_daily")(spark, sfDir).count())

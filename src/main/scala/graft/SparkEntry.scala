@@ -23,6 +23,7 @@ object SparkEntry {
       graft.sources.v2.RangeSourceQueries.queries ++
       graft.sources.v2.MergeQueries.queries ++
       graft.sources.v2.LakeOps.queries ++ graft.sources.v2.LakeLifecycle.queries ++
+      graft.sources.v2.MorQueries.queries ++
       QualityOps.queries ++
       graft.sources.BucketedQueries.queries ++ graft.sources.ZOrderQueries.queries ++
       graft.sources.CboQueries.queries ++ graft.sources.CompactionQueries.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
     "q184_transform_with_state", "q185_statestore_read",
     "q200_streaming_timers", "q214_streaming_mv_refresh",
     "q216_change_feed_consumer", "q223_streaming_lake_sink",
+    "q226_mor_change_audit",
     "q72_jdbc_roundtrip")
 
   // every excluded name must exist — the predecessor of this list
@@ -64,6 +66,7 @@ object SparkEntry {
       graft.sources.v2.RangeSourceQueries.oracle ++
       graft.sources.v2.MergeQueries.oracle ++
       graft.sources.v2.LakeOps.oracle ++ graft.sources.v2.LakeLifecycle.oracle ++
+      graft.sources.v2.MorQueries.oracle ++
       QualityOps.oracle ++
       graft.sources.BucketedQueries.oracle ++ graft.sources.ZOrderQueries.oracle ++
       graft.sources.CboQueries.oracle ++ graft.sources.CompactionQueries.oracle ++

@@ -80,8 +80,16 @@ private[v2] case class LakeFeedOffset(version: Int) extends Offset {
   override def json(): String = version.toString
 }
 
-private[v2] case class LakeFeedPartition(absPath: String,
-    fileColumns: Seq[String], changeType: String, commitVersion: Int)
+/** One changed file (or DV-slice of a file) in one commit. Merge-on-
+  * read precision: `onlyDvPaths` nonempty means "emit ONLY positions
+  * recorded in these delete vectors" (the rows a delta commit deleted);
+  * otherwise emit every position NOT in `skipDvPaths` (rows already
+  * deleted before this commit must not re-emit when their file is
+  * later removed by a rewrite). */
+private[v2] case class LakeFeedPartition(absPath: String, fileId: Int,
+    rows: Long, fileColumns: Seq[String], changeType: String,
+    commitVersion: Int, onlyDvPaths: Seq[String] = Seq.empty,
+    skipDvPaths: Seq[String] = Seq.empty)
   extends InputPartition
 
 private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
@@ -110,20 +118,36 @@ private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
     LakeFeedOffset(json.trim.toInt)
 
   /** Changes in (start, end]: per version, the manifest diff against
-    * its parent — added files stream as inserts, removed as deletes.
-    * Pure metadata; no data file is opened at planning. */
+    * its parent — added files stream as inserts, removed files as
+    * deletes, and files whose DELETE VECTORS grew (merge-on-read DML)
+    * as row-level deletes of exactly the newly-deleted positions.
+    * Pure metadata; no data file is opened at planning. Two precision
+    * rules keep the fold exact: a removed file emits only its LIVE
+    * rows (positions its prior DVs deleted already streamed as deletes
+    * in their own commits), and a DV-growth slice emits ONLY the new
+    * vectors' positions (DVs are append-only per file — the scan never
+    * surfaces a deleted row, so a position is deleted at most once). */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LakeFeedOffset].version
     val e = end.asInstanceOf[LakeFeedOffset].version
+    def abs(rel: String): String = handle.tableDir.resolve(rel).toString
     ((s + 1) to e).flatMap { v =>
       val prev = handle.snapshot(v - 1).files.map(f => f.id -> f).toMap
       val cur = handle.snapshot(v).files.map(f => f.id -> f).toMap
       val added = (cur.keySet -- prev.keySet).toSeq.sorted.map(cur)
       val removed = (prev.keySet -- cur.keySet).toSeq.sorted.map(prev)
-      added.map(f => LakeFeedPartition(handle.tableDir.resolve(f.path).toString,
-        f.columns, "insert", v): InputPartition) ++
-        removed.map(f => LakeFeedPartition(handle.tableDir.resolve(f.path).toString,
-          f.columns, "delete", v): InputPartition)
+      val dvGrown = (cur.keySet intersect prev.keySet).toSeq.sorted
+        .map(id => (cur(id), prev(id)))
+        .filter { case (c, p) => c.dvs.size > p.dvs.size }
+      added.map(f => LakeFeedPartition(abs(f.path), f.id, f.rows,
+        f.columns, "insert", v,
+        skipDvPaths = f.dvs.map(d => abs(d.path))): InputPartition) ++
+        removed.map(f => LakeFeedPartition(abs(f.path), f.id, f.rows,
+          f.columns, "delete", v,
+          skipDvPaths = f.dvs.map(d => abs(d.path))): InputPartition) ++
+        dvGrown.map { case (c, p) =>
+          LakeFeedPartition(abs(c.path), c.id, c.rows, c.columns, "delete", v,
+            onlyDvPaths = c.dvs.drop(p.dvs.size).map(d => abs(d.path))): InputPartition }
     }.toArray
   }
 
@@ -155,9 +179,27 @@ private[v2] class LakeFeedReaderFactory(schema: StructType)
     new PartitionReader[InternalRow] {
       private val it = LakeParquet.reader(part.absPath,
         if (requested.nonEmpty) requested.toSeq else Seq(part.fileColumns.head))
+      // merge-on-read precision (see planInputPartitions): `only` emits
+      // exactly the newly-deleted positions; `skip` drops rows already
+      // deleted before this commit
+      private val only =
+        LakeDv.loadPositions(part.onlyDvPaths, part.fileId, part.rows)
+      private val skip =
+        if (only != null) null
+        else LakeDv.loadPositions(part.skipDvPaths, part.fileId, part.rows)
+      private var pos: Long = -1L
       private val out = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(schema.length)
-      override def next(): Boolean = it.next()
+      override def next(): Boolean = {
+        while (it.next()) {
+          pos += 1
+          val emit =
+            if (only != null) only.get(pos.toInt)
+            else skip == null || !skip.get(pos.toInt)
+          if (emit) return true
+        }
+        false
+      }
       override def get(): InternalRow = {
         val r = it.get()
         var j = 0

@@ -49,6 +49,49 @@ object MergeQueries {
     ss
   }
 
+  /** Seed `tbl` (which must already exist with the customer_m shape)
+    * with the base table and run q97's change-set MERGE against it —
+    * the deterministic staging both the copy-on-write (q208) and
+    * merge-on-read (q225) front doors share, so the two write
+    * strategies answer the SAME oracle. */
+  private[v2] def seedAndMerge(ss: SparkSession, dir: String, tbl: String,
+      id: Int): Unit = {
+    // v1: seed with the base table, money in integer cents
+    Tables(ss, dir, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        Exact.cents(col("c_acctbal")).as("bal_cents"))
+      .writeTo(tbl).append()
+    // q97's change-set, verbatim: per customer with 1995 orders,
+    // DELETE when the max status is 'F' else UPDATE adding the
+    // year's spend; INSERTs in the negative key space (collision-free
+    // at every scale factor)
+    val chg = s"graft_lake_chg$id"
+    Tables(ss, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+      .groupBy(col("o_custkey").cast("long").as("k"))
+      .agg(
+        when(max(col("o_orderstatus")) === "F", lit("D")).otherwise(lit("U")).as("op"),
+        sum(Exact.cents(col("o_totalprice"))).as("delta_cents"))
+      .unionByName(Tables(ss, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .select((-col("c_custkey").cast("long") - 1L).as("k"),
+          lit("I").as("op"), lit(0L).as("delta_cents")))
+      .createOrReplaceTempView(chg)
+    // v2: the statement under test. Clause order mirrors standard
+    // MERGE semantics: matched+D deletes, matched otherwise updates,
+    // unmatched inserts ONLY the 'I' rows (an unmatched U/D change
+    // has nothing to update/delete), unmatched target rows carry over
+    ss.sql(
+      s"""MERGE INTO $tbl t USING $chg c ON t.c_custkey = c.k
+         |WHEN MATCHED AND c.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET bal_cents = t.bal_cents + c.delta_cents
+         |WHEN NOT MATCHED AND c.op = 'I' THEN
+         |  INSERT (c_custkey, c_name, bal_cents)
+         |  VALUES (c.k, concat('new#', CAST(c.k AS STRING)), c.delta_cents)
+         |""".stripMargin)
+  }
+
   /** Returns the staged table's fully qualified name; first caller per
     * (application, dir) runs CREATE → seed INSERT → MERGE INTO. */
   private[v2] def ensureStaged(s: SparkSession, dir: String): String = {
@@ -58,40 +101,7 @@ object MergeQueries {
       val id = nextId.incrementAndGet()
       val tbl = s"graft_lake.lake.customer_m$id"
       ss.sql(s"CREATE TABLE $tbl (c_custkey BIGINT, c_name STRING, bal_cents BIGINT)")
-      // v1: seed with the base table, money in integer cents
-      Tables(ss, dir, "customer")
-        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
-          Exact.cents(col("c_acctbal")).as("bal_cents"))
-        .writeTo(tbl).append()
-      // q97's change-set, verbatim: per customer with 1995 orders,
-      // DELETE when the max status is 'F' else UPDATE adding the
-      // year's spend; INSERTs in the negative key space (collision-free
-      // at every scale factor)
-      val chg = s"graft_lake_chg$id"
-      Tables(ss, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1995-01-01") &&
-          col("o_orderdate") < lit("1996-01-01"))
-        .groupBy(col("o_custkey").cast("long").as("k"))
-        .agg(
-          when(max(col("o_orderstatus")) === "F", lit("D")).otherwise(lit("U")).as("op"),
-          sum(Exact.cents(col("o_totalprice"))).as("delta_cents"))
-        .unionByName(Tables(ss, dir, "customer")
-          .filter(col("c_custkey") % 97 === 0)
-          .select((-col("c_custkey").cast("long") - 1L).as("k"),
-            lit("I").as("op"), lit(0L).as("delta_cents")))
-        .createOrReplaceTempView(chg)
-      // v2: the statement under test. Clause order mirrors standard
-      // MERGE semantics: matched+D deletes, matched otherwise updates,
-      // unmatched inserts ONLY the 'I' rows (an unmatched U/D change
-      // has nothing to update/delete), unmatched target rows carry over
-      ss.sql(
-        s"""MERGE INTO $tbl t USING $chg c ON t.c_custkey = c.k
-           |WHEN MATCHED AND c.op = 'D' THEN DELETE
-           |WHEN MATCHED THEN UPDATE SET bal_cents = t.bal_cents + c.delta_cents
-           |WHEN NOT MATCHED AND c.op = 'I' THEN
-           |  INSERT (c_custkey, c_name, bal_cents)
-           |  VALUES (c.k, concat('new#', CAST(c.k AS STRING)), c.delta_cents)
-           |""".stripMargin)
+      seedAndMerge(ss, dir, tbl, id)
       tbl
     })
   }

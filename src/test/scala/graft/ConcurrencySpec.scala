@@ -63,7 +63,11 @@ class ConcurrencySpec extends SparkSpec {
     // all memoized multi-statement stagings racing first touch over
     // the on-disk store's atomic-link commit protocol
     "q217_snapshot_expiration", "q218_lake_compaction",
-    "q219_schema_evolution", "q220_partitioned_lake")
+    "q219_schema_evolution", "q220_partitioned_lake",
+    // merge-on-read: the staged MERGE commits delete vectors through
+    // the delta-write protocol; concurrent first touch must stage
+    // exactly once and the post-staging read is version-stable
+    "q225_mor_merge")
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq

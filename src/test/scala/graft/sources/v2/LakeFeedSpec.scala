@@ -64,6 +64,46 @@ class LakeFeedSpec extends SparkSpec {
     assert(state === Seq(Row(1L, "a"), Row(2L, "z")))
   }
 
+  test("merge-on-read feed: a delta commit streams exactly the deleted rows — row-level CDC") {
+    val root = graft.util.TempDirs.create("graft_feed_mor_").toString
+    val ss = lakeSession("fdm", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE fdm.ns.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.dml.mode'='merge-on-read')")
+    (0L until 10L).map(k => (k, k * 10)).toDF("k", "v")
+      .coalesce(1).writeTo("fdm.ns.t").append()        // v1: one 10-row file
+    ss.sql("DELETE FROM fdm.ns.t WHERE k IN (2, 5)")   // v2: DV, no rewrite
+    ss.sql("UPDATE fdm.ns.t SET v = 700 WHERE k = 7")  // v3: DV + insert file
+    ss.sql("INSERT OVERWRITE fdm.ns.t SELECT * FROM fdm.ns.t") // v4: rewrite
+    val acc = graft.util.TempDirs.create("graft_feed_mor_acc_").toString
+    runFeed(ss, root, "ns.t", acc)
+    val byV = spark.read.parquet(s"$acc/b*")
+      .select("k", "v", LakeFeed.ChangeTypeCol, LakeFeed.CommitVersionCol)
+      .collect().toSeq.groupBy(_.getInt(3))
+    // v1: the ten seed inserts
+    assert(byV(1).size === 10 && byV(1).forall(_.getString(2) == "insert"))
+    // v2: EXACTLY the two deleted rows — not the whole file cycling
+    assert(byV(2).map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+      === Seq((2L, "delete"), (5L, "delete")))
+    // v3: the update's pre-image deletes, post-image inserts
+    assert(byV(3).map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      === Seq((7L, 70L, "delete"), (7L, 700L, "insert")))
+    // v4: the rewrite cycles only LIVE rows — 2, 5 and the stale 7
+    // never re-emit (their deletes already streamed in v2/v3)
+    val v4 = byV(4).map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(v4.count(_._3 == "delete") === 8, v4.sorted)
+    assert(!v4.exists(t => t._1 == 2L || t._1 == 5L), v4.sorted)
+    assert(!v4.contains((7L, 70L, "delete")), v4.sorted)
+    // reconstruction: fold insert − delete = current state
+    val state = spark.read.parquet(s"$acc/b*")
+      .groupBy("k", "v")
+      .agg(sum(when(col(LakeFeed.ChangeTypeCol) === "insert", 1L)
+        .otherwise(-1L)).as("net"))
+      .filter(col("net") > 0).select("k", "v").orderBy("k")
+      .collect().toSeq
+    assert(state === ss.sql("SELECT k, v FROM fdm.ns.t ORDER BY k").collect().toSeq)
+  }
+
   test("checkpointed incremental consumption: a restart consumes only new versions") {
     val root = graft.util.TempDirs.create("graft_feed_inc_").toString
     val ss = lakeSession("fdi", root)
