@@ -352,6 +352,8 @@ object Bench {
       SparkEntry.queries("q225_mor_merge")(spark, sfDir).count())
     staged("q226_mor_change_audit")(
       SparkEntry.queries("q226_mor_change_audit")(spark, sfDir).count())
+    staged("q227_column_mapping")(
+      SparkEntry.queries("q227_column_mapping")(spark, sfDir).count())
     // streaming first-touch: engine class loading / state-store init
     staged("q71_streaming_daily")(
       SparkEntry.queries("q71_streaming_daily")(spark, sfDir).count())

@@ -145,29 +145,75 @@ class GraftLakeCatalog extends TableCatalog {
     new LakeTable(key(ident), h, pinned = None)
   }
 
-  /** Schema evolution: ADD COLUMN (nullable, top-level) is a
-    * metadata-only commit — every data file carries over, old snapshots
-    * keep their schema, old files read NULL for the new field. Anything
-    * else is rejected loudly. */
+  /** Schema evolution — ALL metadata-only commits (no file rewritten,
+    * old snapshots keep their schema + mapping):
+    *
+    *  - ADD COLUMN (nullable, top-level): old files read NULL for the
+    *    new field. If the name was EVER used as a physical column in a
+    *    current file (add → drop → re-add), the new column gets a fresh
+    *    physical name so the dropped column's stale data cannot
+    *    resurrect.
+    *  - RENAME COLUMN: the logical name remaps onto the column's
+    *    birth-assigned PHYSICAL name (Delta's column-mapping device) —
+    *    data written before and after the rename shares one physical
+    *    column, and `VERSION AS OF` reads under the old name.
+    *  - DROP COLUMN: the field and its mapping vanish from the schema;
+    *    files keep the physical data (time travel still reads it).
+    *
+    * Partition columns can be neither renamed nor dropped (their values
+    * key the manifests); anything else is rejected loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val h = GraftLakeStore.get(root, key(ident))
       .getOrElse(throw new NoSuchTableException(ident))
-    val cur = h.snapshot(h.latestVersion).schema
-    val next = changes.foldLeft(cur) {
-      case (s, add: TableChange.AddColumn) =>
-        require(add.fieldNames().length == 1,
-          s"ADD COLUMN supports top-level columns only, got " +
-            add.fieldNames().mkString("."))
+    val cur = h.snapshot(h.latestVersion)
+    def oneField(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"$what supports top-level columns only, got ${names.mkString(".")}")
+      names(0)
+    }
+    val (nextSchema, nextPhys) = changes.foldLeft((cur.schema, cur.colPhys)) {
+      case ((s, m), add: TableChange.AddColumn) =>
         require(add.isNullable,
           "ADD COLUMN must be nullable: existing rows have no value for it")
-        val name = add.fieldNames()(0)
+        val name = oneField(add.fieldNames(), "ADD COLUMN")
         require(!s.fieldNames.contains(name), s"column $name already exists")
-        s.add(StructField(name, add.dataType(), nullable = true))
+        // physical names still reachable: any current file's columns
+        // plus every live mapping target — a collision means stale data
+        // under this name exists somewhere, so mint a fresh one
+        val used = cur.files.flatMap(_.columns).toSet ++
+          s.fieldNames.map(n => m.getOrElse(n, n))
+        val m2 =
+          if (used.contains(name)) m + (name -> s"${name}__v${cur.version + 1}")
+          else m
+        (s.add(StructField(name, add.dataType(), nullable = true)), m2)
+      case ((s, m), rn: TableChange.RenameColumn) =>
+        val from = oneField(rn.fieldNames(), "RENAME COLUMN")
+        val to = rn.newName()
+        require(s.fieldNames.contains(from), s"column $from does not exist")
+        require(!s.fieldNames.contains(to), s"column $to already exists")
+        require(!cur.partitionCols.contains(from),
+          s"cannot RENAME partition column $from (its values key the manifests)")
+        val phys = m.getOrElse(from, from)
+        val fields = s.fields.map(f => if (f.name == from) f.copy(name = to) else f)
+        (StructType(fields), m - from + (to -> phys))
+      case ((s, m), del: TableChange.DeleteColumn) =>
+        val name = oneField(del.fieldNames(), "DROP COLUMN")
+        if (!s.fieldNames.contains(name)) {
+          require(del.ifExists() == java.lang.Boolean.TRUE,
+            s"column $name does not exist")
+          (s, m)
+        } else {
+          require(!cur.partitionCols.contains(name),
+            s"cannot DROP partition column $name (its values key the manifests)")
+          require(s.length > 1, "cannot DROP the last column")
+          (StructType(s.fields.filterNot(_.name == name)), m - name)
+        }
       case (_, other) =>
         throw new UnsupportedOperationException(
-          s"ALTER TABLE ${key(ident)}: only ADD COLUMN is supported, got $other")
+          s"ALTER TABLE ${key(ident)}: only ADD/RENAME/DROP COLUMN are " +
+            s"supported, got $other")
     }
-    h.commitSchema(next)
+    h.commitSchema(nextSchema, nextPhys)
     new LakeTable(key(ident), h, pinned = None)
   }
 
@@ -358,6 +404,16 @@ object LakeTable {
   private[v2] val CopyOnWrite = "copy-on-write"
   private[v2] val MergeOnRead = "merge-on-read"
 
+  /** Rename each field to its PHYSICAL storage name (column mapping):
+    * the parquet encoder sees physical names, so data written before
+    * and after a RENAME COLUMN shares one physical column and a
+    * re-added dropped name never aliases stale data. Types and order
+    * are untouched — write-task row processing is ordinal-based. */
+  private[v2] def physicalSchema(logical: StructType,
+      snap: Snapshot): StructType =
+    if (snap.colPhys.isEmpty) logical
+    else StructType(logical.fields.map(f => f.copy(name = snap.phys(f.name))))
+
   private[v2] def partitionableType(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | ShortType | ByteType | BooleanType => true
     case _ => false
@@ -449,20 +505,29 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
   override def build(): Scan = {
     val schemaByName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val pcols = snap.partitionCols.toSet
+    // per-file stats are keyed by PHYSICAL column names (what the write
+    // task saw); filters reference logical names — translate per file
+    def logicalStats(f: LakeFile): Map[String, GraftLakeStore.ColStats] =
+      if (snap.colPhys.isEmpty) f.stats
+      else snap.schema.fieldNames.iterator
+        .flatMap(n => f.stats.get(snap.phys(n)).map(n -> _)).toMap
     val kept =
       if (pushed.isEmpty) snap.files
       else snap.files.filter(f => pushed.forall { p =>
         if (p.references.forall(pcols.contains))
           LakePartitionPruning.mightMatch(p, f.partition, schemaByName)
-        else LakeStatsPruning.mayMatch(p, f.stats, f.rows, schemaByName)
+        else LakeStatsPruning.mayMatch(p, logicalStats(f), f.rows, schemaByName)
       })
+    // logical → physical for every readable column (the column-mapping
+    // indirection; metadata columns map to themselves)
+    val physOf = snap.schema.fieldNames.map(n => n -> snap.phys(n)).toMap
     // only the ROW-LEVEL scan is runtime-filterable: its relation always
     // carries _split (a required metadata attribute), where a plain
     // query's relation may not have requested it — Spark's v2 dynamic-
     // filtering rules resolve filterAttributes against the relation
     // output and fail loudly on a column that is not there
-    if (rowLevel) new LakeRowScan(handle, snap.version, kept, snap.schema, required, desc)
-    else new LakeScan(handle, snap.version, kept, snap.schema, required, desc)
+    if (rowLevel) new LakeRowScan(handle, snap.version, kept, physOf, required, desc)
+    else new LakeScan(handle, snap.version, kept, physOf, required, desc)
   }
 }
 
@@ -743,8 +808,8 @@ private[v2] object LakeStatsPruning {
 }
 
 private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
-    initialFiles: Seq[LakeFile], tableSchema: StructType, required: StructType,
-    desc: String) extends Scan with Batch {
+    initialFiles: Seq[LakeFile], physOf: Map[String, String],
+    required: StructType, desc: String) extends Scan with Batch {
 
   @volatile protected var files: Seq[LakeFile] = initialFiles
 
@@ -764,7 +829,7 @@ private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(required)
+    new LakeReaderFactory(required, physOf)
 }
 
 /** The row-level operation's scan: runtime-filterable on `_split`, so
@@ -772,9 +837,9 @@ private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
   * MERGE/UPDATE/DELETE's copy-on-write footprint to exactly the files
   * holding matched rows. */
 private[v2] class LakeRowScan(handle: TableHandle, baseVersion: Int,
-    initialFiles: Seq[LakeFile], tableSchema: StructType, required: StructType,
-    desc: String)
-    extends LakeScan(handle, baseVersion, initialFiles, tableSchema, required, desc)
+    initialFiles: Seq[LakeFile], physOf: Map[String, String],
+    required: StructType, desc: String)
+    extends LakeScan(handle, baseVersion, initialFiles, physOf, required, desc)
     with SupportsRuntimeV2Filtering {
 
   override def filterAttributes(): Array[NamedReference] =
@@ -863,14 +928,16 @@ private[v2] object LakeDv {
   * vector are skipped — the merge-on-read half of the read path — while
   * the position counter still advances over them (a position names a
   * PHYSICAL row, deleted or not). */
-private[v2] class LakeReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+private[v2] class LakeReaderFactory(required: StructType,
+    physOf: Map[String, String]) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[LakeInputPartition]
     val fileCols = part.fileColumns.toSet
-    // columns to request from the file, in required-schema order
-    val requested = required.fields.map(_.name)
+    // PHYSICAL names to request from the file, in required-schema order
+    // (column mapping: a renamed column keeps its birth physical name)
+    def phys(n: String): String = physOf.getOrElse(n, n)
+    val requested = required.fields.map(f => phys(f.name))
       .filter(n => n != LakeTable.SplitCol && n != LakeTable.PosCol &&
         fileCols.contains(n))
     // for each output ordinal: >=0 index into `requested`, -1 = _split,
@@ -879,7 +946,7 @@ private[v2] class LakeReaderFactory(required: StructType)
       if (f.name == LakeTable.SplitCol) -1
       else if (f.name == LakeTable.PosCol) -3
       else {
-        val i = requested.indexOf(f.name)
+        val i = requested.indexOf(phys(f.name))
         if (i >= 0) i else -2
       }
     }
@@ -987,7 +1054,8 @@ private[v2] class LakeWrite(handle: TableHandle, writeSchema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val snap = handle.snapshot(handle.latestVersion)
     val pOrds = snap.partitionCols.map(c => writeSchema.fieldIndex(c))
-    new LakeWriterFactory(handle.dataDir.toString, writeSchema, pOrds)
+    new LakeWriterFactory(handle.dataDir.toString,
+      LakeTable.physicalSchema(writeSchema, snap), pOrds)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1106,7 +1174,8 @@ private[v2] class LakeDeltaWrite(handle: TableHandle, scan: LakeScan)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val snap = handle.snapshot(handle.latestVersion)
     val pOrds = snap.partitionCols.map(c => snap.schema.fieldIndex(c))
-    new LakeDeltaWriterFactory(handle.dataDir.toString, snap.schema, pOrds)
+    new LakeDeltaWriterFactory(handle.dataDir.toString,
+      LakeTable.physicalSchema(snap.schema, snap), pOrds)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

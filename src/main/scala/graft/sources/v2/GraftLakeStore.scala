@@ -91,7 +91,17 @@ object GraftLakeStore {
   final case class Snapshot(version: Int, schema: StructType,
       partitionCols: Seq[String], files: Seq[LakeFile], maxFileId: Int,
       op: String = "create", txn: Option[(String, Long)] = None,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      colPhys: Map[String, String] = Map.empty) {
+    /** Column mapping: the PHYSICAL name a logical column's data is
+      * stored under in parquet. Assigned at column birth and never
+      * changed — RENAME COLUMN remaps the logical name, DROP COLUMN
+      * removes it, and a re-added name gets a FRESH physical name so a
+      * dropped column's stale data can never resurrect (the Delta
+      * column-mapping / Iceberg field-id device). Absent entry =
+      * identity (CREATE-time columns, and every pre-mapping manifest). */
+    def phys(logical: String): String = colPhys.getOrElse(logical, logical)
+  }
 
   /** A file a write task produced, not yet committed: name is relative
     * to the table's data dir; partition values align with the table's
@@ -323,10 +333,13 @@ object GraftLakeStore {
       (-1, false) // unreachable
     }
 
-    /** Metadata-only commit: new schema, every file carried over. */
-    def commitSchema(newSchema: StructType): Int =
+    /** Metadata-only commit: new schema (and its column mapping),
+      * every file carried over. */
+    def commitSchema(newSchema: StructType,
+        newColPhys: Map[String, String] = null): Int =
       retryCommit { base =>
-        base.copy(version = base.version + 1, schema = newSchema, op = "schema") }
+        base.copy(version = base.version + 1, schema = newSchema,
+          colPhys = Option(newColPhys).getOrElse(base.colPhys), op = "schema") }
 
     /** Expire all snapshots except the newest `keepLast`. Data files
       * referenced by a survivor are retained; files referenced only by
@@ -357,9 +370,12 @@ object GraftLakeStore {
     private def assignIds(base: Snapshot,
         newFiles: Seq[PendingFile]): (Seq[LakeFile], Int) = {
       var id = base.maxFileId
+      // files record the PHYSICAL columns they hold (write tasks encode
+      // parquet under physical names; identity when no mapping exists)
+      val physCols = base.schema.fieldNames.toSeq.map(base.phys)
       val entries = newFiles.map { pf =>
         id += 1
-        LakeFile(id, s"data/${pf.name}", pf.rows, base.schema.fieldNames.toSeq,
+        LakeFile(id, s"data/${pf.name}", pf.rows, physCols,
           base.partitionCols.zip(pf.partition).toMap, pf.stats)
       }
       (entries, id)
@@ -429,9 +445,11 @@ object GraftLakeStore {
       s""""txnQuery":${esc(q)},"txnEpoch":$e,""" }.getOrElse("")
     val props = s.props.toSeq.sortBy(_._1).map { case (k, v) =>
       s"${esc(k)}:${esc(v)}" }.mkString("{", ",", "}")
+    val colPhys = s.colPhys.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${esc(k)}:${esc(v)}" }.mkString("{", ",", "}")
     s"""{"version":${s.version},"maxFileId":${s.maxFileId},"op":${esc(s.op)},$txn""" +
       s""""partitionCols":${s.partitionCols.map(esc).mkString("[", ",", "]")},""" +
-      s""""props":$props,"schema":${s.schema.json},"files":$files}"""
+      s""""props":$props,"colPhys":$colPhys,"schema":${s.schema.json},"files":$files}"""
   }
 
   private def parseManifest(json: String): Snapshot = {
@@ -462,6 +480,8 @@ object GraftLakeStore {
       Option(n.get("op")).map(_.asText()).getOrElse("create"),
       Option(n.get("txnQuery")).map(q => (q.asText(), n.get("txnEpoch").asLong())),
       Option(n.get("props")).map(_.properties().asScala.map { e =>
+        e.getKey -> e.getValue.asText() }.toMap).getOrElse(Map.empty),
+      Option(n.get("colPhys")).map(_.properties().asScala.map { e =>
         e.getKey -> e.getValue.asText() }.toMap).getOrElse(Map.empty))
   }
 }

@@ -151,8 +151,13 @@ private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new LakeFeedReaderFactory(schema)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // logical → physical (column mapping): birth-stable, so the latest
+    // snapshot's mapping is valid for files of every version
+    val snap = handle.snapshot(handle.latestVersion)
+    new LakeFeedReaderFactory(schema,
+      snap.schema.fieldNames.map(n => n -> snap.phys(n)).toMap)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -161,16 +166,17 @@ private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
 /** Reads one changed file, appending the constant change-type and
   * commit-version columns; data columns the file predates read NULL
   * (same evolution contract as the batch scan). */
-private[v2] class LakeFeedReaderFactory(schema: StructType)
-    extends PartitionReaderFactory {
+private[v2] class LakeFeedReaderFactory(schema: StructType,
+    physOf: Map[String, String]) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[LakeFeedPartition]
     val fileCols = part.fileColumns.toSet
     val dataFields = schema.fields.dropRight(2)
-    val requested = dataFields.map(_.name).filter(fileCols.contains)
-    val src = dataFields.map { f =>
-      val i = requested.indexOf(f.name)
+    val physNames = dataFields.map(f => physOf.getOrElse(f.name, f.name))
+    val requested = physNames.filter(fileCols.contains)
+    val src = physNames.map { n =>
+      val i = requested.indexOf(n)
       i // -1 = null (post-evolution column)
     }
     val types = dataFields.map(_.dataType)

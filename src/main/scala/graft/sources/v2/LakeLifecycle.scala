@@ -389,7 +389,43 @@ object LakeLifecycle {
          |""".stripMargin)
   }
 
+  // ---- q227: column mapping (RENAME / DROP / re-ADD) ----------------
+
+  /** Staging: two appends around a RENAME (both eras must read under
+    * the new name through the mapping), then DROP n_name and re-ADD it
+    * (the re-added column gets a fresh physical name, so the dropped
+    * data must NOT resurrect). All four schema changes are metadata-
+    * only commits — no file is rewritten. */
+  private def ensureMapped(s: SparkSession, dir: String): String =
+    memo(s, dir, "colmap") { (ss, id) =>
+      val tbl = s"graft_lake.lake.nation_map$id"
+      ss.sql(s"CREATE TABLE $tbl (n_nationkey BIGINT, n_name STRING, tag STRING)")
+      val nation = Tables(ss, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      nation.filter(col("n_nationkey") < 12)
+        .withColumn("tag", lit("era1")).writeTo(tbl).append()
+      ss.sql(s"ALTER TABLE $tbl RENAME COLUMN tag TO era")
+      nation.filter(col("n_nationkey") >= 12)
+        .withColumn("era", lit("era2")).writeTo(tbl).append()
+      ss.sql(s"ALTER TABLE $tbl DROP COLUMN n_name")
+      ss.sql(s"ALTER TABLE $tbl ADD COLUMN n_name STRING")
+      tbl
+    }
+
+  /** q227: `era` resolves through the column mapping onto BOTH write
+    * eras (pre-rename files store it under the old physical name);
+    * the re-added `n_name` is NULL everywhere even though every data
+    * file still physically holds the dropped values — resurrecting
+    * them would fail the oracle. */
+  def columnMappingRead(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureMapped(s, dir)
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT n_nationkey, era, n_name
+         |FROM $tbl ORDER BY n_nationkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_column_mapping" -> (columnMappingRead _),
     "q216_change_feed_consumer" -> (changeFeedConsumer _),
     "q223_streaming_lake_sink" -> (streamingLakeSink _),
     "q224_lake_zorder" -> (zorderedLakeScan _),
@@ -401,6 +437,13 @@ object LakeLifecycle {
     "q222_lake_history" -> (lakeHistory _))
 
   val oracle: Map[String, String] = Map(
+    // both eras surface `era` through the mapping; the re-added n_name
+    // is NULL everywhere (dropped data must not resurrect)
+    "q227_column_mapping" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        | CASE WHEN n_nationkey < 12 THEN 'era1' ELSE 'era2' END AS era,
+        | CAST(NULL AS STRING) AS n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     // the feed-reconstructed state must equal the post-MERGE batch
     // truth: q97's oracle verbatim (q208 shares it the same way)
     "q216_change_feed_consumer" -> graft.operators.CdcOps.oracle("q97_cdc_merge"),

@@ -67,7 +67,10 @@ class ConcurrencySpec extends SparkSpec {
     // merge-on-read: the staged MERGE commits delete vectors through
     // the delta-write protocol; concurrent first touch must stage
     // exactly once and the post-staging read is version-stable
-    "q225_mor_merge")
+    "q225_mor_merge",
+    // column mapping: four metadata-only schema commits racing first
+    // touch; reads resolve logical→physical under contention
+    "q227_column_mapping")
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq

@@ -90,12 +90,15 @@ class LakeDmlSpec extends SparkSpec {
     // the new column is usable in predicates/aggregates
     assert(ss.sql("SELECT count(*) FROM evo.ns.t WHERE note IS NULL")
       .head().getLong(0) === 2L)
-    // non-nullable / nested / other changes fail loudly
+    // non-nullable / nested / other changes fail loudly (RENAME/DROP
+    // are supported since the column-mapping wave — see
+    // LakeColumnMappingSpec; a type change is not)
     val e = intercept[Throwable](
-      ss.sql("ALTER TABLE evo.ns.t RENAME COLUMN v TO w"))
+      ss.sql("ALTER TABLE evo.ns.t ALTER COLUMN v TYPE BIGINT"))
     def msgs(t: Throwable): List[String] =
       if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
-    assert(msgs(e).exists(m => m.contains("ADD COLUMN") || m.contains("RENAME")), msgs(e))
+    assert(msgs(e).exists(m => m.contains("ADD/RENAME/DROP") ||
+      m.contains("NOT_SUPPORTED_CHANGE_COLUMN")), msgs(e))
   }
 
   test("identity partitioning: a partition predicate prunes files at planning") {
