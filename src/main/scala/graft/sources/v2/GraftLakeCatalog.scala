@@ -463,12 +463,51 @@ private[v2] case class LakeInputPartition(absPath: String, fileId: Int,
 private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: String,
     rowLevel: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = snap.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggGroupCols: Seq[String] = Seq.empty
+  private var aggCountCols: Int = 0
+  private var aggPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** COUNT(*) — optionally grouped by partition columns — is answered
+    * ENTIRELY from manifests: live row counts (physical rows minus
+    * delete-vector positions) are exact write-task metadata, and
+    * identity partitioning makes per-file group values total. Complete
+    * pushdown: no data file is opened (the spec deletes them from disk
+    * and the count still answers). Spark only offers an aggregate when
+    * every filter was fully pushed, i.e. exact partition predicates —
+    * the conservative stats tier never reaches here. */
+  private def canPushAgg(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Boolean =
+    !rowLevel &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
+      agg.groupByExpressions().forall {
+        case f: NamedReference =>
+          f.fieldNames().length == 1 &&
+            snap.partitionCols.contains(f.fieldNames()(0))
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = canPushAgg(agg)
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Boolean =
+    if (!canPushAgg(agg)) false
+    else {
+      aggGroupCols = agg.groupByExpressions().toSeq.map(
+        _.asInstanceOf[NamedReference].fieldNames()(0))
+      aggCountCols = agg.aggregateExpressions().length
+      aggPushed = true
+      true
+    }
 
   /** File pruning — two metadata tiers, both captured in
     * `pushedFilters` (so the plan shows them) and both only ever
@@ -498,7 +537,14 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
         (f.references.forall(pcols.contains) && LakePartitionPruning.supported(f)) ||
         (f.references.forall(statCols.contains) && LakeStatsPruning.supported(f)))
     }
-    filters
+    // partition predicates are decided EXACTLY per file (identity
+    // partitioning: every row of a file shares the values), so they are
+    // fully handled here — no residual row filter, which is also what
+    // unlocks aggregate pushdown (Spark pushes aggregates only when no
+    // post-scan filter remains). Stats predicates stay residual: file
+    // pruning by min/max is conservative, rows must still be filtered.
+    filters.filterNot(f => f.references.nonEmpty &&
+      f.references.forall(pcols.contains) && LakePartitionPruning.supported(f))
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -521,6 +567,10 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
     // logical → physical for every readable column (the column-mapping
     // indirection; metadata columns map to themselves)
     val physOf = snap.schema.fieldNames.map(n => n -> snap.phys(n)).toMap
+    if (aggPushed)
+      return new LakeCountScan(kept, aggGroupCols.map(n =>
+        snap.schema.fields(snap.schema.fieldIndex(n))), aggCountCols,
+        s"$desc [manifest count]")
     // only the ROW-LEVEL scan is runtime-filterable: its relation always
     // carries _split (a required metadata attribute), where a plain
     // query's relation may not have requested it — Spark's v2 dynamic-
@@ -807,15 +857,100 @@ private[v2] object LakeStatsPruning {
   }
 }
 
+/** Completely-pushed COUNT(*) (optionally GROUP BY partition columns):
+  * the "scan" never opens a data file — it folds the kept manifests'
+  * live row counts, grouped by the files' identity-partition values.
+  * One synthetic input partition whose row count is bounded by the
+  * number of partition VALUES (metadata-sized, never data-sized). */
+private[v2] class LakeCountScan(files: Seq[LakeFile],
+    groupFields: Seq[StructField], countCols: Int, desc: String)
+    extends Scan with Batch {
+
+  private val out = StructType(
+    groupFields ++ (0 until countCols).map(i =>
+      StructField(s"count_$i", LongType, nullable = false)))
+
+  override def readSchema(): StructType = out
+  override def description(): String = desc
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows: Seq[(Seq[Option[String]], Long)] =
+      if (groupFields.isEmpty) Seq((Seq.empty, files.map(_.liveRows).sum))
+      else files.groupBy(f => groupFields.map(g => f.partition(g.name)))
+        .map { case (k, fs) => (k, fs.map(_.liveRows).sum) }.toSeq
+    Array(LakeCountPartition(rows, groupFields.map(_.dataType), countCols))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => {
+      val part = p.asInstanceOf[LakeCountPartition]
+      new PartitionReader[InternalRow] {
+        private val it = part.rows.iterator
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          if (!it.hasNext) return false
+          val (gvals, count) = it.next()
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(part.groupTypes.length + part.countCols)
+          gvals.indices.foreach { i =>
+            row.update(i, gvals(i).map(v => LakeCountScan
+              .parsePartitionValue(v, part.groupTypes(i))).orNull)
+          }
+          (0 until part.countCols).foreach(j =>
+            row.update(part.groupTypes.length + j, count))
+          cur = row
+          true
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
+}
+
+private[v2] object LakeCountScan {
+  /** Inverse of [[LakeTable.renderPartitionValue]]. */
+  def parsePartitionValue(s: String, dt: DataType): Any = dt match {
+    case StringType => UTF8String.fromString(s)
+    case IntegerType => s.toInt
+    case LongType => s.toLong
+    case ShortType => s.toShort
+    case ByteType => s.toByte
+    case BooleanType => s.toBoolean
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+}
+
+private[v2] case class LakeCountPartition(rows: Seq[(Seq[Option[String]], Long)],
+    groupTypes: Seq[DataType], countCols: Int) extends InputPartition
+
 private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
     initialFiles: Seq[LakeFile], physOf: Map[String, String],
-    required: StructType, desc: String) extends Scan with Batch {
+    required: StructType, desc: String) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile protected var files: Seq[LakeFile] = initialFiles
 
   /** File ids this scan will read — after any runtime group filtering.
     * For a row-level operation this IS the replaced-file set. */
   def plannedFileIds: Set[Int] = files.map(_.id).toSet
+
+  /** Manifest-derived statistics, AFTER partition/stats pruning:
+    * exact live row counts and on-disk bytes of the files this scan
+    * will actually read. This is what lets Catalyst broadcast a
+    * dimension-sized lake table (a DSv2 relation without statistics
+    * reports the "unknown = huge" default and never broadcasts) and
+    * size shuffles by real input, the Iceberg/Delta convention. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val fs = files
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(fs.map(_.liveRows).sum)
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (fs.nonEmpty && fs.forall(_.bytes > 0L))
+          java.util.OptionalLong.of(fs.map(_.bytes).sum)
+        else java.util.OptionalLong.empty() // legacy files: unknown, never a lie
+    }
 
   override def readSchema(): StructType = required
   override def description(): String = desc
@@ -1124,7 +1259,12 @@ private[v2] class LakeRowFileWriter(dataDir: String, schema: StructType,
   def commitFiles(): Seq[PendingFile] = {
     val files = open.map { case (pvals, (w, name, n, stats)) =>
       w.close()
-      PendingFile(name, n(0), pvals, stats.result())
+      // on-disk size feeds the scan's reported statistics (broadcast
+      // decisions); 0 on a stat failure = "unknown", never a lie
+      val bytes =
+        try java.nio.file.Files.size(java.nio.file.Paths.get(dataDir, name))
+        catch { case _: java.io.IOException => 0L }
+      PendingFile(name, n(0), pvals, stats.result(), bytes)
     }.toSeq
     open.clear()
     files

@@ -60,7 +60,7 @@ object GraftLakeStore {
   final case class LakeFile(id: Int, path: String, rows: Long,
       columns: Seq[String], partition: Map[String, Option[String]],
       stats: Map[String, ColStats] = Map.empty,
-      dvs: Seq[DvRef] = Seq.empty) {
+      dvs: Seq[DvRef] = Seq.empty, bytes: Long = 0L) {
     /** Rows visible to a reader: physical rows minus deleted positions. */
     def liveRows: Long = rows - dvs.map(_.dels).sum
   }
@@ -107,7 +107,8 @@ object GraftLakeStore {
     * to the table's data dir; partition values align with the table's
     * partitionCols. */
   final case class PendingFile(name: String, rows: Long,
-      partition: Seq[Option[String]], stats: Map[String, ColStats] = Map.empty)
+      partition: Seq[Option[String]], stats: Map[String, ColStats] = Map.empty,
+      bytes: Long = 0L)
 
   /** A position-delete parquet a merge-on-read write task produced, not
     * yet committed: `dels` maps each covered data-file id to the number
@@ -376,7 +377,8 @@ object GraftLakeStore {
       val entries = newFiles.map { pf =>
         id += 1
         LakeFile(id, s"data/${pf.name}", pf.rows, physCols,
-          base.partitionCols.zip(pf.partition).toMap, pf.stats)
+          base.partitionCols.zip(pf.partition).toMap, pf.stats,
+          bytes = pf.bytes)
       }
       (entries, id)
     }
@@ -437,7 +439,7 @@ object GraftLakeStore {
       }.mkString("{", ",", "}")
       val dvs = f.dvs.map { d =>
         s"""{"path":${esc(d.path)},"dels":${d.dels}}""" }.mkString("[", ",", "]")
-      s"""{"id":${f.id},"path":${esc(f.path)},"rows":${f.rows},""" +
+      s"""{"id":${f.id},"path":${esc(f.path)},"rows":${f.rows},"bytes":${f.bytes},""" +
         s""""columns":${f.columns.map(esc).mkString("[", ",", "]")},""" +
         s""""partition":$part,"stats":$stats,"dvs":$dvs}"""
     }.mkString("[", ",", "]")
@@ -469,7 +471,8 @@ object GraftLakeStore {
         DvRef(d.get("path").asText(), d.get("dels").asLong())
       }.toSeq).getOrElse(Seq.empty)
       LakeFile(f.get("id").asInt(), f.get("path").asText(), f.get("rows").asLong(),
-        strs(f.get("columns")), part, stats, dvs)
+        strs(f.get("columns")), part, stats, dvs,
+        Option(f.get("bytes")).map(_.asLong()).getOrElse(0L))
     }.toSeq
     Snapshot(
       n.get("version").asInt(),

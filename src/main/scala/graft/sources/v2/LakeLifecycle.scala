@@ -389,6 +389,29 @@ object LakeLifecycle {
          |""".stripMargin)
   }
 
+  // ---- q228: manifest-only COUNT ------------------------------------
+
+  /** q228: per-month order counts over q220's partitioned lake table,
+    * answered ENTIRELY from manifests — COUNT(*) grouped by the
+    * partition column under an exact partition predicate pushes down
+    * completely (SupportsPushDownAggregates), so the plan opens ZERO
+    * parquet files: live row counts are write-task metadata the
+    * manifests carry (LakeMetaSpec proves it by deleting the data
+    * files and counting anyway). At 100 TB this is the difference
+    * between a metadata lookup and a full scan for the warehouse's
+    * most common query. Oracle recomputes from raw orders. */
+  def manifestCount(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensurePartitioned(s, dir)
+    val df = MergeQueries.lakeSession(s).sql(
+      s"""SELECT o_month, count(*) AS n_orders
+         |FROM $tbl
+         |WHERE o_month BETWEEN '1995-01' AND '1995-06'
+         |GROUP BY o_month ORDER BY o_month""".stripMargin)
+    require(df.queryExecution.executedPlan.toString.contains("manifest count"),
+      "q228 must plan as a manifest-only count (no data file opened)")
+    df
+  }
+
   // ---- q227: column mapping (RENAME / DROP / re-ADD) ----------------
 
   /** Staging: two appends around a RENAME (both eras must read under
@@ -426,6 +449,7 @@ object LakeLifecycle {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q227_column_mapping" -> (columnMappingRead _),
+    "q228_manifest_count" -> (manifestCount _),
     "q216_change_feed_consumer" -> (changeFeedConsumer _),
     "q223_streaming_lake_sink" -> (streamingLakeSink _),
     "q224_lake_zorder" -> (zorderedLakeScan _),
@@ -444,6 +468,15 @@ object LakeLifecycle {
         | CASE WHEN n_nationkey < 12 THEN 'era1' ELSE 'era2' END AS era,
         | CAST(NULL AS STRING) AS n_name
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // the manifest accounting must equal the data: per-month counts
+    // recomputed from raw orders
+    "q228_manifest_count" ->
+      """SELECT substring(CAST(o_orderdate AS STRING), 1, 7) AS o_month,
+        | count(*) AS n_orders
+        |FROM orders
+        |WHERE substring(CAST(o_orderdate AS STRING), 1, 7)
+        |  BETWEEN '1995-01' AND '1995-06'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the feed-reconstructed state must equal the post-MERGE batch
     // truth: q97's oracle verbatim (q208 shares it the same way)
     "q216_change_feed_consumer" -> graft.operators.CdcOps.oracle("q97_cdc_merge"),
