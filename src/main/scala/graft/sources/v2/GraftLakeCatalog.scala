@@ -1367,11 +1367,17 @@ private[v2] class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
 
       override def insert(row: InternalRow): Unit = inserts.write(row)
 
+      // the DV parquet is written inside commit(); a failure BETWEEN
+      // that write and the task's success must not orphan it — abort
+      // remembers the name and deletes it
+      private var pendingDvName: String = _
+
       override def commit(): WriterCommitMessage = {
         val dv =
           if (dels.isEmpty) None
           else {
             val name = s"dv-$partitionId-$taskId-${UUID.randomUUID().toString.take(12)}.parquet"
+            pendingDvName = name
             val w = LakeParquet.writer(s"$dataDir/$name", LakeDv.schema)
             val out = new org.apache.spark.sql.catalyst.expressions
               .GenericInternalRow(2)
@@ -1393,6 +1399,12 @@ private[v2] class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
       override def abort(): Unit = {
         inserts.abort()
         dels.clear()
+        if (pendingDvName != null) {
+          try java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(dataDir, pendingDvName))
+          catch { case _: java.io.IOException => }
+          pendingDvName = null
+        }
       }
       override def close(): Unit = ()
     }

@@ -174,4 +174,50 @@ class RetryInvarianceSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("no snapshot 3"))
   }
+
+  test("merge-on-read MERGE over a fail-once source commits its delete vectors exactly once") {
+    // the delta-write path's exactly-once: a failed attempt's buffered
+    // deletes and written files must leave no trace — only the retry's
+    // commit message reaches commitDelta, and the data dir holds ONLY
+    // manifest-referenced files afterwards (no orphan DV parquet)
+    val ss = lakeClone()
+    import ss.implicits._
+    ss.sql("CREATE TABLE graft_lake.retry.mor1 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.dml.mode'='merge-on-read')")
+    ss.range(0, 100).select(col("id").as("k"), col("id").as("v"))
+      .writeTo("graft_lake.retry.mor1").append()
+    flaky(ss.range(50, 150).as[Long])
+      .select(col("value").as("k"), lit(10L).as("dv"))
+      .createOrReplaceTempView("retry_mor_chg")
+    ss.sql(
+      """MERGE INTO graft_lake.retry.mor1 t USING retry_mor_chg c ON t.k = c.k
+        |WHEN MATCHED THEN UPDATE SET v = t.v + c.dv
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (c.k, c.dv)""".stripMargin)
+    val got = ss.sql("SELECT k, v FROM graft_lake.retry.mor1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (0L until 50L).map(k => (k, k)) ++
+      (50L until 100L).map(k => (k, k + 10L)) ++
+      (100L until 150L).map(k => (k, 10L))
+    assert(got === expected)
+    // delta commit shape: no data file rewritten, exactly the matched
+    // pre-images deleted (50 updates), exactly once
+    val handle = graft.sources.v2.GraftLakeStore
+      .get(graft.sources.v2.GraftLakeStore.defaultRoot, "retry.mor1").get
+    val sn = handle.snapshot(handle.latestVersion)
+    assert(sn.version === 2 && sn.op === "delta")
+    assert(sn.files.map(_.dvs.map(_.dels).sum).sum === 50L,
+      "a retried attempt must not double-record delete positions")
+    // no orphans: every file on disk is referenced by some manifest
+    val referenced = (0 to handle.latestVersion).flatMap(v =>
+      handle.snapshot(v).files.flatMap(f => f.path +: f.dvs.map(_.path)))
+      .map(_.stripPrefix("data/")).toSet
+    val l = java.nio.file.Files.list(handle.dataDir)
+    val onDisk = try {
+      val b = Seq.newBuilder[String]
+      l.iterator().forEachRemaining(p => b += p.getFileName.toString)
+      b.result().toSet
+    } finally l.close()
+    assert((onDisk -- referenced).isEmpty,
+      s"orphan files survived the aborted attempt: ${onDisk -- referenced}")
+  }
 }

@@ -126,4 +126,41 @@ class SpillRobustnessSpec extends SparkSpec {
     assert(got.getLong(2) === 5000L, "updated rows corrupted under spill")
     assert(got.getLong(3) === 5000L, "inserted rows corrupted under spill")
   }
+
+  test("a merge-on-read MERGE's delta write executes identically under forced SMJ spill") {
+    // same join shape, delta-write sink: with the SMJ buffers spilling,
+    // the per-row delete/insert actions must still arrive exactly once
+    // and the delete vectors record exactly the matched pre-images
+    val ss = org.apache.spark.sql.graft.SessionClone(spark)
+    ss.conf.set("spark.sql.catalog.graft_lake",
+      classOf[graft.sources.v2.GraftLakeCatalog].getName)
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spillConfs.foreach { case (k, v) => ss.conf.set(k, v) }
+    ss.sql("CREATE TABLE graft_lake.spill.mor1 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.dml.mode'='merge-on-read')")
+    ss.range(0, 10000).select(col("id").as("k"), col("id").as("v"))
+      .writeTo("graft_lake.spill.mor1").append()
+    ss.range(5000, 15000).select(col("id").as("k"), lit(10L).as("dv"))
+      .createOrReplaceTempView("spill_mor_chg")
+    ss.sql(
+      """MERGE INTO graft_lake.spill.mor1 t USING spill_mor_chg c ON t.k = c.k
+        |WHEN MATCHED THEN UPDATE SET v = t.v + c.dv
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (c.k, c.dv)""".stripMargin)
+    val got = ss.sql(
+      """SELECT count(*) AS n,
+        |  sum(CASE WHEN k < 5000 AND v = k THEN 1 ELSE 0 END) AS carried,
+        |  sum(CASE WHEN k >= 5000 AND k < 10000 AND v = k + 10 THEN 1 ELSE 0 END) AS updated,
+        |  sum(CASE WHEN k >= 10000 AND v = 10 THEN 1 ELSE 0 END) AS inserted
+        |FROM graft_lake.spill.mor1""".stripMargin).collect().head
+    assert(got.getLong(0) === 15000L)
+    assert(got.getLong(1) === 5000L, "carry-over rows corrupted under spill")
+    assert(got.getLong(2) === 5000L, "updated rows corrupted under spill")
+    assert(got.getLong(3) === 5000L, "inserted rows corrupted under spill")
+    val handle = graft.sources.v2.GraftLakeStore
+      .get(graft.sources.v2.GraftLakeStore.defaultRoot, "spill.mor1").get
+    val sn = handle.snapshot(handle.latestVersion)
+    assert(sn.op === "delta")
+    assert(sn.files.map(_.dvs.map(_.dels).sum).sum === 5000L,
+      "delete vectors must record exactly the matched pre-images under spill")
+  }
 }
