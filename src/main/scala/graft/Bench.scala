@@ -354,6 +354,8 @@ object Bench {
       SparkEntry.queries("q226_mor_change_audit")(spark, sfDir).count())
     staged("q227_column_mapping")(
       SparkEntry.queries("q227_column_mapping")(spark, sfDir).count())
+    staged("q229_tagged_read")(
+      SparkEntry.queries("q229_tagged_read")(spark, sfDir).count())
     // streaming first-touch: engine class loading / state-store init
     staged("q71_streaming_daily")(
       SparkEntry.queries("q71_streaming_daily")(spark, sfDir).count())

@@ -85,14 +85,13 @@ class GraftLakeCatalog extends TableCatalog {
       .map(h => new LakeTable(key(ident), h, pinned = None))
       .getOrElse(throw new NoSuchTableException(ident))
 
-  /** Time travel: `VERSION AS OF n` arrives here as a string. */
+  /** Time travel: `VERSION AS OF n` arrives here as a string — an
+    * integer snapshot id, or a TAG name (`VERSION AS OF 'release1'`)
+    * resolved through the table's refs. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val h = GraftLakeStore.get(root, key(ident))
       .getOrElse(throw new NoSuchTableException(ident))
-    val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"${key(ident)}: version must be an integer snapshot id, got '$version'")
-    }
+    val v = h.resolveVersion(version)
     val latest = h.latestVersion
     require(v >= 0 && v <= latest,
       s"${key(ident)}: no snapshot $v (have 0..$latest)")

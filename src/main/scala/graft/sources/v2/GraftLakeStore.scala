@@ -342,7 +342,64 @@ object GraftLakeStore {
         base.copy(version = base.version + 1, schema = newSchema,
           colPhys = Option(newColPhys).getOrElse(base.colPhys), op = "schema") }
 
-    /** Expire all snapshots except the newest `keepLast`. Data files
+    // ---- named refs (tags) -------------------------------------------
+    // A tag is an immutable named pointer to a snapshot version
+    // (Iceberg's refs, reduced to tags): `VERSION AS OF 'name'`
+    // resolves it, and expiration RETAINS tagged snapshots — a tag is
+    // how a table pins a release against nightly GC. One file per tag,
+    // published with the same atomic hard-link device as manifests
+    // (re-tagging an existing name fails loudly; drop then re-tag).
+
+    private def tagName(name: String) = s"tag-$name.json"
+
+    /** Tag `version` as `name`. Names must be usable in SQL string
+      * literals and filenames; versions must exist and not be expired. */
+    def createTag(name: String, version: Int): Unit = {
+      require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+        s"tag name must be [A-Za-z0-9_.-]+, got '$name'")
+      snapshot(version) // exists + not expired, or throws
+      val target = tableDir.resolve(tagName(name))
+      val tmp = Files.createTempFile(tableDir, ".tag-", ".tmp")
+      try {
+        Files.write(tmp, s"""{"version":$version}""".getBytes("UTF-8"))
+        try Files.createLink(target, tmp)
+        catch { case _: FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"$tableName: tag '$name' already exists (tags are immutable; " +
+              "dropTag first)")
+        }
+      } finally Files.deleteIfExists(tmp)
+    }
+
+    def dropTag(name: String): Boolean =
+      Files.deleteIfExists(tableDir.resolve(tagName(name)))
+
+    /** All tags: name → version. */
+    def tags(): Map[String, Int] = {
+      val l = Files.list(tableDir)
+      try l.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("tag-") && n.endsWith(".json") =>
+          val name = n.stripPrefix("tag-").stripSuffix(".json")
+          val v = mapper.readTree(new String(
+            Files.readAllBytes(tableDir.resolve(n)), "UTF-8")).get("version").asInt()
+          name -> v
+        }.toMap
+      finally l.close()
+    }
+
+    /** Resolve a `VERSION AS OF` string: integer = version, otherwise a
+      * tag name. */
+    def resolveVersion(spec: String): Int =
+      try spec.toInt
+      catch { case _: NumberFormatException =>
+        tags().getOrElse(spec, throw new IllegalArgumentException(
+          s"$tableName: no tag '$spec' (and it is not an integer snapshot " +
+            s"id); have tags ${tags().keys.toSeq.sorted.mkString(", ")}"))
+      }
+
+    /** Expire all snapshots except the newest `keepLast` — and any
+      * TAGGED snapshot, which a ref pins against GC. Data files
       * referenced by a survivor are retained; files referenced only by
       * expired snapshots are deleted. Expired versions fail loudly on
       * read (their manifests are gone and their cache entries evicted). */
@@ -350,12 +407,17 @@ object GraftLakeStore {
       require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
       val latest = latestVersion
       val cutoff = latest - keepLast + 1 // retain [cutoff, latest]
-      val expired = (0 until cutoff).filter(v => Files.exists(tableDir.resolve(manifestName(v))))
+      val pinned = tags().values.toSet
+      val expired = (0 until cutoff)
+        .filterNot(pinned.contains)
+        .filter(v => Files.exists(tableDir.resolve(manifestName(v))))
       if (expired.isEmpty) Seq.empty
       else {
         def refs(s: Snapshot): Seq[String] =
           s.files.flatMap(f => f.path +: f.dvs.map(_.path))
-        val survivors = (math.max(cutoff, 0) to latest).map(snapshot)
+        val survivorVs = ((math.max(cutoff, 0) to latest) ++
+          pinned.filter(_ < cutoff)).distinct.sorted
+        val survivors = survivorVs.map(snapshot)
         val keepPaths = survivors.flatMap(refs).toSet
         val dropPaths = expired.flatMap(v => refs(snapshot(v))).toSet -- keepPaths
         expired.foreach { v =>
@@ -366,6 +428,33 @@ object GraftLakeStore {
         dropPaths.foreach(rel => Files.deleteIfExists(tableDir.resolve(rel)))
         expired
       }
+    }
+
+    /** Delete data-dir files referenced by NO retained manifest — the
+      * leftovers of writers that died between writing and committing
+      * (the abort paths delete their own files, but a hard crash
+      * cannot). Never touches referenced files; returns what it
+      * removed. Synchronized with expiration; safe alongside readers
+      * (they resolve files through manifests, which only reference
+      * retained data). NOT safe alongside an in-flight WRITE whose
+      * files are not yet committed — run it like compaction, as a
+      * maintenance action. */
+    def vacuumOrphans(): Seq[String] = synchronized {
+      val referenced = (0 to latestVersion).flatMap { v =>
+        try {
+          val s = snapshot(v)
+          s.files.flatMap(f => f.path +: f.dvs.map(_.path))
+        } catch { case _: IllegalStateException => Seq.empty } // expired
+      }.map(_.stripPrefix("data/")).toSet
+      val l = Files.list(dataDir)
+      val onDisk = try {
+        val b = Seq.newBuilder[String]
+        l.iterator().forEachRemaining(p => b += p.getFileName.toString)
+        b.result()
+      } finally l.close()
+      val orphans = onDisk.filterNot(referenced.contains).sorted
+      orphans.foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
+      orphans
     }
 
     private def assignIds(base: Snapshot,

@@ -389,6 +389,42 @@ object LakeLifecycle {
          |""".stripMargin)
   }
 
+  // ---- q229: tag-pinned time travel ---------------------------------
+
+  /** Staging: seed → tag the seed 'baseline' → DELETE every third key →
+    * expire everything but the latest. The tag PINS the seed snapshot
+    * against the expiration (v0 and nothing else expires — asserted
+    * loudly), which is how a production table keeps a release readable
+    * under nightly GC. */
+  private def ensureTagged(s: SparkSession, dir: String): String =
+    memo(s, dir, "tagged") { (ss, id) =>
+      val tbl = s"graft_lake.lake.customer_tag$id"
+      ss.sql(s"CREATE TABLE $tbl (c_custkey BIGINT, c_name STRING, bal_cents BIGINT)")
+      Tables(ss, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          Exact.cents(col("c_acctbal")).as("bal_cents"))
+        .writeTo(tbl).append()
+      val handle = GraftLakeStore
+        .get(GraftLakeStore.defaultRoot, tbl.stripPrefix("graft_lake.")).get
+      handle.createTag("baseline", 1)
+      ss.sql(s"DELETE FROM $tbl WHERE c_custkey % 3 = 0")
+      val expired = handle.expireSnapshots(keepLast = 1)
+      require(expired == Seq(0),
+        s"the tag must pin v1 against expiration — expired $expired")
+      tbl
+    }
+
+  /** q229: read the tag BY NAME after the expiration that would have
+    * collected its snapshot — must equal the seed recompute (q209's
+    * oracle verbatim). */
+  def taggedRead(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureTagged(s, dir)
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT c_custkey, c_name,
+         | CAST(bal_cents / 100.0 AS DOUBLE) AS c_acctbal
+         |FROM $tbl VERSION AS OF 'baseline' ORDER BY c_custkey""".stripMargin)
+  }
+
   // ---- q228: manifest-only COUNT ------------------------------------
 
   /** q228: per-month order counts over q220's partitioned lake table,
@@ -450,6 +486,7 @@ object LakeLifecycle {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q227_column_mapping" -> (columnMappingRead _),
     "q228_manifest_count" -> (manifestCount _),
+    "q229_tagged_read" -> (taggedRead _),
     "q216_change_feed_consumer" -> (changeFeedConsumer _),
     "q223_streaming_lake_sink" -> (streamingLakeSink _),
     "q224_lake_zorder" -> (zorderedLakeScan _),
@@ -491,6 +528,9 @@ object LakeLifecycle {
     // expiration moved no data: the retained latest = the seed
     // (rollback restored it), q209's oracle verbatim
     "q217_snapshot_expiration" -> MergeQueries.oracle("q209_time_travel"),
+    // the tag-pinned snapshot = the seed, read by NAME after the
+    // expiration that would have collected it: q209's oracle verbatim
+    "q229_tagged_read" -> MergeQueries.oracle("q209_time_travel"),
     // q205's multiset-identity shape: compaction changes layout only
     "q218_lake_compaction" ->
       """SELECT l_returnflag, count(*) AS n_items,
