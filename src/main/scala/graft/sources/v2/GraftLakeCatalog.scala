@@ -80,10 +80,26 @@ class GraftLakeCatalog extends TableCatalog {
       .map(k => Identifier.of(namespace, k.stripPrefix(prefix))).toArray
   }
 
-  override def loadTable(ident: Identifier): Table =
+  /** Plain loads resolve the table; a `$files` / `$history` / `$tags`
+    * suffix resolves the base table's METADATA as a read-only table
+    * (the Iceberg metadata-table convention): manifests rendered as
+    * rows, so table introspection is plain SQL — and the oracle can
+    * gate the manifests' accounting against the data. */
+  override def loadTable(ident: Identifier): Table = {
+    val name = ident.name()
+    val dollar = name.lastIndexOf('$')
+    if (dollar > 0) {
+      val base = Identifier.of(ident.namespace(), name.substring(0, dollar))
+      val kind = name.substring(dollar + 1)
+      val h = GraftLakeStore.get(root, key(base))
+        .getOrElse(throw new NoSuchTableException(base))
+      return LakeMetaTable(key(ident), h, kind).getOrElse(
+        throw new NoSuchTableException(ident))
+    }
     GraftLakeStore.get(root, key(ident))
       .map(h => new LakeTable(key(ident), h, pinned = None))
       .getOrElse(throw new NoSuchTableException(ident))
+  }
 
   /** Time travel: `VERSION AS OF n` arrives here as a string — an
     * integer snapshot id, or a TAG name (`VERSION AS OF 'release1'`)
@@ -390,6 +406,97 @@ private[v2] class LakeDeltaOperation(ident: String, handle: TableHandle,
       }
     }
 }
+
+/** Read-only metadata tables (`t$files`, `t$history`, `t$tags`):
+  * manifests rendered as rows at scan-planning time. Row volume is
+  * metadata-sized (files per snapshot / history length / tag count),
+  * never data-sized — the one place carrying rows through planning is
+  * correct by construction. */
+private[v2] object LakeMetaTable {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  def apply(name: String, h: TableHandle, kind: String): Option[Table] = {
+    def str(s: String) = UTF8String.fromString(s)
+    kind match {
+      case "files" => Some(new LakeMetaTable(name, StructType(Seq(
+        StructField("file_id", IntegerType, nullable = false),
+        StructField("path", StringType, nullable = false),
+        StructField("rows", LongType, nullable = false),
+        StructField("live_rows", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false),
+        StructField("dels", LongType, nullable = false),
+        StructField("dv_count", IntegerType, nullable = false),
+        StructField("partition", StringType, nullable = true))),
+        () => {
+          val sn = h.snapshot(h.latestVersion)
+          sn.files.map { f =>
+            val part =
+              if (f.partition.isEmpty) null
+              else str(f.partition.toSeq.sortBy(_._1).map { case (k, v) =>
+                s"$k=${v.getOrElse("null")}" }.mkString(","))
+            Seq[Any](f.id, str(f.path), f.rows, f.liveRows, f.bytes,
+              f.rows - f.liveRows, f.dvs.size, part)
+          }
+        }))
+      case "history" => Some(new LakeMetaTable(name, StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("n_files", IntegerType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("live_rows", LongType, nullable = false))),
+        () => (0 to h.latestVersion).flatMap { v =>
+          try {
+            val sn = h.snapshot(v)
+            Some(Seq[Any](v, str(sn.op), sn.files.size,
+              sn.files.map(_.rows).sum, sn.files.map(_.liveRows).sum))
+          } catch { case _: IllegalStateException => None } // expired
+        }))
+      case "tags" => Some(new LakeMetaTable(name, StructType(Seq(
+        StructField("tag", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false))),
+        () => h.tags().toSeq.sortBy(_._1).map { case (t, v) =>
+          Seq[Any](str(t), v) }))
+      case _ => None
+    }
+  }
+
+  private class LakeMetaTable(name0: String, schema0: StructType,
+      rows: () => Seq[Seq[Any]]) extends Table with SupportsRead {
+    override def name(): String = name0
+    override def schema(): StructType = schema0
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new Scan with Batch {
+        override def readSchema(): StructType = schema0
+        override def description(): String = name0
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(LakeMetaPartition(rows()))
+        override def createReaderFactory(): PartitionReaderFactory =
+          (p: InputPartition) => {
+            val it = p.asInstanceOf[LakeMetaPartition].rows.iterator
+            new PartitionReader[InternalRow] {
+              private var cur: InternalRow = _
+              override def next(): Boolean = {
+                if (!it.hasNext) return false
+                val vals = it.next()
+                val row = new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(vals.length)
+                vals.indices.foreach(i => row.update(i, vals(i)))
+                cur = row
+                true
+              }
+              override def get(): InternalRow = cur
+              override def close(): Unit = ()
+            }
+          }
+      }
+  }
+}
+
+private[v2] case class LakeMetaPartition(rows: Seq[Seq[Any]])
+  extends InputPartition
 
 object LakeTable {
   private[v2] val SplitCol = "_split"

@@ -389,6 +389,26 @@ object LakeLifecycle {
          |""".stripMargin)
   }
 
+  // ---- q230: metadata tables ($files) --------------------------------
+
+  /** q230: per-month layout accounting straight from the `$files`
+    * metadata table of q220's month-partitioned ingest — file counts
+    * and live-row sums are manifest rows, zero data files opened, and
+    * the oracle recomputes the row side from raw orders (so the DuckDB
+    * gate cross-checks the manifests' write-task accounting against
+    * the data) plus the layout side from the staging's contract (one
+    * file per month: each month hashes to exactly one write task). */
+  def metadataTables(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensurePartitioned(s, dir)
+    val dot = tbl.lastIndexOf('.')
+    val metaTbl = s"${tbl.substring(0, dot)}.`${tbl.substring(dot + 1)}$$files`"
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT substring(partition, 9) AS o_month,
+         | count(*) AS n_files, sum(live_rows) AS n_orders
+         |FROM $metaTbl
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   // ---- q229: tag-pinned time travel ---------------------------------
 
   /** Staging: seed → tag the seed 'baseline' → DELETE every third key →
@@ -487,6 +507,7 @@ object LakeLifecycle {
     "q227_column_mapping" -> (columnMappingRead _),
     "q228_manifest_count" -> (manifestCount _),
     "q229_tagged_read" -> (taggedRead _),
+    "q230_metadata_tables" -> (metadataTables _),
     "q216_change_feed_consumer" -> (changeFeedConsumer _),
     "q223_streaming_lake_sink" -> (streamingLakeSink _),
     "q224_lake_zorder" -> (zorderedLakeScan _),
@@ -531,6 +552,12 @@ object LakeLifecycle {
     // the tag-pinned snapshot = the seed, read by NAME after the
     // expiration that would have collected it: q209's oracle verbatim
     "q229_tagged_read" -> MergeQueries.oracle("q209_time_travel"),
+    // manifests' accounting vs the data: per-month live rows from raw
+    // orders; one file per month by the staging's hash-routing contract
+    "q230_metadata_tables" ->
+      """SELECT substring(CAST(o_orderdate AS STRING), 1, 7) AS o_month,
+        | CAST(1 AS BIGINT) AS n_files, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // q205's multiset-identity shape: compaction changes layout only
     "q218_lake_compaction" ->
       """SELECT l_returnflag, count(*) AS n_items,

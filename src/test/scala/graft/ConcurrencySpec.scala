@@ -71,8 +71,9 @@ class ConcurrencySpec extends SparkSpec {
     // column mapping: four metadata-only schema commits racing first
     // touch; reads resolve logical→physical under contention
     "q227_column_mapping",
-    // manifest-only count over q220's staging; tag+expire staging
-    "q228_manifest_count", "q229_tagged_read")
+    // manifest-only count over q220's staging; tag+expire staging;
+    // $files metadata-table read
+    "q228_manifest_count", "q229_tagged_read", "q230_metadata_tables")
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq
