@@ -356,6 +356,8 @@ object Bench {
       SparkEntry.queries("q227_column_mapping")(spark, sfDir).count())
     staged("q229_tagged_read")(
       SparkEntry.queries("q229_tagged_read")(spark, sfDir).count())
+    staged("q231_call_maintenance")(
+      SparkEntry.queries("q231_call_maintenance")(spark, sfDir).count())
     // streaming first-touch: engine class loading / state-store init
     staged("q71_streaming_daily")(
       SparkEntry.queries("q71_streaming_daily")(spark, sfDir).count())

@@ -57,9 +57,26 @@ import GraftLakeStore.{LakeFile, PendingDv, PendingFile, Snapshot, TableHandle}
   *  - `ALTER TABLE ADD COLUMN` is a metadata-only commit: old files
   *    read nulls for the new field, old snapshots keep their schema.
   */
-class GraftLakeCatalog extends TableCatalog {
+class GraftLakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = _
   private var root: String = _
+
+  /** Maintenance procedures under the `system` namespace (`CALL
+    * graft_lake.system.expire_snapshots(...)`, the Iceberg shape). */
+  override def listProcedures(namespace: Array[String]):
+      Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      LakeProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
+    LakeProcedures(root, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"no procedure '${ident.name()}' (have ${LakeProcedures.names.mkString(", ")})"))
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
@@ -467,36 +484,130 @@ private[v2] object LakeMetaTable {
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      () => new Scan with Batch {
-        override def readSchema(): StructType = schema0
-        override def description(): String = name0
-        override def toBatch: Batch = this
-        override def planInputPartitions(): Array[InputPartition] =
-          Array(LakeMetaPartition(rows()))
-        override def createReaderFactory(): PartitionReaderFactory =
-          (p: InputPartition) => {
-            val it = p.asInstanceOf[LakeMetaPartition].rows.iterator
-            new PartitionReader[InternalRow] {
-              private var cur: InternalRow = _
-              override def next(): Boolean = {
-                if (!it.hasNext) return false
-                val vals = it.next()
-                val row = new org.apache.spark.sql.catalyst.expressions
-                  .GenericInternalRow(vals.length)
-                vals.indices.foreach(i => row.update(i, vals(i)))
-                cur = row
-                true
-              }
-              override def get(): InternalRow = cur
-              override def close(): Unit = ()
-            }
-          }
-      }
+      () => new LakeRowsScan(name0, schema0, rows())
   }
+}
+
+/** A batch scan over pre-rendered catalyst rows — one synthetic
+  * partition; used by the metadata tables and procedure results, both
+  * metadata-sized by construction. */
+private[v2] class LakeRowsScan(name0: String, schema0: StructType,
+    rows: Seq[Seq[Any]]) extends Scan with Batch {
+  override def readSchema(): StructType = schema0
+  override def description(): String = name0
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LakeMetaPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => {
+      val it = p.asInstanceOf[LakeMetaPartition].rows.iterator
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          if (!it.hasNext) return false
+          val vals = it.next()
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals.length)
+          vals.indices.foreach(i => row.update(i, vals(i)))
+          cur = row
+          true
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
 }
 
 private[v2] case class LakeMetaPartition(rows: Seq[Seq[Any]])
   extends InputPartition
+
+/** Maintenance procedures (`CALL graft_lake.system.<proc>(...)` —
+  * Spark 4's DSv2 procedure protocol, the Iceberg convention): the
+  * lifecycle actions that are statements in a warehouse, not handle
+  * API calls. Each returns its effect as rows (what expired, what was
+  * vacuumed, the tag written) so the action is auditable from SQL. */
+private[v2] object LakeProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+
+  val names: Seq[String] =
+    Seq("expire_snapshots", "vacuum", "create_tag", "drop_tag")
+
+  private def str(s: String) = UTF8String.fromString(s)
+
+  private def handle(root: String, table: String): TableHandle =
+    GraftLakeStore.get(root, table).getOrElse(
+      throw new IllegalArgumentException(s"no lake table '$table' under $root"))
+
+  private def proc(name0: String, params: Seq[ProcedureParameter],
+      out: StructType)(run: InternalRow => Seq[Seq[Any]]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = name0
+      override def description(): String = s"graft_lake maintenance: $name0"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = name0
+          override def description(): String = s"graft_lake maintenance: $name0"
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false // mutates table state
+          // procedure output must be a LocalScan (Spark's temporary
+          // restriction) — fine: results are effect reports, tiny by
+          // construction
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val result = run(input)
+            val local = new org.apache.spark.sql.connector.read.LocalScan {
+              override def readSchema(): StructType = out
+              override def description(): String = name0
+              override def rows(): Array[InternalRow] = result.map { vals =>
+                val r = new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(vals.length)
+                vals.indices.foreach(i => r.update(i, vals(i)))
+                r: InternalRow
+              }.toArray
+            }
+            java.util.Collections.singletonList(local: Scan).iterator()
+          }
+        }
+    }
+
+  def apply(root: String, name: String): Option[UnboundProcedure] = name match {
+    case "expire_snapshots" => Some(proc(name,
+      Seq(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep_last", IntegerType).build()),
+      StructType(Seq(StructField("expired_version", IntegerType, nullable = false)))) {
+      in =>
+        handle(root, in.getUTF8String(0).toString)
+          .expireSnapshots(in.getInt(1)).map(v => Seq[Any](v))
+    })
+    case "vacuum" => Some(proc(name,
+      Seq(ProcedureParameter.in("table", StringType).build()),
+      StructType(Seq(StructField("removed_file", StringType, nullable = false)))) {
+      in =>
+        handle(root, in.getUTF8String(0).toString)
+          .vacuumOrphans().map(n => Seq[Any](str(n)))
+    })
+    case "create_tag" => Some(proc(name,
+      Seq(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("tag", StringType).build(),
+        ProcedureParameter.in("version", IntegerType).build()),
+      StructType(Seq(StructField("tag", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false)))) {
+      in =>
+        val t = in.getUTF8String(1).toString
+        val v = in.getInt(2)
+        handle(root, in.getUTF8String(0).toString).createTag(t, v)
+        Seq(Seq[Any](str(t), v))
+    })
+    case "drop_tag" => Some(proc(name,
+      Seq(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("tag", StringType).build()),
+      StructType(Seq(StructField("dropped", BooleanType, nullable = false)))) {
+      in =>
+        Seq(Seq[Any](handle(root, in.getUTF8String(0).toString)
+          .dropTag(in.getUTF8String(1).toString)))
+    })
+    case _ => None
+  }
+}
 
 object LakeTable {
   private[v2] val SplitCol = "_split"

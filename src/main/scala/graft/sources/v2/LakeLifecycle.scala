@@ -389,6 +389,52 @@ object LakeLifecycle {
          |""".stripMargin)
   }
 
+  // ---- q231: maintenance by CALL statement ---------------------------
+
+  /** Staging: seed → DELETE → maintenance BY STATEMENT — `CALL
+    * graft_lake.system.create_tag(...)` pins the seed, `CALL
+    * expire_snapshots(...)` reports exactly [v0] expired (the tag
+    * holds v1), both through Spark's DSv2 procedure protocol. The
+    * staging asserts the CALL outputs loudly. */
+  private def ensureCalled(s: SparkSession, dir: String): String =
+    memo(s, dir, "called") { (ss, id) =>
+      val tbl = s"graft_lake.lake.customer_prc$id"
+      ss.sql(s"CREATE TABLE $tbl (c_custkey BIGINT, c_name STRING, bal_cents BIGINT)")
+      Tables(ss, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          Exact.cents(col("c_acctbal")).as("bal_cents"))
+        .writeTo(tbl).append()
+      ss.sql(s"DELETE FROM $tbl WHERE c_custkey % 3 = 0")
+      val short = tbl.stripPrefix("graft_lake.")
+      val tag = ss.sql(
+        s"CALL graft_lake.system.create_tag(table => '$short', tag => 'seed', version => 1)")
+        .collect().toSeq
+      require(tag.map(r => (r.getString(0), r.getInt(1))) == Seq(("seed", 1)),
+        s"create_tag must report its ref, got $tag")
+      val expired = ss.sql(
+        s"CALL graft_lake.system.expire_snapshots(table => '$short', keep_last => 1)")
+        .collect().map(_.getInt(0)).toSeq
+      require(expired == Seq(0),
+        s"the tag must pin v1: only v0 expires, got $expired")
+      tbl
+    }
+
+  /** q231: the maintenance state, read back through the metadata
+    * tables — the statement-created tag joined to the commit log's
+    * row accounting at its pinned version. Oracle recomputes the seed
+    * count from raw customer. */
+  def callMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureCalled(s, dir)
+    val dot = tbl.lastIndexOf('.')
+    def meta(kind: String) =
+      s"${tbl.substring(0, dot)}.`${tbl.substring(dot + 1)}$$$kind`"
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT t.tag, t.version, h.n_rows
+         |FROM ${meta("tags")} t JOIN ${meta("history")} h
+         |  ON t.version = h.version
+         |ORDER BY t.tag""".stripMargin)
+  }
+
   // ---- q230: metadata tables ($files) --------------------------------
 
   /** q230: per-month layout accounting straight from the `$files`
@@ -508,6 +554,7 @@ object LakeLifecycle {
     "q228_manifest_count" -> (manifestCount _),
     "q229_tagged_read" -> (taggedRead _),
     "q230_metadata_tables" -> (metadataTables _),
+    "q231_call_maintenance" -> (callMaintenance _),
     "q216_change_feed_consumer" -> (changeFeedConsumer _),
     "q223_streaming_lake_sink" -> (streamingLakeSink _),
     "q224_lake_zorder" -> (zorderedLakeScan _),
@@ -558,6 +605,11 @@ object LakeLifecycle {
       """SELECT substring(CAST(o_orderdate AS STRING), 1, 7) AS o_month,
         | CAST(1 AS BIGINT) AS n_files, count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the statement-created tag pins v1 (the seed): its row count is
+    // the raw customer count
+    "q231_call_maintenance" ->
+      """SELECT 'seed' AS tag, CAST(1 AS INT) AS version,
+        | (SELECT count(*) FROM customer) AS n_rows""".stripMargin,
     // q205's multiset-identity shape: compaction changes layout only
     "q218_lake_compaction" ->
       """SELECT l_returnflag, count(*) AS n_items,

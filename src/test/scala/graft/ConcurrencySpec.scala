@@ -73,7 +73,9 @@ class ConcurrencySpec extends SparkSpec {
     "q227_column_mapping",
     // manifest-only count over q220's staging; tag+expire staging;
     // $files metadata-table read
-    "q228_manifest_count", "q229_tagged_read", "q230_metadata_tables")
+    "q228_manifest_count", "q229_tagged_read", "q230_metadata_tables",
+    // CALL-statement staging (procedure protocol) racing first touch
+    "q231_call_maintenance")
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq
