@@ -141,6 +141,11 @@ class GraftLakeCatalog extends TableCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // '$' is the metadata-table discriminator in loadTable — a data
+    // table carrying it would be unreadable right after its CREATE
+    require(!ident.name().contains('$'),
+      s"table name '${ident.name()}' may not contain '$$' (reserved for " +
+        "metadata tables: t$files / t$history / t$tags)")
     val pcols = partitions.toSeq.map { t =>
       val refs = t.references()
       require(t.name() == "identity" && refs.length == 1 &&
@@ -211,12 +216,22 @@ class GraftLakeCatalog extends TableCatalog
         require(!s.fieldNames.contains(name), s"column $name already exists")
         // physical names still reachable: any current file's columns
         // plus every live mapping target — a collision means stale data
-        // under this name exists somewhere, so mint a fresh one
+        // under this name exists somewhere, so mint a fresh one (and
+        // keep minting until free: a user column may literally carry
+        // the minted shape, e.g. `note__v3`)
         val used = cur.files.flatMap(_.columns).toSet ++
           s.fieldNames.map(n => m.getOrElse(n, n))
         val m2 =
-          if (used.contains(name)) m + (name -> s"${name}__v${cur.version + 1}")
-          else m
+          if (!used.contains(name)) m
+          else {
+            var cand = s"${name}__v${cur.version + 1}"
+            var i = 0
+            while (used.contains(cand)) {
+              i += 1
+              cand = s"${name}__v${cur.version + 1}_$i"
+            }
+            m + (name -> cand)
+          }
         (s.add(StructField(name, add.dataType(), nullable = true)), m2)
       case ((s, m), rn: TableChange.RenameColumn) =>
         val from = oneField(rn.fieldNames(), "RENAME COLUMN")
@@ -389,6 +404,12 @@ private[v2] class LakeDeltaOperation(ident: String, handle: TableHandle,
 
   override def command(): RowLevelOperation.Command = info.command()
 
+  /** Deliberately NOT runtime-filterable (rowLevel=false): Spark's
+    * RowLevelOperationRuntimeGroupFiltering matches only group-based
+    * ReplaceData plans — for WriteDelta there is no runtime
+    * group-filtering rule to hook into (the delta plan's own join is
+    * already per-row minimal on the WRITE side), so static partition +
+    * min/max pruning is the read-side bound here, as in Iceberg. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val snap = handle.snapshot(handle.latestVersion)
     new LakeScanBuilder(handle, snap, s"$ident merge-on-read ${info.command()}") {
@@ -505,11 +526,7 @@ private[v2] class LakeRowsScan(name0: String, schema0: StructType,
         private var cur: InternalRow = _
         override def next(): Boolean = {
           if (!it.hasNext) return false
-          val vals = it.next()
-          val row = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(vals.length)
-          vals.indices.foreach(i => row.update(i, vals(i)))
-          cur = row
+          cur = LakeRows.render(it.next())
           true
         }
         override def get(): InternalRow = cur
@@ -520,6 +537,18 @@ private[v2] class LakeRowsScan(name0: String, schema0: StructType,
 
 private[v2] case class LakeMetaPartition(rows: Seq[Seq[Any]])
   extends InputPartition
+
+/** One place renders pre-built catalyst values into an InternalRow —
+  * shared by the metadata-table reader, the manifest-count reader, and
+  * procedure results. */
+private[v2] object LakeRows {
+  def render(vals: Seq[Any]): InternalRow = {
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(vals.length)
+    vals.indices.foreach(i => row.update(i, vals(i)))
+    row
+  }
+}
 
 /** Maintenance procedures (`CALL graft_lake.system.<proc>(...)` —
   * Spark 4's DSv2 procedure protocol, the Iceberg convention): the
@@ -557,12 +586,8 @@ private[v2] object LakeProcedures {
             val local = new org.apache.spark.sql.connector.read.LocalScan {
               override def readSchema(): StructType = out
               override def description(): String = name0
-              override def rows(): Array[InternalRow] = result.map { vals =>
-                val r = new org.apache.spark.sql.catalyst.expressions
-                  .GenericInternalRow(vals.length)
-                vals.indices.foreach(i => r.update(i, vals(i)))
-                r: InternalRow
-              }.toArray
+              override def rows(): Array[InternalRow] =
+                result.map(LakeRows.render).toArray
             }
             java.util.Collections.singletonList(local: Scan).iterator()
           }
@@ -578,12 +603,18 @@ private[v2] object LakeProcedures {
         handle(root, in.getUTF8String(0).toString)
           .expireSnapshots(in.getInt(1)).map(v => Seq[Any](v))
     })
+    // min_age_seconds guards in-flight writes (their files are
+    // unreferenced until commit): default one hour, pass 0 only in a
+    // maintenance window with no writers
     case "vacuum" => Some(proc(name,
-      Seq(ProcedureParameter.in("table", StringType).build()),
+      Seq(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("min_age_seconds", LongType)
+          .defaultValue("3600").build()),
       StructType(Seq(StructField("removed_file", StringType, nullable = false)))) {
       in =>
         handle(root, in.getUTF8String(0).toString)
-          .vacuumOrphans().map(n => Seq[Any](str(n)))
+          .vacuumOrphans(minAgeMs = in.getLong(1) * 1000L)
+          .map(n => Seq[Any](str(n)))
     })
     case "create_tag" => Some(proc(name,
       Seq(ProcedureParameter.in("table", StringType).build(),
@@ -1096,6 +1127,11 @@ private[v2] class LakeCountScan(files: Seq[LakeFile],
       if (groupFields.isEmpty) Seq((Seq.empty, files.map(_.liveRows).sum))
       else files.groupBy(f => groupFields.map(g => f.partition(g.name)))
         .map { case (k, fs) => (k, fs.map(_.liveRows).sum) }.toSeq
+        // a group whose every row is delete-vectored has NO live rows:
+        // vanilla execution emits no group at all, so neither do we
+        // (the global count keeps its one row — COUNT(*) over an empty
+        // table is 0, not absent)
+        .filter(_._2 > 0L)
     Array(LakeCountPartition(rows, groupFields.map(_.dataType), countCols))
   }
 
@@ -1108,15 +1144,10 @@ private[v2] class LakeCountScan(files: Seq[LakeFile],
         override def next(): Boolean = {
           if (!it.hasNext) return false
           val (gvals, count) = it.next()
-          val row = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(part.groupTypes.length + part.countCols)
-          gvals.indices.foreach { i =>
-            row.update(i, gvals(i).map(v => LakeCountScan
-              .parsePartitionValue(v, part.groupTypes(i))).orNull)
-          }
-          (0 until part.countCols).foreach(j =>
-            row.update(part.groupTypes.length + j, count))
-          cur = row
+          cur = LakeRows.render(
+            gvals.indices.map(i => gvals(i).map(v => LakeCountScan
+              .parsePartitionValue(v, part.groupTypes(i))).orNull) ++
+            Seq.fill(part.countCols)(count))
           true
         }
         override def get(): InternalRow = cur

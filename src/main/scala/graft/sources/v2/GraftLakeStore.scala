@@ -283,7 +283,12 @@ object GraftLakeStore {
                   .mkString(", ")} landed mid-operation; only concurrent " +
                 "appends are rebasable — retry the statement against current state")
         }
-        val base = snapshot(latestVersion)
+        // rebase onto the version the conflict check APPROVED — reading
+        // latestVersion again here would let a non-append that lands in
+        // between be rebased over silently (TOCTOU); publishing against
+        // `latest` makes any later commit lose the link race instead,
+        // and the loop re-runs the check
+        val base = snapshot(latest)
         val targetIds = dvFiles.flatMap(_.dels.keySet).toSet
         val baseIds = base.files.map(_.id).toSet
         require(targetIds.subsetOf(baseIds),
@@ -369,6 +374,18 @@ object GraftLakeStore {
               "dropTag first)")
         }
       } finally Files.deleteIfExists(tmp)
+      // close the race with a concurrent expireSnapshots: the version
+      // was readable at the pre-check, but expiration may have deleted
+      // its manifest before our tag file appeared (expiration reads
+      // tags BEFORE deleting). Re-verify now the tag is visible; undo
+      // and fail loudly rather than leave a ref to an expired snapshot.
+      try snapshot(version)
+      catch { case e: Throwable =>
+        Files.deleteIfExists(target)
+        throw new IllegalStateException(
+          s"$tableName: snapshot $version was expired concurrently with " +
+            s"createTag('$name') — the tag was not created", e)
+      }
     }
 
     def dropTag(name: String): Boolean =
@@ -417,7 +434,13 @@ object GraftLakeStore {
           s.files.flatMap(f => f.path +: f.dvs.map(_.path))
         val survivorVs = ((math.max(cutoff, 0) to latest) ++
           pinned.filter(_ < cutoff)).distinct.sorted
-        val survivors = survivorVs.map(snapshot)
+        // a stale tag may pin a version already expired by an earlier
+        // run (the createTag race, closed on its side too): skip the
+        // unreadable pin instead of wedging every future expiration
+        val survivors = survivorVs.flatMap { v =>
+          try Some(snapshot(v))
+          catch { case _: IllegalStateException => None }
+        }
         val keepPaths = survivors.flatMap(refs).toSet
         val dropPaths = expired.flatMap(v => refs(snapshot(v))).toSet -- keepPaths
         expired.foreach { v =>
@@ -434,22 +457,30 @@ object GraftLakeStore {
       * leftovers of writers that died between writing and committing
       * (the abort paths delete their own files, but a hard crash
       * cannot). Never touches referenced files; returns what it
-      * removed. Synchronized with expiration; safe alongside readers
-      * (they resolve files through manifests, which only reference
-      * retained data). NOT safe alongside an in-flight WRITE whose
-      * files are not yet committed — run it like compaction, as a
-      * maintenance action. */
-    def vacuumOrphans(): Seq[String] = synchronized {
+      * removed.
+      *
+      * An IN-FLIGHT write's files are unreferenced too (they join a
+      * manifest only at commit) — `minAgeMs` is the guard: only files
+      * OLDER than it are collected, so a vacuum with a sane age bound
+      * (the CALL procedure defaults to an hour) cannot eat a running
+      * write's output. Age 0 is the test/maintenance-window setting. */
+    def vacuumOrphans(minAgeMs: Long = 0L): Seq[String] = synchronized {
       val referenced = (0 to latestVersion).flatMap { v =>
         try {
           val s = snapshot(v)
           s.files.flatMap(f => f.path +: f.dvs.map(_.path))
         } catch { case _: IllegalStateException => Seq.empty } // expired
       }.map(_.stripPrefix("data/")).toSet
+      val cutoff = System.currentTimeMillis() - minAgeMs
       val l = Files.list(dataDir)
       val onDisk = try {
         val b = Seq.newBuilder[String]
-        l.iterator().forEachRemaining(p => b += p.getFileName.toString)
+        l.iterator().forEachRemaining { p =>
+          val old =
+            try Files.getLastModifiedTime(p).toMillis <= cutoff
+            catch { case _: java.io.IOException => false }
+          if (old) b += p.getFileName.toString
+        }
         b.result()
       } finally l.close()
       val orphans = onDisk.filterNot(referenced.contains).sorted

@@ -145,4 +145,21 @@ class LakeColumnMappingSpec extends SparkSpec {
     ss.sql("ALTER TABLE grd.ns.t ADD COLUMN b BIGINT")
     fails("ALTER TABLE grd.ns.t RENAME COLUMN a TO b", "already exists")
   }
+
+  test("a minted physical name cannot collide with a user column carrying the minted shape") {
+    val root = graft.util.TempDirs.create("graft_cm_mint_").toString
+    val ss = lakeSession("mnt", root)
+    // note + a column LITERALLY named like a minted physical name
+    ss.sql("CREATE TABLE mnt.ns.t (k BIGINT, note BIGINT, note__v3 BIGINT)")
+    ss.sql("INSERT INTO mnt.ns.t VALUES (1, 10, 99)")
+    ss.sql("ALTER TABLE mnt.ns.t DROP COLUMN note")   // v2
+    ss.sql("ALTER TABLE mnt.ns.t ADD COLUMN note BIGINT") // v3: must NOT mint note__v3
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val phys = handle.snapshot(3).phys("note")
+    assert(phys != "note" && phys != "note__v3",
+      s"minted name must avoid BOTH the dropped column and the literal user column, got $phys")
+    // the re-added note reads NULL; note__v3 keeps its own data
+    assert(ss.sql("SELECT note, note__v3 FROM mnt.ns.t").collect().toSeq
+      === Seq(Row(null, 99L)))
+  }
 }

@@ -51,6 +51,32 @@ class LakeMetaSpec extends SparkSpec {
       .head().getLong(0) === 30L)
   }
 
+  test("a fully delete-vectored partition emits NO group from the manifest count") {
+    val root = graft.util.TempDirs.create("graft_meta_zero_").toString
+    val ss = lakeSession("zro", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE zro.ns.t (k BIGINT, g STRING) PARTITIONED BY (g) " +
+      "TBLPROPERTIES ('write.dml.mode'='merge-on-read')")
+    (0L until 20L).map(k => (k, s"g${k % 2}")).toDF("k", "g")
+      .coalesce(1).writeTo("zro.ns.t").append()
+    ss.sql("DELETE FROM zro.ns.t WHERE g = 'g1'") // DV covers every g1 row
+    val grouped = ss.sql("SELECT g, count(*) FROM zro.ns.t GROUP BY g ORDER BY g")
+    assert(grouped.queryExecution.executedPlan.toString.contains("manifest count"))
+    // vanilla semantics: an all-deleted group is ABSENT, not (g1, 0)
+    assert(grouped.collect().toSeq === Seq(Row("g0", 10L)))
+    // the global count keeps its single row
+    assert(ss.sql("SELECT count(*) FROM zro.ns.t").head().getLong(0) === 10L)
+  }
+
+  test("a data-table name may not contain the metadata-table discriminator") {
+    val root = graft.util.TempDirs.create("graft_meta_dollar_").toString
+    val ss = lakeSession("dlr", root)
+    val e = intercept[Throwable](ss.sql("CREATE TABLE dlr.ns.`t$x` (k BIGINT)"))
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("reserved for")), msgs(e))
+  }
+
   test("merge-on-read delete vectors make the manifest count exact") {
     val root = graft.util.TempDirs.create("graft_meta_mor_").toString
     val ss = lakeSession("cmr", root)

@@ -41,13 +41,18 @@ class LakeProcedureSpec extends SparkSpec {
     assert(ss.sql("CALL prc.system.expire_snapshots(table => 'ns.t', keep_last => 1)")
       .collect().toSeq === Seq(Row(1)))
 
-    // vacuum: plant an orphan, the CALL reports and removes it
+    // vacuum: plant an orphan — the DEFAULT min_age_seconds (an hour)
+    // must protect it (an in-flight write's files look exactly like
+    // this); the explicit maintenance-window 0 removes it
     val handle = GraftLakeStore.get(root, "ns.t").get
     java.nio.file.Files.write(handle.dataDir.resolve("f-0-0-orphan.parquet"),
       "junk".getBytes("UTF-8"))
-    assert(ss.sql("CALL prc.system.vacuum(table => 'ns.t')").collect().toSeq
-      === Seq(Row("f-0-0-orphan.parquet")))
-    assert(ss.sql("CALL prc.system.vacuum(table => 'ns.t')").collect().isEmpty)
+    assert(ss.sql("CALL prc.system.vacuum(table => 'ns.t')").collect().isEmpty,
+      "a fresh unreferenced file must survive the default age guard")
+    assert(ss.sql("CALL prc.system.vacuum(table => 'ns.t', min_age_seconds => 0)")
+      .collect().toSeq === Seq(Row("f-0-0-orphan.parquet")))
+    assert(ss.sql("CALL prc.system.vacuum(table => 'ns.t', min_age_seconds => 0)")
+      .collect().isEmpty)
     assert(ss.sql("SELECT count(*) FROM prc.ns.t").head().getLong(0) === 20L)
 
     // positional args work too; unknown procedures fail loudly
