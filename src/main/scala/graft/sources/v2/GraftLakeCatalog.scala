@@ -440,7 +440,8 @@ private[v2] class LakeDeltaOperation(ident: String, handle: TableHandle,
         // schema; a DELETE-only plan may carry no row schema at all
         val rowSchema = writeInfo.schema()
         if (rowSchema.nonEmpty) LakeTable.checkedSchema(handle, writeInfo)
-        new LakeDeltaWrite(handle, scan)
+        new LakeDeltaWrite(handle, scan,
+          rebaseAppends = info.command() != RowLevelOperation.Command.MERGE)
       }
     }
 }
@@ -1287,7 +1288,13 @@ private[v2] object LakeDv {
       s"file row count $rows exceeds the position bitmap range")
     val set = new java.util.BitSet(rows.toInt)
     dvPaths.foreach { p =>
-      val it = LakeParquet.reader(p, Seq("file_id", "pos"))
+      // seek, don't scan: DV parquets are written sorted by (file_id,
+      // pos) in small row groups, so this file's positions live in a
+      // contiguous handful of groups and every foreign group is skipped
+      // by footer min/max — one DV covering F files costs each reader
+      // O(its own positions), not O(all F files' positions)
+      val it = LakeParquet.readerForValue(p, Seq("file_id", "pos"),
+        "file_id", fileId.toLong)
       try {
         while (it.next()) {
           val r = it.get()
@@ -1554,7 +1561,8 @@ private[v2] class LakeWriterFactory(dataDir: String, schema: StructType,
   * row sink batch appends use. The commit attaches the delete vectors
   * to the files they cover and appends the insert files — no data file
   * is rewritten (GraftLakeStore.commitDelta). */
-private[v2] class LakeDeltaWrite(handle: TableHandle, scan: LakeScan)
+private[v2] class LakeDeltaWrite(handle: TableHandle, scan: LakeScan,
+    rebaseAppends: Boolean = true)
     extends DeltaWrite with DeltaBatchWrite {
 
   override def toBatch: DeltaBatchWrite = this
@@ -1570,7 +1578,7 @@ private[v2] class LakeDeltaWrite(handle: TableHandle, scan: LakeScan)
     val ms = messages.collect { case m: LakeDeltaCommit => m }
     val inserts = ms.flatMap(_.files).toSeq
     val dvs = ms.flatMap(_.dv).toSeq
-    try handle.commitDelta(scan.baseVersion, dvs, inserts)
+    try handle.commitDelta(scan.baseVersion, dvs, inserts, rebaseAppends)
     catch { case e: GraftLakeStore.CommitConflictException =>
       deleteAll(inserts, dvs); throw e
     }
@@ -1626,7 +1634,11 @@ private[v2] class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
           else {
             val name = s"dv-$partitionId-$taskId-${UUID.randomUUID().toString.take(12)}.parquet"
             pendingDvName = name
-            val w = LakeParquet.writer(s"$dataDir/$name", LakeDv.schema)
+            // small row groups (vs the 128 MB default): sorted by
+            // (file_id, pos), each covered file's positions land in few
+            // groups and readers skip the rest by footer min/max
+            val w = LakeParquet.writer(s"$dataDir/$name", LakeDv.schema,
+              rowGroupBytes = 64 * 1024)
             val out = new org.apache.spark.sql.catalyst.expressions
               .GenericInternalRow(2)
             try dels.foreach { case (fileId, positions) =>

@@ -127,6 +127,18 @@ object GraftLakeStore {
     * because manifests are immutable; expiration invalidates entries. */
   private val cache = new ConcurrentHashMap[String, Snapshot]()
 
+  /** Interned handles, one per normalized table dir: every `get`/
+    * `create` for the same directory returns the SAME TableHandle, so
+    * `synchronized` maintenance (expireSnapshots/vacuumOrphans) holds a
+    * monitor that actually excludes concurrent maintenance within the
+    * JVM. (Cross-process, the operations remain crash-consistent but
+    * unserialized: manifest deletions are idempotent and vacuum
+    * computes its referenced-set before deleting.) */
+  private val handles = new ConcurrentHashMap[Path, TableHandle]()
+
+  private def intern(dir: Path): TableHandle =
+    handles.computeIfAbsent(dir.toAbsolutePath.normalize, p => new TableHandle(p))
+
   private def manifestName(v: Int) = f"manifest-v$v%05d.json"
 
   /** Create table `key` under `root`. Directory creation is the
@@ -140,20 +152,21 @@ object GraftLakeStore {
     Files.createDirectories(Paths.get(root))
     Files.createDirectory(dir) // throws FileAlreadyExistsException if raced
     Files.createDirectory(dir.resolve("data"))
-    val h = new TableHandle(dir)
+    val h = intern(dir)
     h.writeManifest(Snapshot(0, schema, partitionCols, Seq.empty, 0, props = props))
     h
   }
 
   def get(root: String, key: String): Option[TableHandle] = {
     val dir = Paths.get(root, key)
-    if (Files.isDirectory(dir)) Some(new TableHandle(dir)) else None
+    if (Files.isDirectory(dir)) Some(intern(dir)) else None
   }
 
   def drop(root: String, key: String): Boolean = {
     val dir = Paths.get(root, key)
     if (!Files.isDirectory(dir)) false
     else {
+      handles.remove(dir.toAbsolutePath.normalize)
       Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .forEach { p => cache.remove(p.toString); Files.deleteIfExists(p); () }
       true
@@ -260,28 +273,41 @@ object GraftLakeStore {
       * shape: a DELETE touching 0.1% of a 100 TB table commits KBs of
       * delete vectors, not a rewrite.
       *
-      * Concurrency: a delta commit REBASES over intervening pure
-      * appends (an appended file cannot hold a matched row — it did not
-      * exist when the operation scanned — and delete positions refer to
-      * immutable files, so replaying the same deltas on the advanced
-      * base is exactly the operation's intent). Any other intervening
-      * op (replace/overwrite/delta/schema) fails loudly: the matched
-      * rows may have moved or changed, and retrying silently would
-      * reintroduce the lost-update anomaly. */
+      * Concurrency: a DELETE/UPDATE delta commit REBASES over
+      * intervening pure appends (an appended file cannot hold a matched
+      * row — it did not exist when the operation scanned — and delete
+      * positions refer to immutable files, so replaying the same deltas
+      * on the advanced base is exactly the operation's intent). A MERGE
+      * (`rebaseAppends = false`) fails on ANY intervening commit,
+      * appends included: its NOT MATCHED INSERT decisions were computed
+      * against pre-append state, so a concurrent append of key K racing
+      * a MERGE that decided K is unmatched would commit a duplicate K —
+      * Iceberg defaults MERGE to serializable isolation for exactly
+      * this anomaly, and this matches commitReplace's semantics. Any
+      * other intervening op (replace/overwrite/delta/schema) fails
+      * loudly for every command: the matched rows may have moved or
+      * changed, and retrying silently would reintroduce the lost-update
+      * anomaly. */
     def commitDelta(baseVersion: Int, dvFiles: Seq[PendingDv],
-        insertFiles: Seq[PendingFile]): Int = {
+        insertFiles: Seq[PendingFile], rebaseAppends: Boolean = true): Int = {
       var attempts = 0
       while (true) {
         val latest = latestVersion
         if (latest != baseVersion) {
-          val nonAppend = ((baseVersion + 1) to latest)
-            .map(v => v -> snapshot(v).op).filterNot(_._2 == "append")
-          if (nonAppend.nonEmpty)
+          val intervening = ((baseVersion + 1) to latest)
+            .map(v => v -> snapshot(v).op)
+          val conflicting =
+            if (rebaseAppends) intervening.filterNot(_._2 == "append")
+            else intervening
+          if (conflicting.nonEmpty)
             throw new CommitConflictException(
               s"$tableName: merge-on-read operation scanned version " +
-                s"$baseVersion but ${nonAppend.map { case (v, op) => s"v$v($op)" }
-                  .mkString(", ")} landed mid-operation; only concurrent " +
-                "appends are rebasable — retry the statement against current state")
+                s"$baseVersion but ${conflicting.map { case (v, op) => s"v$v($op)" }
+                  .mkString(", ")} landed mid-operation; " +
+                (if (rebaseAppends) "only concurrent appends are rebasable"
+                 else "a MERGE's insert decisions cannot be rebased over ANY " +
+                   "concurrent commit (serializable isolation)") +
+                " — retry the statement against current state")
         }
         // rebase onto the version the conflict check APPROVED — reading
         // latestVersion again here would let a non-append that lands in
@@ -362,6 +388,12 @@ object GraftLakeStore {
     def createTag(name: String, version: Int): Unit = {
       require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
         s"tag name must be [A-Za-z0-9_.-]+, got '$name'")
+      // resolveVersion tries toInt BEFORE ref lookup, so an all-digit
+      // name would be permanently unreachable ('VERSION AS OF "123"'
+      // silently reads snapshot 123) — reject it at creation
+      require(!name.forall(_.isDigit),
+        s"ref name '$name' is all digits and would be shadowed by the " +
+          "integer snapshot id in VERSION AS OF; include a non-digit")
       snapshot(version) // exists + not expired, or throws
       val target = tableDir.resolve(tagName(name))
       val tmp = Files.createTempFile(tableDir, ".tag-", ".tmp")

@@ -89,7 +89,8 @@ private[v2] case class LakeFeedOffset(version: Int) extends Offset {
 private[v2] case class LakeFeedPartition(absPath: String, fileId: Int,
     rows: Long, fileColumns: Seq[String], changeType: String,
     commitVersion: Int, onlyDvPaths: Seq[String] = Seq.empty,
-    skipDvPaths: Seq[String] = Seq.empty)
+    skipDvPaths: Seq[String] = Seq.empty,
+    physOf: Map[String, String] = Map.empty)
   extends InputPartition
 
 private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
@@ -131,9 +132,25 @@ private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
     val s = start.asInstanceOf[LakeFeedOffset].version
     val e = end.asInstanceOf[LakeFeedOffset].version
     def abs(rel: String): String = handle.tableDir.resolve(rel).toString
+    // logical → physical per SNAPSHOT, not from the latest version: a
+    // RENAME COLUMN landing mid-stream would leave this stream's
+    // (older) schema names absent from the latest mapping, and an
+    // identity fallback could read a re-added column as missing (or
+    // worse, resurrect a dropped column's stale physical data). A
+    // stream-schema name absent from the batch version's logical
+    // schema maps to nothing → the reader emits NULL, the same
+    // evolution contract as a file that predates the column.
+    def mapOf(snap: GraftLakeStore.Snapshot): Map[String, String] =
+      snap.schema.fieldNames.map(n => n -> snap.phys(n)).toMap
     ((s + 1) to e).flatMap { v =>
-      val prev = handle.snapshot(v - 1).files.map(f => f.id -> f).toMap
-      val cur = handle.snapshot(v).files.map(f => f.id -> f).toMap
+      val prevSnap = handle.snapshot(v - 1)
+      val curSnap = handle.snapshot(v)
+      val prev = prevSnap.files.map(f => f.id -> f).toMap
+      val cur = curSnap.files.map(f => f.id -> f).toMap
+      // removed files were LISTED by v-1, so their columns resolve
+      // through v-1's mapping; added/dv-grown files through v's
+      val prevMap = mapOf(prevSnap)
+      val curMap = mapOf(curSnap)
       val added = (cur.keySet -- prev.keySet).toSeq.sorted.map(cur)
       val removed = (prev.keySet -- cur.keySet).toSeq.sorted.map(prev)
       val dvGrown = (cur.keySet intersect prev.keySet).toSeq.sorted
@@ -141,23 +158,21 @@ private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
         .filter { case (c, p) => c.dvs.size > p.dvs.size }
       added.map(f => LakeFeedPartition(abs(f.path), f.id, f.rows,
         f.columns, "insert", v,
-        skipDvPaths = f.dvs.map(d => abs(d.path))): InputPartition) ++
+        skipDvPaths = f.dvs.map(d => abs(d.path)),
+        physOf = curMap): InputPartition) ++
         removed.map(f => LakeFeedPartition(abs(f.path), f.id, f.rows,
           f.columns, "delete", v,
-          skipDvPaths = f.dvs.map(d => abs(d.path))): InputPartition) ++
+          skipDvPaths = f.dvs.map(d => abs(d.path)),
+          physOf = prevMap): InputPartition) ++
         dvGrown.map { case (c, p) =>
           LakeFeedPartition(abs(c.path), c.id, c.rows, c.columns, "delete", v,
-            onlyDvPaths = c.dvs.drop(p.dvs.size).map(d => abs(d.path))): InputPartition }
+            onlyDvPaths = c.dvs.drop(p.dvs.size).map(d => abs(d.path)),
+            physOf = curMap): InputPartition }
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // logical → physical (column mapping): birth-stable, so the latest
-    // snapshot's mapping is valid for files of every version
-    val snap = handle.snapshot(handle.latestVersion)
-    new LakeFeedReaderFactory(schema,
-      snap.schema.fieldNames.map(n => n -> snap.phys(n)).toMap)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeFeedReaderFactory(schema)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -166,18 +181,21 @@ private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
 /** Reads one changed file, appending the constant change-type and
   * commit-version columns; data columns the file predates read NULL
   * (same evolution contract as the batch scan). */
-private[v2] class LakeFeedReaderFactory(schema: StructType,
-    physOf: Map[String, String]) extends PartitionReaderFactory {
+private[v2] class LakeFeedReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[LakeFeedPartition]
     val fileCols = part.fileColumns.toSet
     val dataFields = schema.fields.dropRight(2)
-    val physNames = dataFields.map(f => physOf.getOrElse(f.name, f.name))
-    val requested = physNames.filter(fileCols.contains)
-    val src = physNames.map { n =>
-      val i = requested.indexOf(n)
-      i // -1 = null (post-evolution column)
+    // a stream-schema name absent from the batch version's mapping
+    // (renamed/dropped mid-stream) resolves to no physical column at
+    // all — NULL, never an identity guess that could read stale data
+    val physNames = dataFields.map(f => part.physOf.get(f.name))
+    val requested = physNames.flatten.filter(fileCols.contains)
+    val src = physNames.map {
+      case Some(n) => requested.indexOf(n) // -1 = file predates column
+      case None => -1 // column unknown at this commit version
     }
     val types = dataFields.map(_.dataType)
     val op = UTF8String.fromString(part.changeType)

@@ -1,15 +1,18 @@
 package graft.sources.v2
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetWriter}
 import org.apache.parquet.hadoop.api.WriteSupport
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
-import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.parquet.io.OutputFile
+import org.apache.parquet.schema.MessageType
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.execution.datasources.parquet.{ParquetWriteSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.execution.datasources.parquet.{GraftParquetBridge, ParquetWriteSupport, VectorizedParquetRecordReader}
 import org.apache.spark.sql.types.StructType
 
 /** Task-side parquet IO for the lake catalog — every data file a
@@ -62,13 +65,19 @@ object LakeParquet {
       new ParquetWriteSupport
   }
 
-  /** Open a parquet writer for `schema` at `file` (local/hadoop path). */
-  def writer(file: String, schema: StructType): ParquetWriter[InternalRow] = {
+  /** Open a parquet writer for `schema` at `file` (local/hadoop path).
+    * `rowGroupBytes` > 0 overrides the default 128 MB row-group target —
+    * delete-vector parquets use a small target so that a file sorted by
+    * `file_id` lands each id in few row groups and readers can skip the
+    * foreign ones by footer min/max. */
+  def writer(file: String, schema: StructType,
+      rowGroupBytes: Long = 0L): ParquetWriter[InternalRow] = {
     val conf = writeConf(schema)
-    new Builder(HadoopOutputFile.fromPath(new Path(file), conf))
+    val b = new Builder(HadoopOutputFile.fromPath(new Path(file), conf))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
+    if (rowGroupBytes > 0) b.withRowGroupSize(rowGroupBytes)
+    b.build()
   }
 
   /** Open a vectorized reader over `file` returning only `columns`
@@ -91,5 +100,63 @@ object LakeParquet {
     def next(): Boolean = r.nextKeyValue()
     def get(): InternalRow = r.getCurrentValue.asInstanceOf[InternalRow]
     override def close(): Unit = r.close()
+  }
+
+  /** A group without usable stats is admitted — skipping must be
+    * conservative. */
+  private def admit(blocks: java.util.List[
+      org.apache.parquet.hadoop.metadata.BlockMetaData],
+      statsCol: String, value: Long): Seq[Int] =
+    (0 until blocks.size).filter { i =>
+      blocks.get(i).getColumns.asScala
+        .find(_.getPath.toDotString == statsCol) match {
+        case Some(chunk) =>
+          val st = chunk.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) true
+          else {
+            def bound(v: Any): Long = v.asInstanceOf[Number].longValue
+            bound(st.genericGetMin) <= value && value <= bound(st.genericGetMax)
+          }
+        case None => true
+      }
+    }
+
+  /** Row-group indexes of `file` whose `statsCol` footer [min, max]
+    * bounds ADMIT `value`, plus the file's total group count. Pure
+    * footer work — no data page is read. */
+  def admittedRowGroups(file: String, statsCol: String,
+      value: Long): (Seq[Int], Int) = {
+    val pf = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try {
+      val blocks = pf.getFooter.getBlocks
+      (admit(blocks, statsCol, value), blocks.size)
+    } finally pf.close()
+  }
+
+  /** Open a vectorized reader over `file` that reads ONLY the row
+    * groups whose `statsCol` min/max admits `value` — the seek path for
+    * delete-vector parquets, which are written sorted by `file_id` so
+    * one data file's positions land in a contiguous handful of groups
+    * and every foreign group is skipped by footer metadata alone. The
+    * caller still filters rows (stats skipping is conservative). */
+  def readerForValue(file: String, columns: Seq[String], statsCol: String,
+      value: Long): RowIter = {
+    val pf = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    var ok = false
+    try {
+      val fileSchema = pf.getFooter.getFileMetaData.getSchema
+      val blocks = pf.getFooter.getBlocks
+      val admitted = admit(blocks, statsCol, value)
+      val requested = new MessageType(fileSchema.getName,
+        columns.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))).asJava)
+      pf.setRequestedSchema(requested.getColumns)
+      val rows = admitted.map(i => blocks.get(i).getRowCount).sum
+      val r = GraftParquetBridge.selectiveReader(
+        pf, fileSchema, requested, admitted, rows)
+      ok = true
+      new RowIter(r)
+    } finally if (!ok) pf.close()
   }
 }

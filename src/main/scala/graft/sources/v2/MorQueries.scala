@@ -75,10 +75,17 @@ object MorQueries {
   }
 
   /** Tail the merge-on-read table's change feed once per (app, dir),
-    * accumulating micro-batches as parquet (the q216 device). */
-  private def ensureMorFeed(s: SparkSession, dir: String): String =
+    * accumulating micro-batches as parquet (the q216 device).
+    *
+    * The 'mor' staging is resolved BEFORE entering the 'morfeed' memo:
+    * both keys live in the same ConcurrentHashMap, and a nested
+    * computeIfAbsent on one map throws IllegalStateException("Recursive
+    * update") whenever the two keys collide into a hash bin — an
+    * intermittent, applicationId-dependent failure. Hoisting the inner
+    * staging out of the memo body removes the nesting entirely. */
+  private def ensureMorFeed(s: SparkSession, dir: String): String = {
+    val tbl = ensureMorStaged(s, dir).stripPrefix("graft_lake.")
     memo(s, dir, "morfeed") { (ss, id) =>
-      val tbl = ensureMorStaged(s, dir).stripPrefix("graft_lake.")
       val acc = graft.util.TempDirs.create(s"graft_mor_feed$id" + "_").toString
       val q = ss.readStream
         .format(classOf[LakeFeedProvider].getName)
@@ -95,6 +102,7 @@ object MorQueries {
       q.awaitTermination()
       acc
     }
+  }
 
   /** q226: the MERGE commit's delete stream — exactly the matched
     * pre-images, proving the feed is row-level over delete vectors. */

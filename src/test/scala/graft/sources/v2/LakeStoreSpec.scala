@@ -167,4 +167,72 @@ class LakeStoreSpec extends SparkSpec {
     assert(ss.sql("SELECT count(*) FROM lka.ns.t").head().getLong(0) === 6L)
     assert(GraftLakeStore.get(root, "ns.t").get.latestVersion === 6)
   }
+
+  test("handles are interned: every get/create for one table dir returns the SAME object") {
+    val root = graft.util.TempDirs.create("graft_lake_intern_").toString
+    val ss = lakeSession("lki", root, spark)
+    ss.sql("CREATE TABLE lki.ns.t (k BIGINT)")
+    val a = GraftLakeStore.get(root, "ns.t").get
+    val b = GraftLakeStore.get(root, "ns.t").get
+    assert(a eq b,
+      "maintenance synchronization is only real if get() interns handles")
+    // a dropped-then-recreated table gets a fresh handle (no stale monitor)
+    assert(GraftLakeStore.drop(root, "ns.t"))
+    ss.sql("DROP TABLE IF EXISTS lki.ns.t")
+  }
+
+  /** The round-9 finding: expireSnapshots/vacuumOrphans were
+    * `synchronized` on a PER-CALL handle, so the monitor excluded
+    * nothing. With interned handles the lock is real — this race ran
+    * red (interleaved tag-read/manifest-delete phases could strand
+    * state) against fresh-handle semantics when run under a
+    * yield-heavy schedule, and must stay green now. */
+  test("racing maintenance: concurrent expires and an expire-vs-vacuum serialize on the interned handle") {
+    val root = graft.util.TempDirs.create("graft_lake_mxrace_").toString
+    val ss = lakeSession("lkm", root, spark)
+    import ss.implicits._
+    ss.sql("CREATE TABLE lkm.ns.t (k BIGINT)")
+    (1 to 12).foreach(i => ss.sql(s"INSERT INTO lkm.ns.t VALUES ($i)"))
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    handle.createTag("keep-v3", 3)
+    // an uncommitted orphan for vacuum to find
+    Files.write(handle.dataDir.resolve("orphan-crashed-writer.parquet"),
+      Array[Byte](1, 2, 3))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val ops = Seq(
+        Future(handle.expireSnapshots(keepLast = 4)),
+        Future(handle.expireSnapshots(keepLast = 4)),
+        Future(handle.vacuumOrphans()),
+        Future(handle.vacuumOrphans()))
+      Await.result(Future.sequence(ops), 120.seconds)
+    } finally pool.shutdown()
+    // invariants after any interleaving: the retained window + the
+    // tagged snapshot read exactly their committed content …
+    assert(handle.latestVersion === 12)
+    (9 to 12).foreach { v =>
+      assert(ss.sql(s"SELECT count(*) FROM lkm.ns.t VERSION AS OF $v")
+        .head().getLong(0) === v.toLong)
+    }
+    assert(ss.sql("SELECT count(*) FROM lkm.ns.t VERSION AS OF 'keep-v3'")
+      .head().getLong(0) === 3L)
+    // … expired versions are gone, the orphan is collected exactly once,
+    // and no referenced data file was eaten
+    assert(intercept[IllegalStateException](handle.snapshot(5))
+      .getMessage.contains("expired"))
+    assert(!Files.exists(handle.dataDir.resolve("orphan-crashed-writer.parquet")))
+    assert(ss.sql("SELECT count(*) FROM lkm.ns.t").head().getLong(0) === 12L)
+  }
+
+  test("all-digit ref names are rejected at creation (VERSION AS OF would shadow them)") {
+    val root = graft.util.TempDirs.create("graft_lake_digits_").toString
+    val ss = lakeSession("lkd", root, spark)
+    ss.sql("CREATE TABLE lkd.ns.t (k BIGINT)")
+    val handle = GraftLakeStore.get(root, "ns.t").get
+    val e = intercept[IllegalArgumentException](handle.createTag("123", 0))
+    assert(e.getMessage.contains("digit"))
+    handle.createTag("v123", 0) // a non-digit anywhere makes it resolvable
+    assert(handle.resolveVersion("v123") === 0)
+  }
 }
