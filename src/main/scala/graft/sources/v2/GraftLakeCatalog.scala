@@ -266,8 +266,19 @@ class GraftLakeCatalog extends TableCatalog
 
   override def dropTable(ident: Identifier): Boolean =
     GraftLakeStore.drop(root, key(ident))
+
+  /** RENAME TABLE: a metadata move in the store — one atomic directory
+    * rename, preserving every snapshot, tag, and data file (manifest
+    * paths are relative). The old name fails with the typed
+    * NoSuchTableException afterwards. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+    try GraftLakeStore.rename(root, key(oldIdent), key(newIdent))
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new NoSuchTableException(oldIdent)
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(newIdent)
+    }
 }
 
 /** A table handle, optionally pinned to a snapshot version. Pinned

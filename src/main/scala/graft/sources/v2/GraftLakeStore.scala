@@ -162,6 +162,26 @@ object GraftLakeStore {
     if (Files.isDirectory(dir)) Some(intern(dir)) else None
   }
 
+  /** Rename table `oldKey` → `newKey` under `root`: ONE atomic
+    * directory move (same filesystem). Every manifest, tag/ref file,
+    * and data file travels with the directory — manifest paths are
+    * relative — so `VERSION AS OF` (numeric and named) is preserved
+    * bit-for-bit. The old dir's interned handle and cached manifests
+    * are evicted; a handle someone kept fails loudly on next use
+    * (its directory is gone), never reads the wrong table. */
+  def rename(root: String, oldKey: String, newKey: String): Unit = {
+    val from = Paths.get(root, oldKey).toAbsolutePath.normalize
+    val to = Paths.get(root, newKey).toAbsolutePath.normalize
+    if (!Files.isDirectory(from))
+      throw new java.nio.file.NoSuchFileException(from.toString)
+    if (Files.exists(to))
+      throw new FileAlreadyExistsException(to.toString)
+    handles.remove(from)
+    Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+    val stale = from.toString + java.io.File.separator
+    cache.keySet().removeIf(_.startsWith(stale))
+  }
+
   def drop(root: String, key: String): Boolean = {
     val dir = Paths.get(root, key)
     if (!Files.isDirectory(dir)) false

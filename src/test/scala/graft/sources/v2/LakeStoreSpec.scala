@@ -225,6 +225,40 @@ class LakeStoreSpec extends SparkSpec {
     assert(ss.sql("SELECT count(*) FROM lkm.ns.t").head().getLong(0) === 12L)
   }
 
+  test("RENAME TABLE preserves every snapshot and tag; the old name raises the typed error") {
+    val root = graft.util.TempDirs.create("graft_lake_rename_").toString
+    val ss = lakeSession("lkn", root, spark)
+    import ss.implicits._
+    ss.sql("CREATE TABLE lkn.ns.src (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo("lkn.ns.src").append()
+    ss.sql("UPDATE lkn.ns.src SET v = 'z' WHERE k = 2")
+    GraftLakeStore.get(root, "ns.src").get.createTag("rel-1", 1)
+
+    ss.sql("ALTER TABLE lkn.ns.src RENAME TO ns.dst")
+
+    // every VERSION AS OF (numeric AND named) survives the move
+    assert(ss.sql("SELECT * FROM lkn.ns.dst VERSION AS OF 1 ORDER BY k")
+      .collect().toSeq === Seq(Row(1L, "a"), Row(2L, "b")))
+    assert(ss.sql("SELECT * FROM lkn.ns.dst VERSION AS OF 'rel-1' ORDER BY k")
+      .collect().toSeq === Seq(Row(1L, "a"), Row(2L, "b")))
+    assert(ss.sql("SELECT * FROM lkn.ns.dst ORDER BY k")
+      .collect().toSeq === Seq(Row(1L, "a"), Row(2L, "z")))
+    // a FRESH session sees only the new name (pure disk truth)
+    val ss2 = lakeSession("lkn2", root, spark)
+    assert(ss2.sql("SELECT count(*) FROM lkn2.ns.dst").head().getLong(0) === 2L)
+    val e = intercept[Exception](ss2.sql("SELECT * FROM lkn2.ns.src").collect())
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.toString.contains("NoSuchTable"), e.toString)
+    // renaming over an existing table raises the typed conflict
+    ss.sql("CREATE TABLE lkn.ns.other (k BIGINT)")
+    val e2 = intercept[Exception](
+      ss.sql("ALTER TABLE lkn.ns.dst RENAME TO ns.other"))
+    assert(e2.toString.contains("TABLE_OR_VIEW_ALREADY_EXISTS") ||
+      e2.toString.contains("AlreadyExists"), e2.toString)
+    // and the reject left the source intact
+    assert(ss.sql("SELECT count(*) FROM lkn.ns.dst").head().getLong(0) === 2L)
+  }
+
   test("all-digit ref names are rejected at creation (VERSION AS OF would shadow them)") {
     val root = graft.util.TempDirs.create("graft_lake_digits_").toString
     val ss = lakeSession("lkd", root, spark)
