@@ -291,10 +291,10 @@ class LakeTable(ident: String, handle: TableHandle, pinned: Option[Int])
   override def name(): String =
     pinned.fold(ident)(v => s"$ident@v$v")
   override def schema(): StructType =
-    handle.snapshot(pinned.getOrElse(handle.latestVersion)).schema
+    handle.snapshot(pinned.getOrElse(LakeTable.readVersion(handle))).schema
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
-    handle.snapshot(pinned.getOrElse(handle.latestVersion)).props
+    handle.snapshot(pinned.getOrElse(LakeTable.readVersion(handle))).props
       .foreach { case (k, v) => m.put(k, v) }
     m
   }
@@ -340,7 +340,7 @@ class LakeTable(ident: String, handle: TableHandle, pinned: Option[Int])
     * (analysis time): a MERGE's self-read of the target sees the
     * pre-merge state even though its write commits a new version. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val snap = handle.snapshot(pinned.getOrElse(handle.latestVersion))
+    val snap = handle.snapshot(pinned.getOrElse(LakeTable.readVersion(handle)))
     new LakeScanBuilder(handle, snap, s"${name()} v${snap.version}")
   }
 
@@ -368,7 +368,7 @@ class LakeTable(ident: String, handle: TableHandle, pinned: Option[Int])
       @volatile private var builtScan: LakeScan = _
       override def command(): RowLevelOperation.Command = info.command()
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-        val snap = handle.snapshot(handle.latestVersion)
+        val snap = handle.snapshot(LakeTable.readVersion(handle))
         new LakeScanBuilder(handle, snap, s"$ident row-level ${info.command()}",
             rowLevel = true) {
           override def build(): Scan = {
@@ -422,7 +422,7 @@ private[v2] class LakeDeltaOperation(ident: String, handle: TableHandle,
     * already per-row minimal on the WRITE side), so static partition +
     * min/max pruning is the read-side bound here, as in Iceberg. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val snap = handle.snapshot(handle.latestVersion)
+    val snap = handle.snapshot(LakeTable.readVersion(handle))
     new LakeScanBuilder(handle, snap, s"$ident merge-on-read ${info.command()}") {
       override def build(): Scan = {
         val s = super.build().asInstanceOf[LakeScan]
@@ -571,7 +571,8 @@ private[v2] object LakeProcedures {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 
   val names: Seq[String] =
-    Seq("expire_snapshots", "vacuum", "create_tag", "drop_tag")
+    Seq("expire_snapshots", "vacuum", "create_tag", "drop_tag",
+      "create_branch", "drop_branch", "fast_forward")
 
   private def str(s: String) = UTF8String.fromString(s)
 
@@ -648,6 +649,39 @@ private[v2] object LakeProcedures {
         Seq(Seq[Any](handle(root, in.getUTF8String(0).toString)
           .dropTag(in.getUTF8String(1).toString)))
     })
+    case "create_branch" => Some(proc(name,
+      Seq(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build(),
+        ProcedureParameter.in("version", IntegerType).build()),
+      StructType(Seq(StructField("branch", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false)))) {
+      in =>
+        val b = in.getUTF8String(1).toString
+        val v = in.getInt(2)
+        handle(root, in.getUTF8String(0).toString).createBranch(b, v)
+        Seq(Seq[Any](str(b), v))
+    })
+    case "drop_branch" => Some(proc(name,
+      Seq(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build()),
+      StructType(Seq(StructField("dropped", BooleanType, nullable = false)))) {
+      in =>
+        Seq(Seq[Any](handle(root, in.getUTF8String(0).toString)
+          .dropBranch(in.getUTF8String(1).toString)))
+    })
+    // the PUBLISH half of write-audit-publish: branch `to` (usually
+    // 'main') jumps to branch `from`'s head (usually the audit branch)
+    case "fast_forward" => Some(proc(name,
+      Seq(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("to", StringType).build(),
+        ProcedureParameter.in("from", StringType).build()),
+      StructType(Seq(StructField("previous_version", IntegerType, nullable = false),
+        StructField("current_version", IntegerType, nullable = false)))) {
+      in =>
+        val (prev, cur) = handle(root, in.getUTF8String(0).toString)
+          .fastForward(in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+        Seq(Seq[Any](prev, cur))
+    })
     case _ => None
   }
 }
@@ -655,6 +689,34 @@ private[v2] object LakeProcedures {
 object LakeTable {
   private[v2] val SplitCol = "_split"
   private[v2] val PosCol = "_pos"
+
+  /** Session branch context (`SET spark.graft.lake.branch = audit` —
+    * Iceberg's `spark.wap.branch` device): un-pinned reads of a table
+    * carrying that branch resolve its head, and writes advance it. A
+    * table without the named branch falls back to `main` if one exists
+    * (the default lineage once a table opts into branching), else the
+    * log head — so the conf is safe to leave set across tables. */
+  private[v2] val BranchConf = "spark.graft.lake.branch"
+
+  private def sessionBranch(): Option[String] =
+    try Option(org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(BranchConf, null)).map(_.trim).filter(_.nonEmpty)
+    catch { case _: Throwable => None } // no active session (tests/tools)
+
+  /** The branch a default read/write follows on `handle`: the session
+    * context branch if the table has it, else `main` if it exists —
+    * (name, head). None = the table has no applicable branch and reads
+    * and writes ride the log head (pre-branch behavior, unchanged). */
+  private[v2] def contextRef(handle: TableHandle): Option[(String, Int)] = {
+    val bs = handle.branches()
+    if (bs.isEmpty) None
+    else sessionBranch().flatMap(n => bs.get(n).map(n -> _))
+      .orElse(bs.get("main").map("main" -> _))
+  }
+
+  /** Version an un-pinned read resolves. */
+  private[v2] def readVersion(handle: TableHandle): Int =
+    contextRef(handle).map(_._2).getOrElse(handle.latestVersion)
 
   /** Table property selecting the row-level operation strategy:
     * `copy-on-write` (default — matched files are rewritten) or
@@ -686,7 +748,7 @@ object LakeTable {
     * decoded as garbage). */
   private[v2] def checkedSchema(handle: TableHandle,
       info: LogicalWriteInfo): StructType = {
-    val table = handle.snapshot(handle.latestVersion).schema
+    val table = handle.snapshot(LakeTable.readVersion(handle)).schema
     val w = info.schema()
     require(w.length == table.length &&
         w.fields.zip(table.fields).forall { case (a, b) =>
@@ -1442,10 +1504,21 @@ private[v2] class LakeWrite(handle: TableHandle, writeSchema: StructType,
       }
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
         val files = messages.flatMap(_.asInstanceOf[LakeCommit].files).toSeq
-        val (_, committed) = handle.commitEpochAppend(queryId, epochId, files)
+        // epoch appends base their content on the LOG head, so a
+        // streaming sink cannot run against a diverged branch — loud,
+        // not a silent lineage mix
+        LakeTable.contextRef(handle).foreach { case (b, head) =>
+          require(head == handle.latestVersion,
+            s"streaming sink on branch '$b': branch head $head is behind " +
+              s"the log head ${handle.latestVersion} (an unpublished " +
+              "lineage is in flight) — fast-forward or drop it first")
+        }
+        val (v, committed) = handle.commitEpochAppend(queryId, epochId, files)
         // duplicate replay: this epoch's rows are already in the table;
         // the re-written files must not linger as orphans
         if (!committed) write.deleteFiles(files)
+        else LakeTable.contextRef(handle).foreach { case (b, _) =>
+          handle.advanceBranch(b, v) }
       }
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         write.abort(messages)
@@ -1453,7 +1526,7 @@ private[v2] class LakeWrite(handle: TableHandle, writeSchema: StructType,
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val snap = handle.snapshot(handle.latestVersion)
+    val snap = handle.snapshot(LakeTable.readVersion(handle))
     val pOrds = snap.partitionCols.map(c => writeSchema.fieldIndex(c))
     new LakeWriterFactory(handle.dataDir.toString,
       LakeTable.physicalSchema(writeSchema, snap), pOrds)
@@ -1461,15 +1534,32 @@ private[v2] class LakeWrite(handle: TableHandle, writeSchema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newFiles = messages.flatMap(_.asInstanceOf[LakeCommit].files).toSeq
-    mode match {
-      case LakeWrite.Append => handle.commitAppend(newFiles)
-      case LakeWrite.Truncate => handle.commitTruncate(newFiles)
-      case LakeWrite.Replace(scan) =>
-        try handle.commitReplace(scan.baseVersion, scan.plannedFileIds, newFiles)
-        catch { case e: GraftLakeStore.CommitConflictException =>
-          // the write failed: its files must not leak into the data dir
+    // a branch-context commit rides the store's synchronized composite:
+    // content from the branch head, pointer advanced under the interned
+    // handle's monitor (same-JVM branch writers lose nothing)
+    LakeTable.contextRef(handle) match {
+      case Some((branch, _)) =>
+        try {
+          mode match {
+            case LakeWrite.Append => handle.commitAppendOnBranch(branch, newFiles)
+            case LakeWrite.Truncate => handle.commitTruncateOnBranch(branch, newFiles)
+            case LakeWrite.Replace(scan) =>
+              handle.commitReplaceOnBranch(branch, scan.baseVersion,
+                scan.plannedFileIds, newFiles)
+          }
+        } catch { case e: GraftLakeStore.CommitConflictException =>
           deleteFiles(newFiles); throw e
         }
+      case None => mode match {
+        case LakeWrite.Append => handle.commitAppend(newFiles)
+        case LakeWrite.Truncate => handle.commitTruncate(newFiles)
+        case LakeWrite.Replace(scan) =>
+          try handle.commitReplace(scan.baseVersion, scan.plannedFileIds, newFiles)
+          catch { case e: GraftLakeStore.CommitConflictException =>
+            // the write failed: its files must not leak into the data dir
+            deleteFiles(newFiles); throw e
+          }
+      }
     }
   }
 
@@ -1579,7 +1669,7 @@ private[v2] class LakeDeltaWrite(handle: TableHandle, scan: LakeScan,
   override def toBatch: DeltaBatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
-    val snap = handle.snapshot(handle.latestVersion)
+    val snap = handle.snapshot(LakeTable.readVersion(handle))
     val pOrds = snap.partitionCols.map(c => snap.schema.fieldIndex(c))
     new LakeDeltaWriterFactory(handle.dataDir.toString,
       LakeTable.physicalSchema(snap.schema, snap), pOrds)
@@ -1589,7 +1679,14 @@ private[v2] class LakeDeltaWrite(handle: TableHandle, scan: LakeScan,
     val ms = messages.collect { case m: LakeDeltaCommit => m }
     val inserts = ms.flatMap(_.files).toSeq
     val dvs = ms.flatMap(_.dv).toSeq
-    try handle.commitDelta(scan.baseVersion, dvs, inserts, rebaseAppends)
+    try LakeTable.contextRef(handle) match {
+      case Some((branch, _)) =>
+        // never rebase under a branch context (an intervening append
+        // may belong to another lineage); advance the branch after
+        handle.commitDeltaOnBranch(branch, scan.baseVersion, dvs, inserts)
+      case None =>
+        handle.commitDelta(scan.baseVersion, dvs, inserts, rebaseAppends)
+    }
     catch { case e: GraftLakeStore.CommitConflictException =>
       deleteAll(inserts, dvs); throw e
     }

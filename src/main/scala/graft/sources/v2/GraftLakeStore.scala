@@ -92,7 +92,8 @@ object GraftLakeStore {
       partitionCols: Seq[String], files: Seq[LakeFile], maxFileId: Int,
       op: String = "create", txn: Option[(String, Long)] = None,
       props: Map[String, String] = Map.empty,
-      colPhys: Map[String, String] = Map.empty) {
+      colPhys: Map[String, String] = Map.empty,
+      pendingTxn: Option[String] = None) {
     /** Column mapping: the PHYSICAL name a logical column's data is
       * stored under in parquet. Assigned at column birth and never
       * changed — RENAME COLUMN remaps the logical name, DROP COLUMN
@@ -140,6 +141,113 @@ object GraftLakeStore {
     handles.computeIfAbsent(dir.toAbsolutePath.normalize, p => new TableHandle(p))
 
   private def manifestName(v: Int) = f"manifest-v$v%05d.json"
+
+  // ---- multi-table transactions ------------------------------------
+  // One decision marker per transaction, at the ROOT (shared by all
+  // participating tables): `txn-<id>.json`, hard-linked once with
+  // state committed|aborted — whoever links first decides, atomically
+  // for every staged table at once.
+
+  /** Decided states are immutable; cache them. Undecided (no marker) is
+    * re-checked from disk every time. */
+  private val txnDecisions = new ConcurrentHashMap[String, String]()
+
+  private def txnMarker(root: Path, id: String): Path =
+    root.resolve(s"txn-$id.json")
+
+  private[v2] def txnState(root: Path, id: String): Option[String] = {
+    val key = root.toString + "#" + id
+    val c = txnDecisions.get(key)
+    if (c != null) Some(c)
+    else {
+      val p = txnMarker(root, id)
+      if (!Files.exists(p)) None
+      else {
+        val st = mapper.readTree(
+          new String(Files.readAllBytes(p), "UTF-8")).get("state").asText()
+        txnDecisions.put(key, st)
+        Some(st)
+      }
+    }
+  }
+
+  /** Decide transaction `id`: link the marker with `state` — the first
+    * link wins, atomically. Returns the WINNING state (which may be the
+    * other outcome if a racer decided first). */
+  private[v2] def decideTxn(root: Path, id: String, state: String): String = {
+    val p = txnMarker(root, id)
+    val tmp = Files.createTempFile(root, ".txn-", ".tmp")
+    try {
+      Files.write(tmp, s"""{"state":"$state"}""".getBytes("UTF-8"))
+      try {
+        Files.createLink(p, tmp)
+        txnDecisions.put(root.toString + "#" + id, state)
+        state
+      } catch { case _: FileAlreadyExistsException => txnState(root, id).get }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Multi-table transactional commit — the one capability tier above
+    * single-table OCC: stage appends/overwrites for N tables, publish
+    * all-or-nothing.
+    *
+    *  1. Per table (in sorted key order), publish the next manifest
+    *     carrying `pendingTxn = id`: the hard-link reserves the version
+    *     slot, but readers hold the snapshot INVISIBLE until the
+    *     transaction decides.
+    *  2. Link `<root>/txn-<id>.json` with state `committed` — ONE
+    *     atomic filesystem operation that flips every staged table's
+    *     visibility together. Readers can never observe a torn pair:
+    *     before the link both tables read old, after it both read new.
+    *  3. On any failure the same marker links `aborted` and the pending
+    *     manifests are deleted. A coordinator crash between 1 and 2
+    *     leaves every table readable at its old version; the first
+    *     writer needing the blocked slot aborts the orphan after a
+    *     grace window (TableHandle.resolveBlocker).
+    */
+  final class Transaction private[GraftLakeStore](root: String) {
+    private val ops =
+      scala.collection.mutable.LinkedHashMap[String, (String, Seq[PendingFile])]()
+    val id: String =
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    private val rootPath = Paths.get(root).toAbsolutePath.normalize
+
+    def stageAppend(key: String, files: Seq[PendingFile]): this.type = {
+      ops(key) = ("append", files); this
+    }
+    def stageTruncate(key: String, files: Seq[PendingFile]): this.type = {
+      ops(key) = ("overwrite", files); this
+    }
+
+    /** Publish every staged op atomically; returns table → version.
+      * Throws [[CommitConflictException]] if a concurrent writer
+      * aborted the transaction mid-publish (nothing became visible). */
+    def commit(): Map[String, Int] = {
+      require(ops.nonEmpty, "empty transaction")
+      val published = scala.collection.mutable.ListBuffer[(TableHandle, Int)]()
+      try {
+        ops.toSeq.sortBy(_._1).foreach { case (key, (op, files)) =>
+          val h = get(root, key).getOrElse(throw new IllegalArgumentException(
+            s"transaction $id: no table $key under $root"))
+          published += ((h, h.publishPendingOp(id, op, files)))
+        }
+        if (decideTxn(rootPath, id, "committed") != "committed")
+          throw new CommitConflictException(
+            s"transaction $id was aborted by a concurrent writer during " +
+              "publish; nothing became visible")
+        published.map { case (h, v) => h.tableName -> v }.toMap
+      } catch { case e: Throwable =>
+        try decideTxn(rootPath, id, "aborted")
+        catch { case _: Throwable => () }
+        if (txnState(rootPath, id).contains("aborted"))
+          published.foreach { case (h, v) =>
+            try h.clearPending(id, v) catch { case _: Throwable => () } }
+        throw e
+      }
+    }
+  }
+
+  def beginTransaction(root: String): Transaction = new Transaction(root)
 
   /** Create table `key` under `root`. Directory creation is the
     * atomicity point: of two concurrent creators exactly one wins;
@@ -212,9 +320,36 @@ object GraftLakeStore {
     def dataDir: Path = tableDir.resolve("data")
     def tableName: String = tableDir.getFileName.toString
 
-    /** Latest committed version: max manifest in the directory. The
-      * listing is the source of truth — another process's commit is
-      * visible here with no cache to go stale. */
+    /** Root directory holding this table — where multi-table
+      * transaction decision markers live. */
+    private def rootDir: Path = tableDir.getParent
+
+    /** Read (and cache) manifest `v` if its FILE exists. No visibility
+      * check — parsed content is immutable and safe to cache even for
+      * an undecided transaction's manifest (visibility is re-evaluated
+      * per access from the decision marker). */
+    private def readManifest(v: Int): Option[Snapshot] = {
+      val p = tableDir.resolve(manifestName(v))
+      val cached = cache.get(p.toString)
+      if (cached != null) Some(cached)
+      else if (!Files.exists(p)) None
+      else {
+        val s = parseManifest(new String(Files.readAllBytes(p), "UTF-8"))
+        cache.put(p.toString, s)
+        Some(s)
+      }
+    }
+
+    /** A manifest is VISIBLE unless it belongs to a multi-table
+      * transaction that has not committed (undecided or aborted). */
+    private def isVisible(s: Snapshot): Boolean =
+      s.pendingTxn.forall(id =>
+        GraftLakeStore.txnState(rootDir, id).contains("committed"))
+
+    /** Latest committed-and-visible version. The listing is the source
+      * of truth — another process's commit is visible here with no
+      * cache to go stale; an in-flight transaction's reserved top slot
+      * is walked past (rare and short-lived by construction). */
     def latestVersion: Int = {
       val vs = Files.list(tableDir).iterator().asScala
         .map(_.getFileName.toString)
@@ -222,23 +357,27 @@ object GraftLakeStore {
           n.stripPrefix("manifest-v").stripSuffix(".json").toInt }
         .toSeq
       require(vs.nonEmpty, s"$tableName: no manifests (corrupt table dir)")
-      vs.max
+      vs.sorted(Ordering.Int.reverse)
+        .find(v => readManifest(v).exists(isVisible))
+        .getOrElse(throw new IllegalStateException(
+          s"$tableName: no visible snapshot (every manifest belongs to " +
+            "an undecided or aborted transaction)"))
     }
 
     def snapshot(v: Int): Snapshot = {
       val latest = latestVersion
       require(v >= 0 && v <= latest, s"$tableName: no snapshot $v (have 0..$latest)")
-      val p = tableDir.resolve(manifestName(v))
-      val cached = cache.get(p.toString)
-      if (cached != null) cached
-      else if (!Files.exists(p))
-        throw new IllegalStateException(
-          s"$tableName: snapshot $v has been expired (latest is $latest); " +
-            "expired versions are unreadable by design")
-      else {
-        val s = parseManifest(new String(Files.readAllBytes(p), "UTF-8"))
-        cache.put(p.toString, s)
-        s
+      readManifest(v) match {
+        case None =>
+          throw new IllegalStateException(
+            s"$tableName: snapshot $v has been expired (latest is $latest); " +
+              "expired versions are unreadable by design")
+        case Some(s) if isVisible(s) => s
+        case Some(s) =>
+          throw new IllegalStateException(
+            s"$tableName: snapshot $v belongs to transaction " +
+              s"${s.pendingTxn.get}, which never committed — it is not " +
+              "readable")
       }
     }
 
@@ -250,6 +389,31 @@ object GraftLakeStore {
         base.copy(version = base.version + 1, files = base.files ++ entries,
           maxFileId = maxId, op = "append")
       }
+
+    /** Append onto the CONTENT of snapshot `contentBase` (a branch
+      * head), publishing at the log's next version — the branch-write
+      * device: versions stay linear (commit order) while content
+      * lineage follows the branch pointer, so a write to `audit`
+      * leaves `main`'s content untouched even though it lands later in
+      * the log. File ids are assigned from the LOG head (global
+      * uniqueness across lineages); schema/partitioning come from the
+      * content base. Rebase-and-retry on a publish race (only the
+      * version number moves; the content is base-relative by intent). */
+    def commitAppendOn(contentBase: Int, newFiles: Seq[PendingFile]): Int = {
+      var attempts = 0
+      while (true) {
+        val base = snapshot(contentBase)
+        val latest = snapshot(latestVersion)
+        val (entries, maxId) =
+          assignIds(base.copy(maxFileId = latest.maxFileId), newFiles)
+        val next = base.copy(version = latest.version + 1,
+          files = base.files ++ entries, maxFileId = maxId, op = "append")
+        if (tryPublish(next)) return next.version
+        attempts += 1
+        resolveBlocker(next.version, attempts)
+      }
+      -1 // unreachable
+    }
 
     /** Truncate-replace (INSERT OVERWRITE): the new content is the
       * whole table by intent, independent of what it replaces —
@@ -350,8 +514,7 @@ object GraftLakeStore {
           files = withDvs ++ entries, maxFileId = maxId, op = "delta")
         if (tryPublish(next)) return next.version
         attempts += 1
-        if (attempts > 100) throw new IllegalStateException(
-          s"$tableName: delta commit still racing after $attempts attempts")
+        resolveBlocker(next.version, attempts)
       }
       -1 // unreachable
     }
@@ -379,8 +542,7 @@ object GraftLakeStore {
           op = "append", txn = Some((queryId, epochId)))
         if (tryPublish(next)) return (next.version, true)
         attempts += 1
-        if (attempts > 100) throw new IllegalStateException(
-          s"$tableName: epoch commit still racing after $attempts attempts")
+        resolveBlocker(next.version, attempts)
       }
       (-1, false) // unreachable
     }
@@ -402,18 +564,27 @@ object GraftLakeStore {
     // (re-tagging an existing name fails loudly; drop then re-tag).
 
     private def tagName(name: String) = s"tag-$name.json"
+    private def branchFileName(name: String) = s"branch-$name.json"
+
+    /** Shared ref-name rules: SQL-literal/filename safe, and never
+      * all-digit — resolveVersion tries toInt BEFORE ref lookup, so an
+      * all-digit name would be permanently unreachable ('VERSION AS OF
+      * "123"' silently reads snapshot 123). */
+    private def validateRefName(name: String): Unit = {
+      require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+        s"ref name must be [A-Za-z0-9_.-]+, got '$name'")
+      require(!name.forall(_.isDigit),
+        s"ref name '$name' is all digits and would be shadowed by the " +
+          "integer snapshot id in VERSION AS OF; include a non-digit")
+    }
 
     /** Tag `version` as `name`. Names must be usable in SQL string
       * literals and filenames; versions must exist and not be expired. */
     def createTag(name: String, version: Int): Unit = {
-      require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
-        s"tag name must be [A-Za-z0-9_.-]+, got '$name'")
-      // resolveVersion tries toInt BEFORE ref lookup, so an all-digit
-      // name would be permanently unreachable ('VERSION AS OF "123"'
-      // silently reads snapshot 123) — reject it at creation
-      require(!name.forall(_.isDigit),
-        s"ref name '$name' is all digits and would be shadowed by the " +
-          "integer snapshot id in VERSION AS OF; include a non-digit")
+      validateRefName(name)
+      require(!branches().contains(name),
+        s"$tableName: a BRANCH named '$name' exists; tag and branch " +
+          "names share one resolution namespace")
       snapshot(version) // exists + not expired, or throws
       val target = tableDir.resolve(tagName(name))
       val tmp = Files.createTempFile(tableDir, ".tag-", ".tmp")
@@ -457,14 +628,164 @@ object GraftLakeStore {
       finally l.close()
     }
 
+    // ---- branches (mutable refs) -------------------------------------
+    // A branch is a MUTABLE named pointer to a snapshot (Iceberg's
+    // branch refs): commits made under a branch context advance it, the
+    // version log itself stays linear (version = commit order; content
+    // lineage follows the pointer). `main`, once created, is what
+    // default reads resolve — the write-audit-publish device: write to
+    // an `audit` branch, validate it, fast-forward `main`. Advancing is
+    // an atomic same-directory file replace.
+
+    /** Create branch `name` at `version`. Same name rules and
+      * expire-race handling as tags; names are shared with tags (one
+      * resolution namespace). */
+    def createBranch(name: String, version: Int): Unit = {
+      validateRefName(name)
+      require(!tags().contains(name),
+        s"$tableName: a TAG named '$name' exists; tag and branch names " +
+          "share one resolution namespace")
+      snapshot(version) // exists + not expired, or throws
+      val target = tableDir.resolve(branchFileName(name))
+      val tmp = Files.createTempFile(tableDir, ".branch-", ".tmp")
+      try {
+        Files.write(tmp, s"""{"version":$version}""".getBytes("UTF-8"))
+        try Files.createLink(target, tmp)
+        catch { case _: FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"$tableName: branch '$name' already exists")
+        }
+      } finally Files.deleteIfExists(tmp)
+      try snapshot(version) // the createTag expire-race close, same shape
+      catch { case e: Throwable =>
+        Files.deleteIfExists(target)
+        throw new IllegalStateException(
+          s"$tableName: snapshot $version was expired concurrently with " +
+            s"createBranch('$name') — the branch was not created", e)
+      }
+    }
+
+    /** Advance branch `name` to `version` (fast-forward by default:
+      * in a linear log the ancestor check is `version >= head`).
+      * Atomic: stage + same-directory ATOMIC_MOVE replace. */
+    def advanceBranch(name: String, version: Int,
+        allowRewind: Boolean = false): Unit = {
+      val cur = branches().getOrElse(name, throw new IllegalArgumentException(
+        s"$tableName: no branch '$name' (have ${branches().keys.toSeq.sorted
+          .mkString(", ")})"))
+      snapshot(version) // exists + not expired
+      require(allowRewind || version >= cur,
+        s"$tableName: branch '$name' is at $cur; advancing to $version is " +
+          "not a fast-forward (pass allowRewind to rewind explicitly)")
+      val target = tableDir.resolve(branchFileName(name))
+      val tmp = Files.createTempFile(tableDir, ".branch-", ".tmp")
+      try {
+        Files.write(tmp, s"""{"version":$version}""".getBytes("UTF-8"))
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      } finally Files.deleteIfExists(tmp)
+      // expire-race re-verify (expiration reads refs BEFORE deleting;
+      // if it read the OLD head, the new head may have been collected)
+      try snapshot(version)
+      catch { case e: Throwable =>
+        throw new IllegalStateException(
+          s"$tableName: snapshot $version was expired concurrently with " +
+            s"advanceBranch('$name') — the branch now points at an " +
+            "expired snapshot; repair with advanceBranch to a live version", e)
+      }
+    }
+
+    def dropBranch(name: String): Boolean =
+      Files.deleteIfExists(tableDir.resolve(branchFileName(name)))
+
+    /** All branches: name → head version. */
+    def branches(): Map[String, Int] = {
+      val l = Files.list(tableDir)
+      try l.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("branch-") && n.endsWith(".json") =>
+          val name = n.stripPrefix("branch-").stripSuffix(".json")
+          val v = mapper.readTree(new String(
+            Files.readAllBytes(tableDir.resolve(n)), "UTF-8")).get("version").asInt()
+          name -> v
+        }.toMap
+      finally l.close()
+    }
+
+    /** Fast-forward branch `to` onto branch `from`'s head (Iceberg's
+      * fast_forward procedure — the PUBLISH half of write-audit-
+      * publish). Returns (previous head, new head). */
+    def fastForward(to: String, from: String): (Int, Int) = {
+      val head = branches().getOrElse(from, throw new IllegalArgumentException(
+        s"$tableName: no branch '$from' to fast-forward from"))
+      val prev = branches().getOrElse(to, throw new IllegalArgumentException(
+        s"$tableName: no branch '$to' to fast-forward"))
+      advanceBranch(to, head)
+      (prev, head)
+    }
+
+    /** Branch-context APPEND: re-resolve the branch head, append onto
+      * its content, advance the pointer — one interned-handle monitor,
+      * so same-JVM appends racing on one branch lose nothing (the
+      * second re-reads the first's head). Cross-process branch writers
+      * remain unserialized (single-writer-per-branch is the documented
+      * deployment shape, as in Iceberg's WAP). */
+    def commitAppendOnBranch(branch: String,
+        newFiles: Seq[PendingFile]): Int = synchronized {
+      val head = branches().getOrElse(branch, throw new IllegalArgumentException(
+        s"$tableName: no branch '$branch' to append onto"))
+      val v = commitAppendOn(head, newFiles)
+      advanceBranch(branch, v)
+      v
+    }
+
+    /** Branch-context INSERT OVERWRITE: content is a full replacement
+      * by intent; commit, then advance the branch. */
+    def commitTruncateOnBranch(branch: String,
+        newFiles: Seq[PendingFile]): Int = synchronized {
+      branches().getOrElse(branch, throw new IllegalArgumentException(
+        s"$tableName: no branch '$branch' to overwrite"))
+      val v = commitTruncate(newFiles)
+      advanceBranch(branch, v)
+      v
+    }
+
+    /** Branch-context row-level replace: the inner commitReplace already
+      * requires the LOG head to equal the scanned base, which under a
+      * branch context additionally means "no lineage is ahead" — DML
+      * during an in-flight divergence (e.g. an unpublished audit
+      * branch) fails loudly rather than mixing lineages. */
+    def commitReplaceOnBranch(branch: String, baseVersion: Int,
+        replacedIds: Set[Int], newFiles: Seq[PendingFile]): Int = synchronized {
+      val v = commitReplace(baseVersion, replacedIds, newFiles)
+      advanceBranch(branch, v)
+      v
+    }
+
+    /** Branch-context merge-on-read commit: never rebases (an
+      * intervening append may belong to another lineage), then
+      * advances the branch. */
+    def commitDeltaOnBranch(branch: String, baseVersion: Int,
+        dvFiles: Seq[PendingDv], insertFiles: Seq[PendingFile]): Int =
+      synchronized {
+        val v = commitDelta(baseVersion, dvFiles, insertFiles,
+          rebaseAppends = false)
+        advanceBranch(branch, v)
+        v
+      }
+
     /** Resolve a `VERSION AS OF` string: integer = version, otherwise a
-      * tag name. */
+      * tag or branch name (one namespace, creation-checked disjoint). */
     def resolveVersion(spec: String): Int =
       try spec.toInt
       catch { case _: NumberFormatException =>
-        tags().getOrElse(spec, throw new IllegalArgumentException(
-          s"$tableName: no tag '$spec' (and it is not an integer snapshot " +
-            s"id); have tags ${tags().keys.toSeq.sorted.mkString(", ")}"))
+        tags().get(spec).orElse(branches().get(spec)) match {
+          case Some(v) => v
+          case None => throw new IllegalArgumentException(
+            s"$tableName: no tag or branch '$spec' (and it is not an " +
+              s"integer snapshot id); have refs ${(tags().keys ++
+                branches().keys).toSeq.sorted.mkString(", ")}")
+        }
       }
 
     /** Expire all snapshots except the newest `keepLast` — and any
@@ -476,7 +797,7 @@ object GraftLakeStore {
       require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
       val latest = latestVersion
       val cutoff = latest - keepLast + 1 // retain [cutoff, latest]
-      val pinned = tags().values.toSet
+      val pinned = tags().values.toSet ++ branches().values.toSet
       val expired = (0 until cutoff)
         .filterNot(pinned.contains)
         .filter(v => Files.exists(tableDir.resolve(manifestName(v))))
@@ -494,7 +815,12 @@ object GraftLakeStore {
           catch { case _: IllegalStateException => None }
         }
         val keepPaths = survivors.flatMap(refs).toSet
-        val dropPaths = expired.flatMap(v => refs(snapshot(v))).toSet -- keepPaths
+        // an aborted transaction's leftover manifest in range reads as
+        // unreadable — expire it anyway, referencing nothing
+        val dropPaths = expired.flatMap { v =>
+          try refs(snapshot(v))
+          catch { case _: IllegalStateException => Seq.empty }
+        }.toSet -- keepPaths
         expired.foreach { v =>
           val m = tableDir.resolve(manifestName(v))
           cache.remove(m.toString)
@@ -561,16 +887,23 @@ object GraftLakeStore {
         val candidate = next(snapshot(latestVersion))
         if (tryPublish(candidate)) return candidate.version
         attempts += 1
-        if (attempts > 100) throw new IllegalStateException(
-          s"$tableName: commit still racing after $attempts attempts")
+        resolveBlocker(candidate.version, attempts)
       }
       -1 // unreachable
     }
 
     /** Atomic publish: stage to a temp file, hard-link to the final
       * manifest name. Link creation is atomic and fails iff the target
-      * exists — the loser of a race sees `false`, never a torn file. */
-    private def tryPublish(s: Snapshot): Boolean = {
+      * exists — the loser of a race sees `false`, never a torn file.
+      * Strips any pendingTxn carried over from a committed-transaction
+      * base snapshot (a derived commit is its own, decided, snapshot —
+      * only [[tryPublishPending]] publishes transactional manifests). */
+    private def tryPublish(s: Snapshot): Boolean =
+      publishManifest(s.copy(pendingTxn = None))
+
+    private def tryPublishPending(s: Snapshot): Boolean = publishManifest(s)
+
+    private def publishManifest(s: Snapshot): Boolean = {
       val target = tableDir.resolve(manifestName(s.version))
       if (Files.exists(target)) return false
       val tmp = Files.createTempFile(tableDir, ".manifest-", ".tmp")
@@ -579,6 +912,72 @@ object GraftLakeStore {
         try { Files.createLink(target, tmp); cache.put(target.toString, s); true }
         catch { case _: FileAlreadyExistsException => false }
       } finally Files.deleteIfExists(tmp)
+    }
+
+    /** Publish this table's half of multi-table transaction `txnId`:
+      * `op` applied to the latest VISIBLE snapshot, at the next log
+      * slot, carrying the pendingTxn id — readers hold it invisible
+      * until the transaction's decision marker commits. */
+    private[v2] def publishPendingOp(txnId: String, op: String,
+        newFiles: Seq[PendingFile]): Int = {
+      var attempts = 0
+      while (true) {
+        val base = snapshot(latestVersion)
+        val (entries, maxId) = assignIds(base, newFiles)
+        val next = op match {
+          case "append" => base.copy(version = base.version + 1,
+            files = base.files ++ entries, maxFileId = maxId, op = "append",
+            pendingTxn = Some(txnId))
+          case "overwrite" => base.copy(version = base.version + 1,
+            files = entries, maxFileId = maxId, op = "overwrite",
+            pendingTxn = Some(txnId))
+          case other => throw new IllegalArgumentException(
+            s"transaction op must be append|overwrite, got $other")
+        }
+        if (tryPublishPending(next)) return next.version
+        attempts += 1
+        resolveBlocker(next.version, attempts)
+      }
+      -1 // unreachable
+    }
+
+    /** Delete transaction `txnId`'s pending manifest at `v` — ONLY if
+      * it is ours and still pending (never a decided or foreign one). */
+    private[v2] def clearPending(txnId: String, v: Int): Unit =
+      readManifest(v) match {
+        case Some(s) if s.pendingTxn.contains(txnId) &&
+            !GraftLakeStore.txnState(rootDir, txnId).contains("committed") =>
+          val p = tableDir.resolve(manifestName(v))
+          cache.remove(p.toString)
+          Files.deleteIfExists(p)
+          ()
+        case _ => ()
+      }
+
+    /** A publish lost the link race at version `v`. Usually the winner
+      * is a committed snapshot and the caller just rebases. If the
+      * occupant belongs to an UNDECIDED multi-table transaction, wait
+      * briefly for its decision; past the grace window, decide ABORT on
+      * its behalf (coordinator-crash recovery — the decision marker
+      * makes abort-vs-commit one atomic link, so a racing coordinator
+      * either beat us or sees the abort and rolls back) and clear the
+      * manifest so the slot frees. Throws once attempts exhaust. */
+    private def resolveBlocker(v: Int, attempts: Int): Unit = {
+      if (attempts > 200) throw new IllegalStateException(
+        s"$tableName: commit still racing after $attempts attempts")
+      readManifest(v).foreach { s =>
+        s.pendingTxn.foreach { id =>
+          GraftLakeStore.txnState(rootDir, id) match {
+            case None =>
+              if (attempts >= 20) { // ~200ms grace for a live coordinator
+                if (GraftLakeStore.decideTxn(rootDir, id, "aborted") == "aborted")
+                  clearPending(id, v)
+              } else Thread.sleep(10)
+            case Some("aborted") => clearPending(id, v)
+            case _ => () // committed: visible now; the retry rebases on it
+          }
+        }
+      }
     }
 
     private[v2] def writeManifest(s: Snapshot): Unit = {
@@ -617,11 +1016,13 @@ object GraftLakeStore {
     }.mkString("[", ",", "]")
     val txn = s.txn.map { case (q, e) =>
       s""""txnQuery":${esc(q)},"txnEpoch":$e,""" }.getOrElse("")
+    val pend = s.pendingTxn.map(id =>
+      s""""pendingTxn":${esc(id)},""").getOrElse("")
     val props = s.props.toSeq.sortBy(_._1).map { case (k, v) =>
       s"${esc(k)}:${esc(v)}" }.mkString("{", ",", "}")
     val colPhys = s.colPhys.toSeq.sortBy(_._1).map { case (k, v) =>
       s"${esc(k)}:${esc(v)}" }.mkString("{", ",", "}")
-    s"""{"version":${s.version},"maxFileId":${s.maxFileId},"op":${esc(s.op)},$txn""" +
+    s"""{"version":${s.version},"maxFileId":${s.maxFileId},"op":${esc(s.op)},$txn$pend""" +
       s""""partitionCols":${s.partitionCols.map(esc).mkString("[", ",", "]")},""" +
       s""""props":$props,"colPhys":$colPhys,"schema":${s.schema.json},"files":$files}"""
   }
@@ -657,6 +1058,7 @@ object GraftLakeStore {
       Option(n.get("props")).map(_.properties().asScala.map { e =>
         e.getKey -> e.getValue.asText() }.toMap).getOrElse(Map.empty),
       Option(n.get("colPhys")).map(_.properties().asScala.map { e =>
-        e.getKey -> e.getValue.asText() }.toMap).getOrElse(Map.empty))
+        e.getKey -> e.getValue.asText() }.toMap).getOrElse(Map.empty),
+      Option(n.get("pendingTxn")).map(_.asText()))
   }
 }

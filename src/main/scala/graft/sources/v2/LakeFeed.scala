@@ -132,25 +132,9 @@ private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
     val s = start.asInstanceOf[LakeFeedOffset].version
     val e = end.asInstanceOf[LakeFeedOffset].version
     def abs(rel: String): String = handle.tableDir.resolve(rel).toString
-    // logical → physical per SNAPSHOT, not from the latest version: a
-    // RENAME COLUMN landing mid-stream would leave this stream's
-    // (older) schema names absent from the latest mapping, and an
-    // identity fallback could read a re-added column as missing (or
-    // worse, resurrect a dropped column's stale physical data). A
-    // stream-schema name absent from the batch version's logical
-    // schema maps to nothing → the reader emits NULL, the same
-    // evolution contract as a file that predates the column.
-    def mapOf(snap: GraftLakeStore.Snapshot): Map[String, String] =
-      snap.schema.fieldNames.map(n => n -> snap.phys(n)).toMap
     ((s + 1) to e).flatMap { v =>
-      val prevSnap = handle.snapshot(v - 1)
-      val curSnap = handle.snapshot(v)
-      val prev = prevSnap.files.map(f => f.id -> f).toMap
-      val cur = curSnap.files.map(f => f.id -> f).toMap
-      // removed files were LISTED by v-1, so their columns resolve
-      // through v-1's mapping; added/dv-grown files through v's
-      val prevMap = mapOf(prevSnap)
-      val curMap = mapOf(curSnap)
+      val prev = handle.snapshot(v - 1).files.map(f => f.id -> f).toMap
+      val cur = handle.snapshot(v).files.map(f => f.id -> f).toMap
       val added = (cur.keySet -- prev.keySet).toSeq.sorted.map(cur)
       val removed = (prev.keySet -- cur.keySet).toSeq.sorted.map(prev)
       val dvGrown = (cur.keySet intersect prev.keySet).toSeq.sorted
@@ -159,16 +143,34 @@ private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
       added.map(f => LakeFeedPartition(abs(f.path), f.id, f.rows,
         f.columns, "insert", v,
         skipDvPaths = f.dvs.map(d => abs(d.path)),
-        physOf = curMap): InputPartition) ++
+        physOf = physOf): InputPartition) ++
         removed.map(f => LakeFeedPartition(abs(f.path), f.id, f.rows,
           f.columns, "delete", v,
           skipDvPaths = f.dvs.map(d => abs(d.path)),
-          physOf = prevMap): InputPartition) ++
+          physOf = physOf): InputPartition) ++
         dvGrown.map { case (c, p) =>
           LakeFeedPartition(abs(c.path), c.id, c.rows, c.columns, "delete", v,
             onlyDvPaths = c.dvs.drop(p.dvs.size).map(d => abs(d.path)),
-            physOf = curMap): InputPartition }
+            physOf = physOf): InputPartition }
     }.toArray
+  }
+
+  /** logical → physical for the STREAM's schema, resolved ONCE at
+    * stream construction (when the stream schema and the table's
+    * logical schema agree). Physical names are birth-stable, so this
+    * mapping stays valid for every batch — past files and files
+    * written after a mid-stream RENAME alike. A stream-schema name
+    * absent from the mapping (the column was dropped, or the stream
+    * restarted with a stale checkpointed schema after a rename) maps
+    * to nothing → the reader emits NULL, the same evolution contract
+    * as a file that predates the column, NEVER an identity guess that
+    * could resurrect a dropped column's stale physical data. */
+  private val physOf: Map[String, String] = {
+    val snap = handle.snapshot(handle.latestVersion)
+    val logical = snap.schema.fieldNames.toSet
+    schema.fields.dropRight(2).toSeq.collect {
+      case f if logical.contains(f.name) => f.name -> snap.phys(f.name)
+    }.toMap
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

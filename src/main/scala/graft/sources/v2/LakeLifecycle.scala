@@ -309,12 +309,17 @@ object LakeLifecycle {
     * (LakeFeedSpec pins the dedup and the 3-epoch history). With the
     * change-feed source (q216) this closes the loop: streams in and
     * out of the lake, both through the real engine. */
-  private def ensureStreamSink(s: SparkSession, dir: String): String =
+  private def ensureStreamSink(s: SparkSession, dir: String): String = {
+    // resolved BEFORE entering the memo: both keys live in ONE
+    // ConcurrentHashMap, and a nested computeIfAbsent throws
+    // IllegalStateException("Recursive update") whenever the keys
+    // collide into a hash bin (applicationId-dependent, intermittent —
+    // the exact failure the round-9 ADVICE flagged on MorQueries)
+    val src = ensureEventsSplit(s, dir)
     memo(s, dir, "streamsink") { (ss, id) =>
       val tbl = s"graft_lake.lake.events_sink$id"
       ss.sql(s"CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT, value_cents BIGINT)")
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = ensureEventsSplit(s, dir)
       val schema = ss.read.parquet(s"$dir/events.parquet").schema
       val chk = graft.util.TempDirs.create(s"graft_lake_sinkchk$id" + "_").toString
       val q = ss.readStream.schema(schema)
@@ -329,6 +334,7 @@ object LakeLifecycle {
       q.awaitTermination()
       tbl
     }
+  }
 
   /** q223: the streamed-in table's rollup — must equal the batch
     * aggregate over raw events (ingestion was append-only and

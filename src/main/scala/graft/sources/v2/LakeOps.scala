@@ -172,14 +172,25 @@ object LakeOps {
          |FROM $tbl ORDER BY c_custkey""".stripMargin)
   }
 
-  /** Write-audit-publish staging: incoming lineitem rows are routed by
-    * ROW-LOCAL expectations (q211's calibrated quantity/discount
-    * checks) — passing rows commit to the published table, violations
-    * to quarantine, both as catalog snapshots (the audit trail is a
-    * TABLE, not a log line). Routing is a row-local predicate, so at
-    * 100 TB this is one scan per destination with the filter pushed to
-    * parquet — referential checks stay the q211 audit's job (they need
-    * joins and belong in the pre-publish gate, not the row router). */
+  /** Write-audit-publish staging — Iceberg's WAP-on-branch, one table:
+    *
+    *  1. WRITE: ALL candidate rows land on the `audit` BRANCH of the
+    *     published table (`main` readers see nothing — the branch
+    *     pointer, not a second table, is the isolation);
+    *  2. AUDIT: q211's calibrated row-local expectations run against
+    *     `VERSION AS OF 'audit'`; violations are parked in the
+    *     quarantine table (the audit trail is a TABLE, not a log line);
+    *  3. REPAIR: the branch is rewritten to passing rows only and
+    *     re-audited to zero violations;
+    *  4. PUBLISH: `CALL graft_lake.system.fast_forward(main ← audit)` —
+    *     one atomic pointer move, no data copied.
+    *
+    * At 100 TB each step is one pushed-filter scan, and the publish is
+    * O(1): the candidate data was already in place on the branch —
+    * fast-forward moves a KB-sized pointer, where the two-table shape
+    * this replaced would have re-written the published copy. A failed
+    * audit leaves `main` bit-identical and the branch GC-able
+    * (LakeBranchSpec pins both). */
   private[v2] def ensureWap(s: SparkSession, dir: String): (String, String) = {
     val key = s.sparkContext.applicationId + ":" + dir
     stagedWap.computeIfAbsent(key, { _ =>
@@ -187,18 +198,43 @@ object LakeOps {
       val id = nextId.incrementAndGet()
       val pub = s"graft_lake.lake.li_published$id"
       val quar = s"graft_lake.lake.li_quarantine$id"
-      val schema = "(l_orderkey BIGINT, l_linenumber INT, qty_x100 BIGINT, price_cents BIGINT)"
+      val schema = "(l_orderkey BIGINT, l_linenumber INT, " +
+        "quantity DOUBLE, discount DOUBLE, price_cents BIGINT)"
       ss.sql(s"CREATE TABLE $pub $schema")
       ss.sql(s"CREATE TABLE $quar $schema")
-      val li = Tables(ss, dir, "lineitem")
+      ss.sql(s"CALL graft_lake.system.create_branch(" +
+        s"table => 'lake.li_published$id', branch => 'main', version => 0)")
+      ss.sql(s"CALL graft_lake.system.create_branch(" +
+        s"table => 'lake.li_published$id', branch => 'audit', version => 0)")
+
+      // 1. WRITE: every candidate row onto the audit branch
+      val auditSess = MergeQueries.lakeSession(s)
+      auditSess.conf.set(LakeTable.BranchConf, "audit")
+      Tables(auditSess, dir, "lineitem")
         .select(col("l_orderkey").cast("long").as("l_orderkey"),
           col("l_linenumber").cast("int").as("l_linenumber"),
-          Exact.cents(col("l_quantity")).as("qty_x100"),
-          Exact.cents(col("l_extendedprice")).as("price_cents"),
-          (col("l_quantity") <= 30 &&
-            col("l_discount") >= 0 && col("l_discount") <= 0.10).as("ok"))
-      li.filter(col("ok")).drop("ok").writeTo(pub).append()
-      li.filter(!col("ok")).drop("ok").writeTo(quar).append()
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_discount").cast("double").as("discount"),
+          Exact.cents(col("l_extendedprice")).as("price_cents"))
+        .writeTo(pub).append()
+
+      // 2. AUDIT on the branch; violations parked in quarantine
+      val bad = "NOT (quantity <= 30 AND discount >= 0 AND discount <= 0.10)"
+      auditSess.sql(s"INSERT INTO $quar SELECT * FROM $pub WHERE $bad")
+      val nBad = auditSess.sql(s"SELECT count(*) FROM $pub WHERE $bad")
+        .head().getLong(0)
+
+      // 3. REPAIR the branch to passing rows only, then re-audit
+      if (nBad > 0)
+        auditSess.sql(s"INSERT OVERWRITE $pub SELECT * FROM $pub WHERE NOT ($bad)")
+      val still = auditSess.sql(s"SELECT count(*) FROM $pub WHERE $bad")
+        .head().getLong(0)
+      require(still == 0L,
+        s"WAP audit not clean after repair: $still violations remain")
+
+      // 4. PUBLISH: main jumps to the audited head
+      ss.sql(s"CALL graft_lake.system.fast_forward(" +
+        s"table => 'lake.li_published$id', to => 'main', from => 'audit')")
       (pub, quar)
     })
   }

@@ -115,12 +115,21 @@ class LakeOpsSpec extends SparkSpec {
     // every routed row actually satisfies its destination's predicate
     val (pub, quar) = LakeOps.ensureWap(spark, sf)
     val ss = lake()
-    assert(ss.sql(s"SELECT count(*) FROM $pub WHERE qty_x100 > 3000")
+    assert(ss.sql(s"SELECT count(*) FROM $pub WHERE quantity > 30")
       .collect().head.getLong(0) === 0L)
     // on this fixture every violation is a quantity violation (the
     // discount check pins 0 in q211), so quarantine must hold ONLY
     // qty>30 rows — the count identity above is the predicate-exact pin
-    assert(ss.sql(s"SELECT count(*) FROM $quar WHERE qty_x100 <= 3000")
+    assert(ss.sql(s"SELECT count(*) FROM $quar WHERE quantity <= 30")
       .collect().head.getLong(0) === 0L)
+    // WAP-on-branch shape: the published table IS the branch table —
+    // main and audit agree post-publish, and the staging lineage is
+    // visible in the refs (one table, zero copies at publish time)
+    val handle = GraftLakeStore.get(GraftLakeStore.defaultRoot,
+      pub.stripPrefix("graft_lake.")).get
+    val bs = handle.branches()
+    assert(bs.contains("main") && bs.contains("audit") &&
+      bs("main") === bs("audit"),
+      s"post-publish refs: $bs")
   }
 }

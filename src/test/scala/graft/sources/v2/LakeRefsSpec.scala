@@ -45,7 +45,7 @@ class LakeRefsSpec extends SparkSpec {
     // an unknown tag fails loudly with the available names
     val e2 = intercept[Exception](
       ss.sql("SELECT * FROM ref.ns.t VERSION AS OF 'nope'").collect())
-    assert(e2.getMessage.contains("no tag 'nope'"))
+    assert(e2.getMessage.contains("no tag or branch 'nope'"))
   }
 
   test("tags are immutable: re-tagging fails loudly, drop-then-retag moves the pointer") {
