@@ -25,6 +25,7 @@ object SparkEntry {
       graft.sources.v2.LakeOps.queries ++ graft.sources.v2.LakeLifecycle.queries ++
       graft.sources.v2.MorQueries.queries ++
       graft.sources.v2.LakeTxn.queries ++
+      graft.sources.v2.EqUpsertQueries.queries ++
       QualityOps.queries ++
       graft.sources.BucketedQueries.queries ++ graft.sources.ZOrderQueries.queries ++
       graft.sources.CboQueries.queries ++ graft.sources.CompactionQueries.queries ++
@@ -69,6 +70,7 @@ object SparkEntry {
       graft.sources.v2.LakeOps.oracle ++ graft.sources.v2.LakeLifecycle.oracle ++
       graft.sources.v2.MorQueries.oracle ++
       graft.sources.v2.LakeTxn.oracle ++
+      graft.sources.v2.EqUpsertQueries.oracle ++
       QualityOps.oracle ++
       graft.sources.BucketedQueries.oracle ++ graft.sources.ZOrderQueries.oracle ++
       graft.sources.CboQueries.oracle ++ graft.sources.CompactionQueries.oracle ++

@@ -780,7 +780,9 @@ object LakeTable {
   * delete position — the reader sizes its skip bitmap by it. */
 private[v2] case class LakeInputPartition(absPath: String, fileId: Int,
     fileColumns: Seq[String], rows: Long = 0L,
-    dvAbsPaths: Seq[String] = Seq.empty) extends InputPartition
+    dvAbsPaths: Seq[String] = Seq.empty,
+    eqAbsPaths: Seq[String] = Seq.empty,
+    eqKeyPhys: String = null) extends InputPartition
 
 private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: String,
     rowLevel: Boolean = false)
@@ -807,6 +809,10 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
   private def canPushAgg(agg: org.apache.spark.sql.connector.expressions
       .aggregate.Aggregation): Boolean =
     !rowLevel &&
+      // equality deletes kill an UNKNOWN number of rows per file (key
+      // matches are discovered at read time) — a manifest-only count
+      // would overcount, so the pushdown disables itself
+      snap.eqDels.isEmpty &&
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
@@ -898,8 +904,11 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
     // query's relation may not have requested it — Spark's v2 dynamic-
     // filtering rules resolve filterAttributes against the relation
     // output and fail loudly on a column that is not there
-    if (rowLevel) new LakeRowScan(handle, snap.version, kept, physOf, required, desc)
-    else new LakeScan(handle, snap.version, kept, physOf, required, desc)
+    if (rowLevel)
+      new LakeRowScan(handle, snap.version, kept, physOf, required, desc,
+        snap.eqDels)
+    else new LakeScan(handle, snap.version, kept, physOf, required, desc,
+      snap.eqDels)
   }
 }
 
@@ -1248,7 +1257,8 @@ private[v2] case class LakeCountPartition(rows: Seq[(Seq[Option[String]], Long)]
 
 private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
     initialFiles: Seq[LakeFile], physOf: Map[String, String],
-    required: StructType, desc: String) extends Scan with Batch
+    required: StructType, desc: String,
+    eqDels: Seq[GraftLakeStore.EqRef] = Seq.empty) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile protected var files: Seq[LakeFile] = initialFiles
@@ -1280,9 +1290,16 @@ private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map { f =>
+      // equality deletes apply to files that existed when they
+      // committed (id <= bound); later files — including the upsert's
+      // own inserts — are exempt
+      val eqs = eqDels.filter(_.bound >= f.id)
       LakeInputPartition(handle.tableDir.resolve(f.path).toString, f.id,
         f.columns, f.rows,
-        f.dvs.map(d => handle.tableDir.resolve(d.path).toString)): InputPartition
+        f.dvs.map(d => handle.tableDir.resolve(d.path).toString),
+        eqs.map(e => handle.tableDir.resolve(e.path).toString),
+        eqs.headOption.map(e => physOf.getOrElse(e.keyCol, e.keyCol)).orNull
+      ): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1295,8 +1312,10 @@ private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
   * holding matched rows. */
 private[v2] class LakeRowScan(handle: TableHandle, baseVersion: Int,
     initialFiles: Seq[LakeFile], physOf: Map[String, String],
-    required: StructType, desc: String)
-    extends LakeScan(handle, baseVersion, initialFiles, physOf, required, desc)
+    required: StructType, desc: String,
+    eqDels: Seq[GraftLakeStore.EqRef] = Seq.empty)
+    extends LakeScan(handle, baseVersion, initialFiles, physOf, required,
+      desc, eqDels)
     with SupportsRuntimeV2Filtering {
 
   override def filterAttributes(): Array[NamedReference] =
@@ -1384,6 +1403,27 @@ private[v2] object LakeDv {
   }
 }
 
+/** Equality-delete IO: one eq-delete file is a plain parquet with a
+  * single BIGINT column named `key` - the value-matched counterpart of
+  * LakeDv position deletes (Iceberg v2 second delete-file kind). The
+  * loader unions the key sets of every file covering a split; sets are
+  * change-sized (an upsert batch of keys), never data-sized. */
+private[v2] object LakeEq {
+  val KeyCol = "key"
+  val schema: StructType = StructType(Seq(
+    StructField(KeyCol, LongType, nullable = false)))
+
+  def loadKeys(paths: Seq[String]): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    paths.foreach { p =>
+      val it = LakeParquet.reader(p, Seq(KeyCol))
+      try while (it.next()) set.add(it.get().getLong(0))
+      finally it.close()
+    }
+    set
+  }
+}
+
 /** Reads one parquet data file through Spark's vectorized reader,
   * projecting into the required schema: columns the file predates
   * (schema evolution) read NULL; `_split` reads the file id, `_pos` the
@@ -1414,16 +1454,27 @@ private[v2] class LakeReaderFactory(required: StructType,
       }
     }
     val types = required.fields.map(_.dataType)
+    // equality deletes: the KEY column must be read to test membership,
+    // even when the projection does not include it. A file that
+    // predates the key column cannot hold a matching row - no eq work.
+    val eqKeys =
+      if (part.eqAbsPaths.isEmpty || part.eqKeyPhys == null ||
+          !fileCols.contains(part.eqKeyPhys)) null
+      else LakeEq.loadKeys(part.eqAbsPaths)
+    val readCols: Seq[String] =
+      if (eqKeys == null || requested.contains(part.eqKeyPhys)) requested.toSeq
+      else requested.toSeq :+ part.eqKeyPhys
+    val eqIdx = if (eqKeys == null) -1 else readCols.indexOf(part.eqKeyPhys)
 
     new PartitionReader[InternalRow] {
       private val it =
-        if (requested.nonEmpty) LakeParquet.reader(part.absPath, requested.toSeq)
+        if (readCols.nonEmpty) LakeParquet.reader(part.absPath, readCols)
         else null
       // a projection-to-nothing read (e.g. count(*) over only-new
       // columns) still needs the row COUNT — read the narrowest file
       // column just to drive iteration
       private val fallback =
-        if (requested.isEmpty) LakeParquet.reader(part.absPath,
+        if (readCols.isEmpty) LakeParquet.reader(part.absPath,
           Seq(part.fileColumns.head)) else null
       private def rows = if (it != null) it else fallback
       private val deleted =
@@ -1436,7 +1487,13 @@ private[v2] class LakeReaderFactory(required: StructType,
       override def next(): Boolean = {
         while (rows.next()) {
           pos += 1
-          if (deleted == null || !deleted.get(pos.toInt)) return true
+          if (deleted == null || !deleted.get(pos.toInt)) {
+            if (eqKeys == null) return true
+            val r = rows.get()
+            val killed = eqIdx >= 0 && !r.isNullAt(eqIdx) &&
+              eqKeys.contains(r.getLong(eqIdx))
+            if (!killed) return true
+          }
         }
         false
       }

@@ -93,7 +93,8 @@ object GraftLakeStore {
       op: String = "create", txn: Option[(String, Long)] = None,
       props: Map[String, String] = Map.empty,
       colPhys: Map[String, String] = Map.empty,
-      pendingTxn: Option[String] = None) {
+      pendingTxn: Option[String] = None,
+      eqDels: Seq[EqRef] = Seq.empty) {
     /** Column mapping: the PHYSICAL name a logical column's data is
       * stored under in parquet. Assigned at column birth and never
       * changed — RENAME COLUMN remaps the logical name, DROP COLUMN
@@ -115,6 +116,19 @@ object GraftLakeStore {
     * yet committed: `dels` maps each covered data-file id to the number
     * of its positions recorded in the file. */
   final case class PendingDv(name: String, dels: Map[Int, Long])
+
+  /** One EQUALITY-delete file (Iceberg v2's second delete kind,
+    * merge-on-read tier 2), snapshot-scoped: `path` names a parquet of
+    * key VALUES under column `keyCol`; it deletes every row whose key
+    * matches in any data file with id <= `bound` — the files that
+    * existed when the delete committed (Iceberg's sequence-number rule
+    * reduced to monotone file ids; later files are exempt, so an
+    * upsert's own inserts never self-delete). `rows` = key count,
+    * metadata only. */
+  final case class EqRef(path: String, keyCol: String, bound: Int, rows: Long)
+
+  /** An equality-delete parquet a writer produced, not yet committed. */
+  final case class PendingEq(name: String, keyCol: String, rows: Long)
 
   /** Default root: one per JVM (all catalog instances without an
     * explicit `root` option share it — session clones see one store,
@@ -421,8 +435,9 @@ object GraftLakeStore {
     def commitTruncate(newFiles: Seq[PendingFile]): Int =
       retryCommit { base =>
         val (entries, maxId) = assignIds(base, newFiles)
+        // a full replacement leaves nothing for old deletes to apply to
         base.copy(version = base.version + 1, files = entries,
-          maxFileId = maxId, op = "overwrite")
+          maxFileId = maxId, op = "overwrite", eqDels = Seq.empty)
       }
 
     /** Row-level replace: drop `replacedIds` (the files the operation's
@@ -517,6 +532,44 @@ object GraftLakeStore {
         resolveBlocker(next.version, attempts)
       }
       -1 // unreachable
+    }
+
+    /** Equality-delete upsert commit (merge-on-read tier 2): the new
+      * equality-delete files kill matching keys in every data file that
+      * existed at the base (id <= base.maxFileId); `insertFiles` carry
+      * the new row versions. NO position is read and NO data file is
+      * rewritten — the streaming-upsert write shape (a CDC writer that
+      * cannot compute positions cheaply commits key values instead).
+      * Isolation is strict like MERGE: the upsert's delete-then-insert
+      * decisions were computed against the base, so ANY intervening
+      * commit conflicts loudly. */
+    def commitEqDelta(baseVersion: Int, eqFiles: Seq[PendingEq],
+        insertFiles: Seq[PendingFile]): Int = {
+      val latest = latestVersion
+      if (latest != baseVersion)
+        throw new CommitConflictException(
+          s"$tableName: equality-delete upsert scanned version $baseVersion " +
+            s"but version $latest is now latest — retry against current state")
+      val base = snapshot(baseVersion)
+      eqFiles.foreach { e =>
+        require(base.schema.fieldNames.contains(e.keyCol),
+          s"$tableName: equality-delete key '${e.keyCol}' is not a table column")
+        require(base.schema(e.keyCol).dataType ==
+            org.apache.spark.sql.types.LongType,
+          s"$tableName: equality-delete key '${e.keyCol}' must be BIGINT " +
+            s"(got ${base.schema(e.keyCol).dataType.simpleString})")
+      }
+      val bound = base.maxFileId
+      val (entries, maxId) = assignIds(base, insertFiles)
+      val next = base.copy(version = base.version + 1,
+        files = base.files ++ entries, maxFileId = maxId, op = "delta",
+        eqDels = base.eqDels ++ eqFiles.map(e =>
+          EqRef(s"data/${e.name}", e.keyCol, bound, e.rows)))
+      if (!tryPublish(next))
+        throw new CommitConflictException(
+          s"$tableName: version ${next.version} was published concurrently " +
+            "while this upsert committed; retry the statement")
+      next.version
     }
 
     /** Streaming epoch append with exactly-once replay protection:
@@ -804,7 +857,8 @@ object GraftLakeStore {
       if (expired.isEmpty) Seq.empty
       else {
         def refs(s: Snapshot): Seq[String] =
-          s.files.flatMap(f => f.path +: f.dvs.map(_.path))
+          s.files.flatMap(f => f.path +: f.dvs.map(_.path)) ++
+            s.eqDels.map(_.path)
         val survivorVs = ((math.max(cutoff, 0) to latest) ++
           pinned.filter(_ < cutoff)).distinct.sorted
         // a stale tag may pin a version already expired by an earlier
@@ -846,7 +900,8 @@ object GraftLakeStore {
       val referenced = (0 to latestVersion).flatMap { v =>
         try {
           val s = snapshot(v)
-          s.files.flatMap(f => f.path +: f.dvs.map(_.path))
+          s.files.flatMap(f => f.path +: f.dvs.map(_.path)) ++
+            s.eqDels.map(_.path)
         } catch { case _: IllegalStateException => Seq.empty } // expired
       }.map(_.stripPrefix("data/")).toSet
       val cutoff = System.currentTimeMillis() - minAgeMs
@@ -1022,9 +1077,13 @@ object GraftLakeStore {
       s"${esc(k)}:${esc(v)}" }.mkString("{", ",", "}")
     val colPhys = s.colPhys.toSeq.sortBy(_._1).map { case (k, v) =>
       s"${esc(k)}:${esc(v)}" }.mkString("{", ",", "}")
+    val eq = s.eqDels.map { e =>
+      s"""{"path":${esc(e.path)},"keyCol":${esc(e.keyCol)},""" +
+        s""""bound":${e.bound},"rows":${e.rows}}""" }.mkString("[", ",", "]")
     s"""{"version":${s.version},"maxFileId":${s.maxFileId},"op":${esc(s.op)},$txn$pend""" +
       s""""partitionCols":${s.partitionCols.map(esc).mkString("[", ",", "]")},""" +
-      s""""props":$props,"colPhys":$colPhys,"schema":${s.schema.json},"files":$files}"""
+      s""""props":$props,"colPhys":$colPhys,"eqDels":$eq,""" +
+      s""""schema":${s.schema.json},"files":$files}"""
   }
 
   private def parseManifest(json: String): Snapshot = {
@@ -1059,6 +1118,10 @@ object GraftLakeStore {
         e.getKey -> e.getValue.asText() }.toMap).getOrElse(Map.empty),
       Option(n.get("colPhys")).map(_.properties().asScala.map { e =>
         e.getKey -> e.getValue.asText() }.toMap).getOrElse(Map.empty),
-      Option(n.get("pendingTxn")).map(_.asText()))
+      Option(n.get("pendingTxn")).map(_.asText()),
+      Option(n.get("eqDels")).map(_.elements().asScala.map { e =>
+        EqRef(e.get("path").asText(), e.get("keyCol").asText(),
+          e.get("bound").asInt(), e.get("rows").asLong())
+      }.toSeq).getOrElse(Seq.empty))
   }
 }

@@ -90,7 +90,10 @@ private[v2] case class LakeFeedPartition(absPath: String, fileId: Int,
     rows: Long, fileColumns: Seq[String], changeType: String,
     commitVersion: Int, onlyDvPaths: Seq[String] = Seq.empty,
     skipDvPaths: Seq[String] = Seq.empty,
-    physOf: Map[String, String] = Map.empty)
+    physOf: Map[String, String] = Map.empty,
+    onlyEqPaths: Seq[String] = Seq.empty,
+    skipEqPaths: Seq[String] = Seq.empty,
+    eqKeyPhys: String = null)
   extends InputPartition
 
 private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
@@ -133,13 +136,36 @@ private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
     val e = end.asInstanceOf[LakeFeedOffset].version
     def abs(rel: String): String = handle.tableDir.resolve(rel).toString
     ((s + 1) to e).flatMap { v =>
-      val prev = handle.snapshot(v - 1).files.map(f => f.id -> f).toMap
-      val cur = handle.snapshot(v).files.map(f => f.id -> f).toMap
+      val prevSnap = handle.snapshot(v - 1)
+      val curSnap = handle.snapshot(v)
+      val prev = prevSnap.files.map(f => f.id -> f).toMap
+      val cur = curSnap.files.map(f => f.id -> f).toMap
       val added = (cur.keySet -- prev.keySet).toSeq.sorted.map(cur)
       val removed = (prev.keySet -- cur.keySet).toSeq.sorted.map(prev)
       val dvGrown = (cur.keySet intersect prev.keySet).toSeq.sorted
         .map(id => (cur(id), prev(id)))
         .filter { case (c, p) => c.dvs.size > p.dvs.size }
+      // equality deletes appended by THIS commit: every prior file they
+      // cover emits its matching rows as deletes (minus rows already
+      // position- or equality-deleted before this commit)
+      val eqNew = curSnap.eqDels.drop(prevSnap.eqDels.size)
+      def priorEq(fid: Int): Seq[String] =
+        prevSnap.eqDels.filter(_.bound >= fid).map(e => abs(e.path))
+      def keyPhys(refs: Seq[GraftLakeStore.EqRef]): String =
+        refs.headOption.map(e => physOf.getOrElse(e.keyCol, e.keyCol)).orNull
+      val eqGrown =
+        if (eqNew.isEmpty) Seq.empty[InputPartition]
+        else prevSnap.files.flatMap { f =>
+          val covering = eqNew.filter(_.bound >= f.id)
+          if (covering.isEmpty) None
+          else Some(LakeFeedPartition(abs(f.path), f.id, f.rows, f.columns,
+            "delete", v,
+            skipDvPaths = f.dvs.map(d => abs(d.path)),
+            physOf = physOf,
+            onlyEqPaths = covering.map(e => abs(e.path)),
+            skipEqPaths = priorEq(f.id),
+            eqKeyPhys = keyPhys(covering)): InputPartition)
+        }
       added.map(f => LakeFeedPartition(abs(f.path), f.id, f.rows,
         f.columns, "insert", v,
         skipDvPaths = f.dvs.map(d => abs(d.path)),
@@ -147,11 +173,14 @@ private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
         removed.map(f => LakeFeedPartition(abs(f.path), f.id, f.rows,
           f.columns, "delete", v,
           skipDvPaths = f.dvs.map(d => abs(d.path)),
-          physOf = physOf): InputPartition) ++
+          physOf = physOf,
+          skipEqPaths = priorEq(f.id),
+          eqKeyPhys = keyPhys(prevSnap.eqDels)): InputPartition) ++
         dvGrown.map { case (c, p) =>
           LakeFeedPartition(abs(c.path), c.id, c.rows, c.columns, "delete", v,
             onlyDvPaths = c.dvs.drop(p.dvs.size).map(d => abs(d.path)),
-            physOf = physOf): InputPartition }
+            physOf = physOf): InputPartition } ++
+        eqGrown
     }.toArray
   }
 
@@ -202,27 +231,52 @@ private[v2] class LakeFeedReaderFactory(schema: StructType)
     val types = dataFields.map(_.dataType)
     val op = UTF8String.fromString(part.changeType)
 
+    // equality-delete precision: the key column is read (even when the
+    // stream schema would not request it) to evaluate key membership
+    val eqActive = part.eqKeyPhys != null && fileCols.contains(part.eqKeyPhys)
+    val readCols: Seq[String] =
+      if (requested.isEmpty && !eqActive) Seq(part.fileColumns.head)
+      else if (eqActive && !requested.contains(part.eqKeyPhys))
+        requested.toSeq :+ part.eqKeyPhys
+      else requested.toSeq
+    val eqIdx = if (eqActive) readCols.indexOf(part.eqKeyPhys) else -1
+
     new PartitionReader[InternalRow] {
-      private val it = LakeParquet.reader(part.absPath,
-        if (requested.nonEmpty) requested.toSeq else Seq(part.fileColumns.head))
+      private val it = LakeParquet.reader(part.absPath, readCols)
       // merge-on-read precision (see planInputPartitions): `only` emits
       // exactly the newly-deleted positions; `skip` drops rows already
-      // deleted before this commit
+      // deleted before this commit — and the equality twins: `onlyEq`
+      // emits exactly the rows THIS commit equality-deleted, `skipEq`
+      // drops rows an earlier equality delete already removed
       private val only =
         LakeDv.loadPositions(part.onlyDvPaths, part.fileId, part.rows)
       private val skip =
         if (only != null) null
         else LakeDv.loadPositions(part.skipDvPaths, part.fileId, part.rows)
+      private val onlyEq =
+        if (part.onlyEqPaths.isEmpty || !eqActive) null
+        else LakeEq.loadKeys(part.onlyEqPaths)
+      private val skipEq =
+        if (part.skipEqPaths.isEmpty || !eqActive) null
+        else LakeEq.loadKeys(part.skipEqPaths)
       private var pos: Long = -1L
       private val out = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(schema.length)
+      private def key(r: org.apache.spark.sql.catalyst.InternalRow): java.lang.Long =
+        if (eqIdx < 0 || r.isNullAt(eqIdx)) null else java.lang.Long.valueOf(r.getLong(eqIdx))
       override def next(): Boolean = {
         while (it.next()) {
           pos += 1
-          val emit =
+          val dvOk =
             if (only != null) only.get(pos.toInt)
             else skip == null || !skip.get(pos.toInt)
-          if (emit) return true
+          if (dvOk) {
+            val k = if (onlyEq != null || skipEq != null) key(it.get()) else null
+            val eqOk =
+              (onlyEq == null || (k != null && onlyEq.contains(k))) &&
+                (skipEq == null || k == null || !skipEq.contains(k))
+            if (eqOk) return true
+          }
         }
         false
       }

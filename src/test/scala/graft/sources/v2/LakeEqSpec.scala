@@ -1,0 +1,201 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import GraftLakeStore.{PendingEq, PendingFile}
+
+/** Equality deletes (merge-on-read tier 2, Iceberg v2's second delete
+  * kind): a delete file of KEY VALUES kills matching rows in every data
+  * file that existed at the commit (file id <= bound); later files —
+  * including the upsert's own inserts — are exempt. The pins:
+  *
+  *  - a streaming-style upsert commits equality deletes WITHOUT reading
+  *    positions: no data file rewritten, no DV written;
+  *  - the read path applies the key filter even when the projection
+  *    does not include the key column;
+  *  - the upsert's own inserts never self-delete (bound rule);
+  *  - manifest-only COUNT pushdown disables itself (eq deletes kill an
+  *    unknown number of rows);
+  *  - the change feed emits EXACT row-level CDC for an eq commit: the
+  *    matched pre-images only, each physical row once;
+  *  - compaction (INSERT OVERWRITE) purges eq refs; expiration retains
+  *    eq files referenced by survivors and GCs them after compaction.
+  */
+class LakeEqSpec extends SparkSpec {
+
+  private def lakeSession(cat: String, root: String): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ss
+  }
+
+  /** Hand-stage one eq-delete parquet holding `keys`. */
+  private def stageEq(h: GraftLakeStore.TableHandle, tag: String,
+      keys: Seq[Long], keyCol: String): PendingEq = {
+    val name = s"eq-spec-$tag.parquet"
+    val w = LakeParquet.writer(h.dataDir.resolve(name).toString, LakeEq.schema)
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    try keys.sorted.foreach { k => r.update(0, k); w.write(r) }
+    finally w.close()
+    PendingEq(name, keyCol, keys.size.toLong)
+  }
+
+  /** Copy an existing data file as a fresh pending insert. */
+  private def pendingCopy(h: GraftLakeStore.TableHandle, tag: String,
+      df: DataFrame): Seq[PendingFile] = LakeTxn.stage(h, df)
+
+  test("equality upsert: no rewrite, no positions; inserts exempt; projection-free key filter") {
+    val root = graft.util.TempDirs.create("graft_eq_core_").toString
+    val ss = lakeSession("eqc", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqc.ns.t (k BIGINT, v STRING)")
+    (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, $"k").writeTo("eqc.ns.t").append() // v1, 4 files
+    val h = GraftLakeStore.get(root, "ns.t").get
+    assert(h.snapshot(1).files.size === 4)
+
+    // upsert: delete keys {7, 33, 77}, re-insert 7 with a new value and
+    // add a brand-new key 7777 WITH THE SAME key value as a deleted one
+    // in its own insert file — the bound rule must exempt it
+    val eq = stageEq(h, "u1", Seq(7L, 33L, 77L), "k")
+    val ins = pendingCopy(h, "ins1",
+      Seq((7L, "v7-new"), (7777L, "fresh")).toDF("k", "v"))
+    val v = h.commitEqDelta(1, Seq(eq), ins)
+    assert(v === 2)
+    val snap = h.snapshot(2)
+    assert(snap.eqDels.size === 1 && snap.files.forall(_.dvs.isEmpty))
+    assert(h.snapshot(1).files.map(_.id).toSet
+      .subsetOf(snap.files.map(_.id).toSet), "no data file rewritten")
+
+    // read: 100 - 3 deleted + 2 inserted = 99
+    assert(ss.sql("SELECT count(*) FROM eqc.ns.t").head().getLong(0) === 99L)
+    assert(ss.sql("SELECT v FROM eqc.ns.t WHERE k = 7").collect().toSeq ===
+      Seq(Row("v7-new")), "re-inserted row visible, old version dead")
+    assert(ss.sql("SELECT count(*) FROM eqc.ns.t WHERE k IN (33, 77)")
+      .head().getLong(0) === 0L)
+    // projection WITHOUT the key column still applies the delete
+    assert(ss.sql("SELECT count(v) FROM eqc.ns.t").head().getLong(0) === 99L)
+    assert(ss.sql("SELECT count(*) FROM eqc.ns.t WHERE v = 'v33'")
+      .head().getLong(0) === 0L)
+    // time travel: the pre-upsert snapshot is untouched
+    assert(ss.sql("SELECT count(*) FROM eqc.ns.t VERSION AS OF 1")
+      .head().getLong(0) === 100L)
+    // the delete file is plain parquet any engine reads
+    val eqPath = h.tableDir.resolve(snap.eqDels.head.path).toString
+    assert(spark.read.parquet(eqPath).orderBy("key")
+      .collect().map(_.getLong(0)).toSeq === Seq(7L, 33L, 77L))
+  }
+
+  test("manifest COUNT pushdown disables itself under equality deletes") {
+    val root = graft.util.TempDirs.create("graft_eq_count_").toString
+    val ss = lakeSession("eqn", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqn.ns.t (k BIGINT)")
+    (0L until 50L).map(Tuple1(_)).toDF("k").coalesce(1).writeTo("eqn.ns.t").append()
+    val h = GraftLakeStore.get(root, "ns.t").get
+    // pre-eq: the count IS manifest-only (plan carries the marker)
+    val pre = ss.sql("SELECT count(*) FROM eqn.ns.t")
+    assert(pre.queryExecution.executedPlan.toString.contains("manifest count"))
+    assert(pre.head().getLong(0) === 50L)
+    h.commitEqDelta(1, Seq(stageEq(h, "c1", Seq(1L, 2L), "k")), Seq.empty)
+    val post = ss.sql("SELECT count(*) FROM eqn.ns.t")
+    assert(!post.queryExecution.executedPlan.toString.contains("manifest count"),
+      "eq deletes kill an unknown number of rows; a manifest count would lie")
+    assert(post.head().getLong(0) === 48L)
+  }
+
+  test("change feed emits EXACT row-level CDC for an equality-delete commit") {
+    val root = graft.util.TempDirs.create("graft_eq_feed_").toString
+    val ss = lakeSession("eqf", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqf.ns.t (k BIGINT, v STRING)")
+    (0L until 40L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(2, $"k").writeTo("eqf.ns.t").append() // v1
+    val h = GraftLakeStore.get(root, "ns.t").get
+    // v2: eq-delete {3, 25} + insert a replacement for 3
+    h.commitEqDelta(1, Seq(stageEq(h, "f1", Seq(3L, 25L), "k")),
+      pendingCopy(h, "f1i", Seq((3L, "v3-new")).toDF("k", "v")))
+    // v3: a SECOND eq commit deleting {25 (already dead), 30} — 25 must
+    // NOT re-emit (skipEq precision), 30 must
+    h.commitEqDelta(2, Seq(stageEq(h, "f2", Seq(25L, 30L), "k")), Seq.empty)
+
+    val acc = graft.util.TempDirs.create("graft_eq_feed_acc_").toString
+    val q = ss.readStream
+      .format(classOf[LakeFeedProvider].getName)
+      .option("root", root).option("table", "ns.t")
+      .load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.write.mode("overwrite").parquet(s"$acc/b$batchId")
+      }
+      .option("checkpointLocation", s"$acc/_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val feed = ss.read.parquet(s"$acc/b*")
+    def deletes(v: Int) = feed
+      .filter(col(LakeFeed.ChangeTypeCol) === "delete" &&
+        col(LakeFeed.CommitVersionCol) === v)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(deletes(2) === Seq((3L, "v3"), (25L, "v25")),
+      "v2 must emit exactly the two matched pre-images")
+    assert(deletes(3) === Seq((30L, "v30")),
+      "v3 must emit 30 only — 25 was already dead (skipEq precision)")
+    // the fold reconstructs the final state
+    val inserts = feed.filter(col(LakeFeed.ChangeTypeCol) === "insert")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val dels = feed.filter(col(LakeFeed.ChangeTypeCol) === "delete")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val now = ss.sql("SELECT k, v FROM eqf.ns.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert((inserts -- dels) === now, "insert − delete must equal the table")
+  }
+
+  test("compaction purges eq refs; expiration GCs the eq file once unreferenced") {
+    val root = graft.util.TempDirs.create("graft_eq_gc_").toString
+    val ss = lakeSession("eqg", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqg.ns.t (k BIGINT)")
+    (0L until 30L).map(Tuple1(_)).toDF("k").coalesce(1).writeTo("eqg.ns.t").append()
+    val h = GraftLakeStore.get(root, "ns.t").get
+    h.commitEqDelta(1, Seq(stageEq(h, "g1", Seq(5L), "k")), Seq.empty) // v2
+    val eqPath = h.snapshot(2).eqDels.head.path
+    // expiration retains the eq file while a survivor references it
+    h.expireSnapshots(keepLast = 1)
+    assert(Files.exists(h.tableDir.resolve(eqPath)))
+    assert(ss.sql("SELECT count(*) FROM eqg.ns.t").head().getLong(0) === 29L)
+    // compaction rewrites live rows; the new snapshot carries no eq refs
+    ss.sql("INSERT OVERWRITE eqg.ns.t SELECT /*+ REPARTITION(1) */ * FROM eqg.ns.t")
+    assert(h.snapshot(h.latestVersion).eqDels.isEmpty)
+    assert(ss.sql("SELECT count(*) FROM eqg.ns.t").head().getLong(0) === 29L)
+    // once the eq'd snapshot expires, the orphaned eq file is GC'd
+    h.expireSnapshots(keepLast = 1)
+    assert(!Files.exists(h.tableDir.resolve(eqPath)))
+    assert(ss.sql("SELECT count(*) FROM eqg.ns.t").head().getLong(0) === 29L)
+  }
+
+  test("guard rails: non-BIGINT keys and unknown columns rejected; strict isolation") {
+    val root = graft.util.TempDirs.create("graft_eq_guard_").toString
+    val ss = lakeSession("eqz", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqz.ns.t (k BIGINT, v STRING)")
+    Seq((1L, "a")).toDF("k", "v").coalesce(1).writeTo("eqz.ns.t").append()
+    val h = GraftLakeStore.get(root, "ns.t").get
+    assert(intercept[IllegalArgumentException](
+      h.commitEqDelta(1, Seq(stageEq(h, "z1", Seq(1L), "v")), Seq.empty))
+      .getMessage.contains("BIGINT"))
+    assert(intercept[IllegalArgumentException](
+      h.commitEqDelta(1, Seq(stageEq(h, "z2", Seq(1L), "nope")), Seq.empty))
+      .getMessage.contains("not a table column"))
+    // strict isolation: ANY intervening commit conflicts
+    Seq((2L, "b")).toDF("k", "v").coalesce(1).writeTo("eqz.ns.t").append() // v2
+    assert(intercept[GraftLakeStore.CommitConflictException](
+      h.commitEqDelta(1, Seq(stageEq(h, "z3", Seq(1L), "k")), Seq.empty))
+      .getMessage.contains("retry"))
+  }
+}
