@@ -706,13 +706,12 @@ object LakeTable {
   /** The branch a default read/write follows on `handle`: the session
     * context branch if the table has it, else `main` if it exists —
     * (name, head). None = the table has no applicable branch and reads
-    * and writes ride the log head (pre-branch behavior, unchanged). */
-  private[v2] def contextRef(handle: TableHandle): Option[(String, Int)] = {
-    val bs = handle.branches()
-    if (bs.isEmpty) None
-    else sessionBranch().flatMap(n => bs.get(n).map(n -> _))
-      .orElse(bs.get("main").map("main" -> _))
-  }
+    * and writes ride the log head (pre-branch behavior, unchanged).
+    * Direct per-name file probes, NOT a directory listing — this runs
+    * on every default read's planning, and most tables never branch. */
+  private[v2] def contextRef(handle: TableHandle): Option[(String, Int)] =
+    sessionBranch().flatMap(n => handle.branchHead(n).map(n -> _))
+      .orElse(handle.branchHead("main").map("main" -> _))
 
   /** Version an un-pinned read resolves. */
   private[v2] def readVersion(handle: TableHandle): Int =

@@ -751,6 +751,16 @@ object GraftLakeStore {
     def dropBranch(name: String): Boolean =
       Files.deleteIfExists(tableDir.resolve(branchFileName(name)))
 
+    /** Head of ONE branch, by direct file probe — the hot-path lookup
+      * (every default read resolves the context branch), cheaper than
+      * listing the table dir as `branches()` does. */
+    def branchHead(name: String): Option[Int] = {
+      val p = tableDir.resolve(branchFileName(name))
+      if (!Files.exists(p)) None
+      else Some(mapper.readTree(
+        new String(Files.readAllBytes(p), "UTF-8")).get("version").asInt())
+    }
+
     /** All branches: name → head version. */
     def branches(): Map[String, Int] = {
       val l = Files.list(tableDir)

@@ -75,7 +75,11 @@ class ConcurrencySpec extends SparkSpec {
     // $files metadata-table read
     "q228_manifest_count", "q229_tagged_read", "q230_metadata_tables",
     // CALL-statement staging (procedure protocol) racing first touch
-    "q231_call_maintenance")
+    "q231_call_maintenance",
+    // round 10: the multi-table transaction (pending manifests + one
+    // decision marker) racing first touch, and the equality-delete
+    // upsert whose read path probes a shared key set
+    "q232_txn_consistent_ingest", "q233_eq_delete_upsert")
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toIndexedSeq
