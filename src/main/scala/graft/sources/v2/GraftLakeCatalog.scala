@@ -98,7 +98,7 @@ class GraftLakeCatalog extends TableCatalog
   }
 
   /** Plain loads resolve the table; a `$files` / `$history` / `$tags`
-    * suffix resolves the base table's METADATA as a read-only table
+    * / `$refs` suffix resolves the base table's METADATA as a read-only table
     * (the Iceberg metadata-table convention): manifests rendered as
     * rows, so table introspection is plain SQL — and the oracle can
     * gate the manifests' accounting against the data. */
@@ -145,7 +145,7 @@ class GraftLakeCatalog extends TableCatalog
     // table carrying it would be unreadable right after its CREATE
     require(!ident.name().contains('$'),
       s"table name '${ident.name()}' may not contain '$$' (reserved for " +
-        "metadata tables: t$files / t$history / t$tags)")
+        "metadata tables: t$files / t$history / t$tags / t$refs)")
     val pcols = partitions.toSeq.map { t =>
       val refs = t.references()
       require(t.name() == "identity" && refs.length == 1 &&
@@ -506,6 +506,16 @@ private[v2] object LakeMetaTable {
         StructField("version", IntegerType, nullable = false))),
         () => h.tags().toSeq.sortBy(_._1).map { case (t, v) =>
           Seq[Any](str(t), v) }))
+      // every named ref, tags AND branches (t$tags predates branches
+      // and keeps its narrower schema for compatibility)
+      case "refs" => Some(new LakeMetaTable(name, StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false))),
+        () => (h.tags().toSeq.map { case (t, v) =>
+          Seq[Any](str(t), str("tag"), v) } ++
+          h.branches().toSeq.map { case (b, v) =>
+            Seq[Any](str(b), str("branch"), v) }).sortBy(_.head.toString)))
       case _ => None
     }
   }

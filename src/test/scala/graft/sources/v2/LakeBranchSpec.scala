@@ -132,5 +132,8 @@ class LakeBranchSpec extends SparkSpec {
       .getMessage.contains("fast-forward"))
     handle.advanceBranch("dev", 0, allowRewind = true)
     assert(handle.branches()("dev") === 0)
+    // the t$refs metadata table lists tags AND branches with kinds
+    assert(ss.sql("SELECT name, kind, version FROM brn.ns.`t$refs` ORDER BY name")
+      .collect().toSeq === Seq(Row("dev", "branch", 0), Row("rel", "tag", 0)))
   }
 }
