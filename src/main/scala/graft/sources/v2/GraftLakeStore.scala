@@ -985,9 +985,22 @@ object GraftLakeStore {
       * until the transaction's decision marker commits. */
     private[v2] def publishPendingOp(txnId: String, op: String,
         newFiles: Seq[PendingFile]): Int = {
+      // transactions publish against the LOG head; a table that has
+      // opted into branch lineage would silently never surface the
+      // result to its default (main) readers — loud, not surprising
+      require(branchHead("main").isEmpty,
+        s"$tableName: has a 'main' branch — multi-table transactions " +
+          "commit to the log head and do not advance branch pointers; " +
+          "fast-forward explicitly or use branch-context writes")
       var attempts = 0
       while (true) {
         val base = snapshot(latestVersion)
+        newFiles.foreach { pf =>
+          require(pf.partition.size == base.partitionCols.size,
+            s"$tableName: staged file ${pf.name} carries ${pf.partition.size} " +
+              s"partition values; table has ${base.partitionCols.size} " +
+              "partition columns")
+        }
         val (entries, maxId) = assignIds(base, newFiles)
         val next = op match {
           case "append" => base.copy(version = base.version + 1,
@@ -1010,8 +1023,11 @@ object GraftLakeStore {
       * it is ours and still pending (never a decided or foreign one). */
     private[v2] def clearPending(txnId: String, v: Int): Unit =
       readManifest(v) match {
+        // only a DECIDED-aborted transaction's manifest may be cleared:
+        // an undecided one may still commit (its coordinator decides),
+        // and a committed one is live table state
         case Some(s) if s.pendingTxn.contains(txnId) &&
-            !GraftLakeStore.txnState(rootDir, txnId).contains("committed") =>
+            GraftLakeStore.txnState(rootDir, txnId).contains("aborted") =>
           val p = tableDir.resolve(manifestName(v))
           cache.remove(p.toString)
           Files.deleteIfExists(p)

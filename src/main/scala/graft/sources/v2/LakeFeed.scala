@@ -29,6 +29,13 @@ import GraftLakeStore.TableHandle
   * never rescans the table. Offsets are snapshot versions, so restart
   * from a checkpoint resumes mid-history deterministically.
   *
+  * Branch lineage: the feed streams the COMMIT LOG — every snapshot in
+  * version order, ALL lineages included. On a table using branch refs
+  * (WAP), commits staged on a side branch appear in the feed when they
+  * COMMIT to the log, not when main fast-forwards; a main-only
+  * consumer filters by `_commit_version <= main head` (the same
+  * contract as Iceberg's changelog over all snapshots).
+  *
   * Usage: `spark.readStream.format(classOf[LakeFeedProvider].getName)
   * .option("root", …).option("table", "ns.name").load()`.
   */
