@@ -179,6 +179,115 @@ class LakeEqSpec extends SparkSpec {
     assert(ss.sql("SELECT count(*) FROM eqg.ns.t").head().getLong(0) === 29L)
   }
 
+  /** The verdict's exact scenario: a STREAMING upsert writer (a CDC
+    * consumer that cannot compute positions) commits equality deletes
+    * per micro-batch via foreachBatch, and the change feed still emits
+    * exact row-level CDC across the epochs. */
+  test("streaming upsert via foreachBatch commits equality deletes per epoch; feed CDC stays exact") {
+    val root = graft.util.TempDirs.create("graft_eq_stream_").toString
+    val ss = lakeSession("eqs", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqs.ns.t (k BIGINT, v BIGINT)")
+    (0L until 20L).map(k => (k, 0L)).toDF("k", "v").coalesce(1)
+      .writeTo("eqs.ns.t").append() // v1: seed
+    val h = GraftLakeStore.get(root, "ns.t").get
+
+    // a 3-batch CDC source: each batch upserts two keys with batch-id
+    // values (maxFilesPerTrigger=1 → one epoch per file)
+    val srcDir = graft.util.TempDirs.create("graft_eq_stream_src_")
+    (0 until 3).foreach { b =>
+      Seq((b * 2L, 100L + b), (b * 2L + 1L, 100L + b)).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$srcDir/b$b")
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/b$b"))
+      val f = try l.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally l.close()
+      java.nio.file.Files.move(f, srcDir.resolve(s"batch_$b.parquet"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val chk = graft.util.TempDirs.create("graft_eq_stream_chk_").toString
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // the upsert: delete-by-key + insert new versions, NO position
+        // read, NO table scan — one commitEqDelta per epoch
+        val base = h.latestVersion
+        val eq = stageEq(h, s"s$batchId",
+          df.select("k").collect().map(_.getLong(0)).toSeq, "k")
+        val ins = LakeTxn.stage(h, df)
+        h.commitEqDelta(base, Seq(eq), ins)
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // three epochs = versions 2..4; final state: keys 0..5 upserted
+    assert(h.latestVersion === 4)
+    val now = ss.sql("SELECT k, v FROM eqs.ns.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(now.length === 20)
+    (0 until 6).foreach { k =>
+      assert(now(k) === (k.toLong, 100L + k / 2), s"k=$k -> ${now(k)}")
+    }
+    (6 until 20).foreach(k => assert(now(k) === (k.toLong, 0L)))
+    // the feed reconstructs: insert − delete == table
+    val acc = graft.util.TempDirs.create("graft_eq_stream_acc_").toString
+    val fq = ss.readStream
+      .format(classOf[LakeFeedProvider].getName)
+      .option("root", root).option("table", "ns.t").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, b: Long) =>
+        df.write.mode("overwrite").parquet(s"$acc/b$b")
+      }
+      .option("checkpointLocation", s"$acc/_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    fq.awaitTermination()
+    val feed = ss.read.parquet(s"$acc/b*")
+    val ins2 = feed.filter(col(LakeFeed.ChangeTypeCol) === "insert")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dels = feed.filter(col(LakeFeed.ChangeTypeCol) === "delete")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((ins2 -- dels) === now.toSet,
+      "streamed eq upserts: feed fold must equal the table")
+  }
+
+  /** Interplay: copy-on-write DML on a table carrying eq deletes. The
+    * rewrite's scan applies the eq filter, replaced files are reborn
+    * with fresh ids (exempt from old eq bounds), untouched files keep
+    * their eq filtering through the carried refs. */
+  test("CoW UPDATE on an eq-deleted table: rewrite drops dead rows, carried refs keep filtering") {
+    val root = graft.util.TempDirs.create("graft_eq_cow_").toString
+    val ss = lakeSession("eqw", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqw.ns.t (k BIGINT, v BIGINT)")
+    (0L until 40L).map(k => (k, 0L)).toDF("k", "v")
+      .repartitionByRange(2, $"k").writeTo("eqw.ns.t").append() // 2 files
+    val h = GraftLakeStore.get(root, "ns.t").get
+    // eq-delete keys 1 (file A) and 25 (file B)
+    h.commitEqDelta(1, Seq(stageEq(h, "w1", Seq(1L, 25L), "k")), Seq.empty)
+    // CoW UPDATE matching only file A (k < 20): A is rewritten eq-free,
+    // B carries over and must STILL filter k=25
+    ss.sql("UPDATE eqw.ns.t SET v = 7 WHERE k = 3")
+    val snap = h.snapshot(h.latestVersion)
+    assert(snap.op === "replace" && snap.eqDels.nonEmpty)
+    assert(ss.sql("SELECT count(*) FROM eqw.ns.t").head().getLong(0) === 38L)
+    assert(ss.sql("SELECT count(*) FROM eqw.ns.t WHERE k IN (1, 25)")
+      .head().getLong(0) === 0L, "both eq-deleted keys stay dead")
+    assert(ss.sql("SELECT v FROM eqw.ns.t WHERE k = 3").head().getLong(0) === 7L)
+    // the rewritten file's rows (fresh ids) are exempt from the old
+    // bound even though their keys overlap the eq file's range
+    assert(ss.sql("SELECT count(*) FROM eqw.ns.t WHERE k < 20")
+      .head().getLong(0) === 19L)
+  }
+
   test("guard rails: non-BIGINT keys and unknown columns rejected; strict isolation") {
     val root = graft.util.TempDirs.create("graft_eq_guard_").toString
     val ss = lakeSession("eqz", root)
