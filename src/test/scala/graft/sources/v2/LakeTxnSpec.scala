@@ -108,6 +108,13 @@ class LakeTxnSpec extends SparkSpec {
     // the freed slots are writable again
     Seq(Tuple1(9L)).toDF("k").coalesce(1).writeTo("txe.ns.a").append()
     assert(GraftLakeStore.get(root, "ns.a").get.latestVersion === 3)
+    // and the aborted transaction's staged data files are orphans that
+    // vacuum collects (nothing references them)
+    val vacA = GraftLakeStore.get(root, "ns.a").get.vacuumOrphans()
+    val vacB = GraftLakeStore.get(root, "ns.b").get.vacuumOrphans()
+    assert(vacA.exists(_.contains("bad-a")) && vacB.exists(_.contains("bad-b")),
+      s"aborted txn files not collected: a=$vacA b=$vacB")
+    assert(ss.sql("SELECT count(*) FROM txe.ns.a").head().getLong(0) === 3L)
   }
 
   test("a writer blocked by a crashed coordinator's reservation aborts it after the grace window") {
