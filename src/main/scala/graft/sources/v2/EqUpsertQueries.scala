@@ -41,22 +41,33 @@ object EqUpsertQueries {
   private val staged = new ConcurrentHashMap[String, String]()
   private val nextId = new AtomicInteger()
 
-  /** Stage a DF of keys as one equality-delete parquet in the table's
-    * data dir (schema = LakeEq.schema: `key BIGINT`). Distributed
-    * write; driver only renames (metadata-scale). */
+  /** Stage a DF of key values as equality-delete parquets in the
+    * table's data dir — one file PER WRITE TASK (a 100 TB CDC batch's
+    * change-set never funnels through a single writer), columns stored
+    * under the key columns' PHYSICAL names with their table types. Row
+    * counts come from the parquet footers the tasks already wrote — the
+    * change-set is computed exactly once. `keys`' columns align with
+    * `keyCols` positionally. */
   private[v2] def stageEq(handle: TableHandle, keys: DataFrame,
-      keyCol: String): PendingEq = {
+      keyCols: Seq[String]): Seq[PendingEq] = {
+    val snap = handle.snapshot(handle.latestVersion)
+    val fileSchema = LakeEq.fileSchema(snap, keyCols)
+    require(keys.columns.length == keyCols.length,
+      s"stageEq: ${keys.columns.length} columns for ${keyCols.length} keys")
     val tmp = graft.util.TempDirs.create("graft_eq_stage_")
-    keys.select(col(keys.columns.head).cast("long").as(LakeEq.KeyCol))
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    keys.select(keys.columns.zip(fileSchema.fields).map { case (c, f) =>
+        col(c).cast(f.dataType).as(f.name) }: _*)
+      .write.mode("overwrite").parquet(tmp.toString)
     val l = Files.list(tmp)
-    val part = try l.iterator()
-      .asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    val parts = try l.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
     finally l.close()
-    val name = s"eq-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
-    Files.move(part, handle.dataDir.resolve(name))
-    val rows = keys.count()
-    PendingEq(name, keyCol, rows)
+    parts.zipWithIndex.map { case (p, i) =>
+      val name = s"eq-${java.util.UUID.randomUUID().toString.take(12)}-$i.parquet"
+      val dest = handle.dataDir.resolve(name)
+      Files.move(p, dest)
+      PendingEq(name, keyCols, LakeParquet.footerRows(dest.toString))
+    }
   }
 
   /** Staging: CREATE + seed customer (v1), then q97's change-set as one
@@ -98,7 +109,7 @@ object EqUpsertQueries {
       val matched = chg.filter(col("op").isin("D", "U"))
         .join(base.select(col("c_custkey")), col("k") === col("c_custkey"),
           "left_semi")
-      val eq = stageEq(handle, matched.select("k"), "c_custkey")
+      val eq = stageEq(handle, matched.select("k"), Seq("c_custkey"))
       val updated = chg.filter(col("op") === "U")
         .join(base, col("k") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"),
@@ -109,7 +120,7 @@ object EqUpsertQueries {
           concat(lit("new#"), col("k").cast("string")).as("c_name"),
           col("delta_cents").as("bal_cents"))
       val ins = LakeTxn.stage(handle, updated.unionByName(inserted))
-      val v = handle.commitEqDelta(1, Seq(eq), ins)
+      val v = handle.commitEqDelta(1, eq, ins)
       require(v == 2, s"equality upsert expected v2, got $v")
       // the loud tier-2 contract: no data file rewritten, deletes are
       // VALUES (a snapshot-level eq ref), not positions

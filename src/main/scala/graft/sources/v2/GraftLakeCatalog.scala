@@ -253,6 +253,14 @@ class GraftLakeCatalog extends TableCatalog
           require(!cur.partitionCols.contains(name),
             s"cannot DROP partition column $name (its values key the manifests)")
           require(s.length > 1, "cannot DROP the last column")
+          // a live equality-delete ref needs its key columns' types to
+          // decode the delete file — dropping one would orphan the
+          // deletes and resurrect rows; compact (INSERT OVERWRITE)
+          // first, which purges eq refs
+          require(!cur.eqDels.flatMap(_.keyCols)
+              .contains(m.getOrElse(name, name)),
+            s"cannot DROP column $name: it is an equality-delete key of a " +
+              "live delete file (compact the table first)")
           (StructType(s.fields.filterNot(_.name == name)), m - name)
         }
       case (_, other) =>
@@ -790,8 +798,7 @@ object LakeTable {
 private[v2] case class LakeInputPartition(absPath: String, fileId: Int,
     fileColumns: Seq[String], rows: Long = 0L,
     dvAbsPaths: Seq[String] = Seq.empty,
-    eqAbsPaths: Seq[String] = Seq.empty,
-    eqKeyPhys: String = null) extends InputPartition
+    eqGroups: Seq[LakeEqGroup] = Seq.empty) extends InputPartition
 
 private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: String,
     rowLevel: Boolean = false)
@@ -908,6 +915,10 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
       return new LakeCountScan(kept, aggGroupCols.map(n =>
         snap.schema.fields(snap.schema.fieldIndex(n))), aggCountCols,
         s"$desc [manifest count]")
+    // physical name → type, for decoding equality-delete keys (EqRefs
+    // store physical names; the commit validated the columns exist)
+    val physTypes = snap.schema.fields
+      .map(f => snap.phys(f.name) -> f.dataType).toMap
     // only the ROW-LEVEL scan is runtime-filterable: its relation always
     // carries _split (a required metadata attribute), where a plain
     // query's relation may not have requested it — Spark's v2 dynamic-
@@ -915,9 +926,9 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
     // output and fail loudly on a column that is not there
     if (rowLevel)
       new LakeRowScan(handle, snap.version, kept, physOf, required, desc,
-        snap.eqDels)
+        snap.eqDels, physTypes)
     else new LakeScan(handle, snap.version, kept, physOf, required, desc,
-      snap.eqDels)
+      snap.eqDels, physTypes)
   }
 }
 
@@ -1267,7 +1278,8 @@ private[v2] case class LakeCountPartition(rows: Seq[(Seq[Option[String]], Long)]
 private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
     initialFiles: Seq[LakeFile], physOf: Map[String, String],
     required: StructType, desc: String,
-    eqDels: Seq[GraftLakeStore.EqRef] = Seq.empty) extends Scan with Batch
+    eqDels: Seq[GraftLakeStore.EqRef] = Seq.empty,
+    physTypes: Map[String, DataType] = Map.empty) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile protected var files: Seq[LakeFile] = initialFiles
@@ -1301,14 +1313,18 @@ private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
     files.map { f =>
       // equality deletes apply to files that existed when they
       // committed (id <= bound); later files — including the upsert's
-      // own inserts — are exempt
+      // own inserts — are exempt. Refs GROUP by their key-column list:
+      // each group is evaluated against its own columns, so commits
+      // with different keys all apply.
       val eqs = eqDels.filter(_.bound >= f.id)
+      val groups = eqs.groupBy(_.keyCols).toSeq.sortBy(_._1.mkString(","))
+        .map { case (cols, refs) => LakeEqGroup(
+          refs.map(r => handle.tableDir.resolve(r.path).toString),
+          cols, cols.map(physTypes)) }
       LakeInputPartition(handle.tableDir.resolve(f.path).toString, f.id,
         f.columns, f.rows,
         f.dvs.map(d => handle.tableDir.resolve(d.path).toString),
-        eqs.map(e => handle.tableDir.resolve(e.path).toString),
-        eqs.headOption.map(e => physOf.getOrElse(e.keyCol, e.keyCol)).orNull
-      ): InputPartition
+        groups): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1322,9 +1338,10 @@ private[v2] class LakeScan(handle: TableHandle, val baseVersion: Int,
 private[v2] class LakeRowScan(handle: TableHandle, baseVersion: Int,
     initialFiles: Seq[LakeFile], physOf: Map[String, String],
     required: StructType, desc: String,
-    eqDels: Seq[GraftLakeStore.EqRef] = Seq.empty)
+    eqDels: Seq[GraftLakeStore.EqRef] = Seq.empty,
+    physTypes: Map[String, DataType] = Map.empty)
     extends LakeScan(handle, baseVersion, initialFiles, physOf, required,
-      desc, eqDels)
+      desc, eqDels, physTypes)
     with SupportsRuntimeV2Filtering {
 
   override def filterAttributes(): Array[NamedReference] =
@@ -1412,25 +1429,114 @@ private[v2] object LakeDv {
   }
 }
 
-/** Equality-delete IO: one eq-delete file is a plain parquet with a
-  * single BIGINT column named `key` - the value-matched counterpart of
-  * LakeDv position deletes (Iceberg v2 second delete-file kind). The
-  * loader unions the key sets of every file covering a split; sets are
-  * change-sized (an upsert batch of keys), never data-sized. */
+/** Equality-delete IO: one eq-delete file is a plain parquet whose
+  * columns are the (possibly composite) KEY — stored under the key
+  * columns' PHYSICAL names with their table types, the value-matched
+  * counterpart of LakeDv position deletes (Iceberg v2's second
+  * delete-file kind with its equality field list). The loader unions
+  * the key sets of every file covering a split; sets are change-sized
+  * (an upsert batch of keys), never data-sized. */
 private[v2] object LakeEq {
-  val KeyCol = "key"
-  val schema: StructType = StructType(Seq(
-    StructField(KeyCol, LongType, nullable = false)))
 
-  def loadKeys(paths: Seq[String]): java.util.HashSet[java.lang.Long] = {
-    val set = new java.util.HashSet[java.lang.Long]()
+  /** Key-column types an equality delete supports: hashable and
+    * exactly comparable (integrals widen to Long; floating point is
+    * rejected — NaN/-0.0 equality would be a lie). */
+  def supportedKeyType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType |
+        BooleanType => true
+    case _ => false
+  }
+
+  /** Eq-delete FILE schema for `keyCols` (logical names) of `snap`:
+    * columns stored under their PHYSICAL names with their table types,
+    * so the file matches what data files physically hold. */
+  def fileSchema(snap: Snapshot, keyCols: Seq[String]): StructType =
+    StructType(keyCols.map { c =>
+      StructField(snap.phys(c), snap.schema(c).dataType, nullable = false) })
+
+  /** One normalized key component: integrals widen to java Long,
+    * strings COPY out of the reused row buffer, null stays null (the
+    * caller drops the key — a NULL component never matches, SQL `=`
+    * semantics). */
+  private def component(r: InternalRow, i: Int, dt: DataType): AnyRef =
+    if (r.isNullAt(i)) null
+    else dt match {
+      case LongType => java.lang.Long.valueOf(r.getLong(i))
+      case IntegerType => java.lang.Long.valueOf(r.getInt(i).toLong)
+      case ShortType => java.lang.Long.valueOf(r.getShort(i).toLong)
+      case ByteType => java.lang.Long.valueOf(r.getByte(i).toLong)
+      case StringType => r.getUTF8String(i).toString
+      case BooleanType => java.lang.Boolean.valueOf(r.getBoolean(i))
+      case other => throw new IllegalStateException(
+        s"unreachable eq key type $other")
+    }
+
+  /** Hashable key for the row: the bare component for a single-column
+    * key (the hot path — one box, same cost as the pre-composite code),
+    * a List for composite keys. Null when any component is NULL. */
+  def renderKey(r: InternalRow, idxs: Array[Int],
+      types: Array[DataType]): AnyRef = {
+    if (idxs.length == 1) return component(r, idxs(0), types(0))
+    val b = List.newBuilder[AnyRef]
+    var i = 0
+    while (i < idxs.length) {
+      val c = component(r, idxs(i), types(i))
+      if (c == null) return null
+      b += c
+      i += 1
+    }
+    b.result()
+  }
+
+  /** Union of the key sets across `paths` (all sharing `keyPhys`). */
+  def loadKeys(paths: Seq[String], keyPhys: Seq[String],
+      keyTypes: Seq[DataType]): java.util.HashSet[AnyRef] = {
+    val set = new java.util.HashSet[AnyRef]()
+    val idxs = keyPhys.indices.toArray
+    val tarr = keyTypes.toArray
     paths.foreach { p =>
-      val it = LakeParquet.reader(p, Seq(KeyCol))
-      try while (it.next()) set.add(it.get().getLong(0))
-      finally it.close()
+      val it = LakeParquet.reader(p, keyPhys)
+      try while (it.next()) {
+        val k = renderKey(it.get(), idxs, tarr)
+        if (k != null) set.add(k)
+      } finally it.close()
     }
     set
   }
+}
+
+/** One group of equality-delete files sharing a key-column list: the
+  * read side evaluates each group against ITS OWN columns, so two
+  * commits with different key columns both apply — neither is silently
+  * dropped. `keyPhys` are physical names; `keyTypes` their table
+  * types. */
+private[v2] case class LakeEqGroup(paths: Seq[String], keyPhys: Seq[String],
+    keyTypes: Seq[DataType]) {
+  /** Can `fileCols` (a data file's physical columns) hold a matching
+    * row at all? A file predating any key column cannot. */
+  def appliesTo(fileCols: Set[String]): Boolean = keyPhys.forall(fileCols.contains)
+}
+
+/** Probes one eq group's key set for the current row; `idxs` index the
+  * READ columns (requested projection + appended key columns). */
+private[v2] final class LakeEqProbe(keys: java.util.HashSet[AnyRef],
+    idxs: Array[Int], types: Array[DataType]) {
+  def matches(r: InternalRow): Boolean = {
+    if (keys.isEmpty) return false
+    val k = LakeEq.renderKey(r, idxs, types)
+    k != null && keys.contains(k)
+  }
+}
+
+private[v2] object LakeEqProbe {
+  /** Build probes for the groups applicable to a file, given the read
+    * column order. */
+  def forGroups(groups: Seq[LakeEqGroup],
+      readCols: Seq[String]): Array[LakeEqProbe] =
+    groups.map { g =>
+      new LakeEqProbe(LakeEq.loadKeys(g.paths, g.keyPhys, g.keyTypes),
+        g.keyPhys.map(readCols.indexOf).toArray, g.keyTypes.toArray)
+    }.toArray
 }
 
 /** Reads one parquet data file through Spark's vectorized reader,
@@ -1463,17 +1569,14 @@ private[v2] class LakeReaderFactory(required: StructType,
       }
     }
     val types = required.fields.map(_.dataType)
-    // equality deletes: the KEY column must be read to test membership,
-    // even when the projection does not include it. A file that
-    // predates the key column cannot hold a matching row - no eq work.
-    val eqKeys =
-      if (part.eqAbsPaths.isEmpty || part.eqKeyPhys == null ||
-          !fileCols.contains(part.eqKeyPhys)) null
-      else LakeEq.loadKeys(part.eqAbsPaths)
-    val readCols: Seq[String] =
-      if (eqKeys == null || requested.contains(part.eqKeyPhys)) requested.toSeq
-      else requested.toSeq :+ part.eqKeyPhys
-    val eqIdx = if (eqKeys == null) -1 else readCols.indexOf(part.eqKeyPhys)
+    // equality deletes: the KEY columns must be read to test membership,
+    // even when the projection does not include them. A file that
+    // predates any of a group's key columns cannot hold a matching row —
+    // that group does no work for this file.
+    val eqGroups = part.eqGroups.filter(_.appliesTo(fileCols))
+    val readCols: Seq[String] = requested.toSeq ++
+      eqGroups.flatMap(_.keyPhys).distinct.filterNot(requested.contains)
+    val probes = LakeEqProbe.forGroups(eqGroups, readCols)
 
     new PartitionReader[InternalRow] {
       private val it =
@@ -1497,10 +1600,14 @@ private[v2] class LakeReaderFactory(required: StructType,
         while (rows.next()) {
           pos += 1
           if (deleted == null || !deleted.get(pos.toInt)) {
-            if (eqKeys == null) return true
+            if (probes.isEmpty) return true
             val r = rows.get()
-            val killed = eqIdx >= 0 && !r.isNullAt(eqIdx) &&
-              eqKeys.contains(r.getLong(eqIdx))
+            var i = 0
+            var killed = false
+            while (i < probes.length && !killed) {
+              killed = probes(i).matches(r)
+              i += 1
+            }
             if (!killed) return true
           }
         }

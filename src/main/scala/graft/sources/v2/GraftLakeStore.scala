@@ -119,16 +119,20 @@ object GraftLakeStore {
 
   /** One EQUALITY-delete file (Iceberg v2's second delete kind,
     * merge-on-read tier 2), snapshot-scoped: `path` names a parquet of
-    * key VALUES under column `keyCol`; it deletes every row whose key
-    * matches in any data file with id <= `bound` — the files that
-    * existed when the delete committed (Iceberg's sequence-number rule
-    * reduced to monotone file ids; later files are exempt, so an
-    * upsert's own inserts never self-delete). `rows` = key count,
-    * metadata only. */
-  final case class EqRef(path: String, keyCol: String, bound: Int, rows: Long)
+    * key VALUES under the columns `keyCols` — the PHYSICAL storage
+    * names, resolved at commit time, so readers match file columns
+    * directly and stay correct under any later RENAME COLUMN. A key may
+    * be composite (Iceberg's equality field list): a row dies iff EVERY
+    * component matches. The delete applies to any data file with id <=
+    * `bound` — the files that existed when the delete committed
+    * (Iceberg's sequence-number rule reduced to monotone file ids;
+    * later files are exempt, so an upsert's own inserts never
+    * self-delete). `rows` = key count, metadata only. */
+  final case class EqRef(path: String, keyCols: Seq[String], bound: Int, rows: Long)
 
-  /** An equality-delete parquet a writer produced, not yet committed. */
-  final case class PendingEq(name: String, keyCol: String, rows: Long)
+  /** An equality-delete parquet a writer produced, not yet committed.
+    * `keyCols` are LOGICAL column names (commit resolves physical). */
+  final case class PendingEq(name: String, keyCols: Seq[String], rows: Long)
 
   /** Default root: one per JVM (all catalog instances without an
     * explicit `root` option share it — session clones see one store,
@@ -161,6 +165,13 @@ object GraftLakeStore {
   // participating tables): `txn-<id>.json`, hard-linked once with
   // state committed|aborted — whoever links first decides, atomically
   // for every staged table at once.
+
+  /** Grace window before a racing writer force-aborts an UNDECIDED
+    * multi-table transaction that blocks its version slot
+    * (TableHandle.resolveBlocker). A system property so deployments
+    * under heavy GC/IO can lengthen it and tests can shrink it. */
+  private[v2] def txnGraceMs: Long =
+    java.lang.Long.getLong("graft.lake.txnGraceMs", 2000L)
 
   /** Decided states are immutable; cache them. Undecided (no marker) is
     * re-checked from disk every time. */
@@ -552,19 +563,28 @@ object GraftLakeStore {
             s"but version $latest is now latest — retry against current state")
       val base = snapshot(baseVersion)
       eqFiles.foreach { e =>
-        require(base.schema.fieldNames.contains(e.keyCol),
-          s"$tableName: equality-delete key '${e.keyCol}' is not a table column")
-        require(base.schema(e.keyCol).dataType ==
-            org.apache.spark.sql.types.LongType,
-          s"$tableName: equality-delete key '${e.keyCol}' must be BIGINT " +
-            s"(got ${base.schema(e.keyCol).dataType.simpleString})")
+        require(e.keyCols.nonEmpty,
+          s"$tableName: equality-delete needs at least one key column")
+        e.keyCols.foreach { c =>
+          require(base.schema.fieldNames.contains(c),
+            s"$tableName: equality-delete key '$c' is not a table column")
+          val dt = base.schema(c).dataType
+          require(LakeEq.supportedKeyType(dt),
+            s"$tableName: equality-delete key '$c' has unsupported type " +
+              s"${dt.simpleString} (supported: BIGINT/INT/SMALLINT/TINYINT/" +
+              "STRING/BOOLEAN)")
+        }
       }
       val bound = base.maxFileId
       val (entries, maxId) = assignIds(base, insertFiles)
       val next = base.copy(version = base.version + 1,
         files = base.files ++ entries, maxFileId = maxId, op = "delta",
+        // store the PHYSICAL names (resolved NOW): readers match file
+        // columns directly, immune to any later RENAME COLUMN — a
+        // logical name would go stale after rename→re-rename and the
+        // deletes would silently stop applying (rows resurrecting)
         eqDels = base.eqDels ++ eqFiles.map(e =>
-          EqRef(s"data/${e.name}", e.keyCol, bound, e.rows)))
+          EqRef(s"data/${e.name}", e.keyCols.map(base.phys), bound, e.rows)))
       if (!tryPublish(next))
         throw new CommitConflictException(
           s"$tableName: version ${next.version} was published concurrently " +
@@ -1038,22 +1058,30 @@ object GraftLakeStore {
     /** A publish lost the link race at version `v`. Usually the winner
       * is a committed snapshot and the caller just rebases. If the
       * occupant belongs to an UNDECIDED multi-table transaction, wait
-      * briefly for its decision; past the grace window, decide ABORT on
+      * for its decision with an ESCALATING backoff; only past the grace
+      * window (default 2 s, `graft.lake.txnGraceMs`) decide ABORT on
       * its behalf (coordinator-crash recovery — the decision marker
       * makes abort-vs-commit one atomic link, so a racing coordinator
       * either beat us or sees the abort and rolls back) and clear the
-      * manifest so the slot frees. Throws once attempts exhaust. */
+      * manifest so the slot frees. The window is long enough that a
+      * LIVE coordinator paused by GC or slow IO between publishing its
+      * pending manifests and linking the decision marker is not
+      * spuriously aborted by routine load. Throws once attempts
+      * exhaust. */
     private def resolveBlocker(v: Int, attempts: Int): Unit = {
-      if (attempts > 200) throw new IllegalStateException(
+      if (attempts > 400) throw new IllegalStateException(
         s"$tableName: commit still racing after $attempts attempts")
       readManifest(v).foreach { s =>
         s.pendingTxn.foreach { id =>
           GraftLakeStore.txnState(rootDir, id) match {
             case None =>
-              if (attempts >= 20) { // ~200ms grace for a live coordinator
+              // escalating sleep: 5,10,…,50,50,… ms — cumulative wait
+              // crosses graceMs around attempt graceMs/50 + 5
+              val slept = (1 until attempts).map(a => math.min(a * 5L, 50L)).sum
+              if (slept >= GraftLakeStore.txnGraceMs) {
                 if (GraftLakeStore.decideTxn(rootDir, id, "aborted") == "aborted")
                   clearPending(id, v)
-              } else Thread.sleep(10)
+              } else Thread.sleep(math.min(attempts * 5L, 50L))
             case Some("aborted") => clearPending(id, v)
             case _ => () // committed: visible now; the retry rebases on it
           }
@@ -1104,7 +1132,8 @@ object GraftLakeStore {
     val colPhys = s.colPhys.toSeq.sortBy(_._1).map { case (k, v) =>
       s"${esc(k)}:${esc(v)}" }.mkString("{", ",", "}")
     val eq = s.eqDels.map { e =>
-      s"""{"path":${esc(e.path)},"keyCol":${esc(e.keyCol)},""" +
+      s"""{"path":${esc(e.path)},"keyCols":${e.keyCols.map(esc)
+        .mkString("[", ",", "]")},""" +
         s""""bound":${e.bound},"rows":${e.rows}}""" }.mkString("[", ",", "]")
     s"""{"version":${s.version},"maxFileId":${s.maxFileId},"op":${esc(s.op)},$txn$pend""" +
       s""""partitionCols":${s.partitionCols.map(esc).mkString("[", ",", "]")},""" +
@@ -1146,7 +1175,10 @@ object GraftLakeStore {
         e.getKey -> e.getValue.asText() }.toMap).getOrElse(Map.empty),
       Option(n.get("pendingTxn")).map(_.asText()),
       Option(n.get("eqDels")).map(_.elements().asScala.map { e =>
-        EqRef(e.get("path").asText(), e.get("keyCol").asText(),
+        // "keyCols" is current; "keyCol" reads pre-composite manifests
+        val cols = Option(e.get("keyCols")).map(strs)
+          .getOrElse(Seq(e.get("keyCol").asText()))
+        EqRef(e.get("path").asText(), cols,
           e.get("bound").asInt(), e.get("rows").asLong())
       }.toSeq).getOrElse(Seq.empty))
   }

@@ -98,9 +98,8 @@ private[v2] case class LakeFeedPartition(absPath: String, fileId: Int,
     commitVersion: Int, onlyDvPaths: Seq[String] = Seq.empty,
     skipDvPaths: Seq[String] = Seq.empty,
     physOf: Map[String, String] = Map.empty,
-    onlyEqPaths: Seq[String] = Seq.empty,
-    skipEqPaths: Seq[String] = Seq.empty,
-    eqKeyPhys: String = null)
+    onlyEqGroups: Seq[LakeEqGroup] = Seq.empty,
+    skipEqGroups: Seq[LakeEqGroup] = Seq.empty)
   extends InputPartition
 
 private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
@@ -154,24 +153,38 @@ private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
         .filter { case (c, p) => c.dvs.size > p.dvs.size }
       // equality deletes appended by THIS commit: every prior file they
       // cover emits its matching rows as deletes (minus rows already
-      // position- or equality-deleted before this commit)
+      // position- or equality-deleted before this commit). Refs group
+      // by their key-column list — each group evaluated against its
+      // own columns (EqRef stores PHYSICAL names, rename-immune).
       val eqNew = curSnap.eqDels.drop(prevSnap.eqDels.size)
-      def priorEq(fid: Int): Seq[String] =
-        prevSnap.eqDels.filter(_.bound >= fid).map(e => abs(e.path))
-      def keyPhys(refs: Seq[GraftLakeStore.EqRef]): String =
-        refs.headOption.map(e => physOf.getOrElse(e.keyCol, e.keyCol)).orNull
+      val physTypes = prevSnap.schema.fields
+        .map(f => prevSnap.phys(f.name) -> f.dataType).toMap
+      def groupsOf(refs: Seq[GraftLakeStore.EqRef],
+          fileCols: Seq[String]): Seq[LakeEqGroup] = {
+        val cols = fileCols.toSet
+        refs.groupBy(_.keyCols).toSeq.sortBy(_._1.mkString(","))
+          // a group whose key columns the file predates cannot match a
+          // row of it — no work, and never "match everything"
+          .filter { case (ks, _) => ks.forall(cols.contains) }
+          .map { case (ks, rs) =>
+            ks.foreach(k => require(physTypes.contains(k),
+              s"eq-delete key column '$k' is gone from the schema at " +
+                s"version ${v - 1} — its type is needed to decode deletes"))
+            LakeEqGroup(rs.map(r => abs(r.path)), ks, ks.map(physTypes)) }
+      }
+      def priorEq(f: GraftLakeStore.LakeFile): Seq[LakeEqGroup] =
+        groupsOf(prevSnap.eqDels.filter(_.bound >= f.id), f.columns)
       val eqGrown =
         if (eqNew.isEmpty) Seq.empty[InputPartition]
         else prevSnap.files.flatMap { f =>
-          val covering = eqNew.filter(_.bound >= f.id)
+          val covering = groupsOf(eqNew.filter(_.bound >= f.id), f.columns)
           if (covering.isEmpty) None
           else Some(LakeFeedPartition(abs(f.path), f.id, f.rows, f.columns,
             "delete", v,
             skipDvPaths = f.dvs.map(d => abs(d.path)),
             physOf = physOf,
-            onlyEqPaths = covering.map(e => abs(e.path)),
-            skipEqPaths = priorEq(f.id),
-            eqKeyPhys = keyPhys(covering)): InputPartition)
+            onlyEqGroups = covering,
+            skipEqGroups = priorEq(f)): InputPartition)
         }
       added.map(f => LakeFeedPartition(abs(f.path), f.id, f.rows,
         f.columns, "insert", v,
@@ -181,8 +194,7 @@ private[v2] class LakeFeedStream(handle: TableHandle, schema: StructType)
           f.columns, "delete", v,
           skipDvPaths = f.dvs.map(d => abs(d.path)),
           physOf = physOf,
-          skipEqPaths = priorEq(f.id),
-          eqKeyPhys = keyPhys(prevSnap.eqDels)): InputPartition) ++
+          skipEqGroups = priorEq(f)): InputPartition) ++
         dvGrown.map { case (c, p) =>
           LakeFeedPartition(abs(c.path), c.id, c.rows, c.columns, "delete", v,
             onlyDvPaths = c.dvs.drop(p.dvs.size).map(d => abs(d.path)),
@@ -238,15 +250,16 @@ private[v2] class LakeFeedReaderFactory(schema: StructType)
     val types = dataFields.map(_.dataType)
     val op = UTF8String.fromString(part.changeType)
 
-    // equality-delete precision: the key column is read (even when the
-    // stream schema would not request it) to evaluate key membership
-    val eqActive = part.eqKeyPhys != null && fileCols.contains(part.eqKeyPhys)
+    // equality-delete precision: the key columns are read (even when
+    // the stream schema would not request them) to evaluate membership;
+    // planning already dropped groups whose keys the file predates
+    val onlyGroups = part.onlyEqGroups.filter(_.appliesTo(fileCols))
+    val skipGroups = part.skipEqGroups.filter(_.appliesTo(fileCols))
+    val eqCols = (onlyGroups ++ skipGroups).flatMap(_.keyPhys).distinct
+      .filterNot(requested.contains)
     val readCols: Seq[String] =
-      if (requested.isEmpty && !eqActive) Seq(part.fileColumns.head)
-      else if (eqActive && !requested.contains(part.eqKeyPhys))
-        requested.toSeq :+ part.eqKeyPhys
-      else requested.toSeq
-    val eqIdx = if (eqActive) readCols.indexOf(part.eqKeyPhys) else -1
+      if (requested.isEmpty && eqCols.isEmpty) Seq(part.fileColumns.head)
+      else requested.toSeq ++ eqCols
 
     new PartitionReader[InternalRow] {
       private val it = LakeParquet.reader(part.absPath, readCols)
@@ -260,17 +273,11 @@ private[v2] class LakeFeedReaderFactory(schema: StructType)
       private val skip =
         if (only != null) null
         else LakeDv.loadPositions(part.skipDvPaths, part.fileId, part.rows)
-      private val onlyEq =
-        if (part.onlyEqPaths.isEmpty || !eqActive) null
-        else LakeEq.loadKeys(part.onlyEqPaths)
-      private val skipEq =
-        if (part.skipEqPaths.isEmpty || !eqActive) null
-        else LakeEq.loadKeys(part.skipEqPaths)
+      private val onlyProbes = LakeEqProbe.forGroups(onlyGroups, readCols)
+      private val skipProbes = LakeEqProbe.forGroups(skipGroups, readCols)
       private var pos: Long = -1L
       private val out = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(schema.length)
-      private def key(r: org.apache.spark.sql.catalyst.InternalRow): java.lang.Long =
-        if (eqIdx < 0 || r.isNullAt(eqIdx)) null else java.lang.Long.valueOf(r.getLong(eqIdx))
       override def next(): Boolean = {
         while (it.next()) {
           pos += 1
@@ -278,10 +285,13 @@ private[v2] class LakeFeedReaderFactory(schema: StructType)
             if (only != null) only.get(pos.toInt)
             else skip == null || !skip.get(pos.toInt)
           if (dvOk) {
-            val k = if (onlyEq != null || skipEq != null) key(it.get()) else null
             val eqOk =
-              (onlyEq == null || (k != null && onlyEq.contains(k))) &&
-                (skipEq == null || k == null || !skipEq.contains(k))
+              if (onlyProbes.isEmpty && skipProbes.isEmpty) true
+              else {
+                val r = it.get()
+                (onlyProbes.isEmpty || onlyProbes.exists(_.matches(r))) &&
+                  !skipProbes.exists(_.matches(r))
+              }
             if (eqOk) return true
           }
         }

@@ -207,30 +207,37 @@ object LakeOps {
       ss.sql(s"CALL graft_lake.system.create_branch(" +
         s"table => 'lake.li_published$id', branch => 'audit', version => 0)")
 
-      // 1. WRITE: every candidate row onto the audit branch
+      // steps 1-3 run under the audit-branch context; the conf is
+      // cleared in a finally — the lake session is SHARED and memoized,
+      // and a leaked branch conf would silently redirect every later
+      // table's default reads/writes that happen to have an 'audit'
+      // branch
       val auditSess = MergeQueries.lakeSession(s)
-      auditSess.conf.set(LakeTable.BranchConf, "audit")
-      Tables(auditSess, dir, "lineitem")
-        .select(col("l_orderkey").cast("long").as("l_orderkey"),
-          col("l_linenumber").cast("int").as("l_linenumber"),
-          col("l_quantity").cast("double").as("quantity"),
-          col("l_discount").cast("double").as("discount"),
-          Exact.cents(col("l_extendedprice")).as("price_cents"))
-        .writeTo(pub).append()
-
-      // 2. AUDIT on the branch; violations parked in quarantine
       val bad = "NOT (quantity <= 30 AND discount >= 0 AND discount <= 0.10)"
-      auditSess.sql(s"INSERT INTO $quar SELECT * FROM $pub WHERE $bad")
-      val nBad = auditSess.sql(s"SELECT count(*) FROM $pub WHERE $bad")
-        .head().getLong(0)
+      auditSess.conf.set(LakeTable.BranchConf, "audit")
+      try {
+        // 1. WRITE: every candidate row onto the audit branch
+        Tables(auditSess, dir, "lineitem")
+          .select(col("l_orderkey").cast("long").as("l_orderkey"),
+            col("l_linenumber").cast("int").as("l_linenumber"),
+            col("l_quantity").cast("double").as("quantity"),
+            col("l_discount").cast("double").as("discount"),
+            Exact.cents(col("l_extendedprice")).as("price_cents"))
+          .writeTo(pub).append()
 
-      // 3. REPAIR the branch to passing rows only, then re-audit
-      if (nBad > 0)
-        auditSess.sql(s"INSERT OVERWRITE $pub SELECT * FROM $pub WHERE NOT ($bad)")
-      val still = auditSess.sql(s"SELECT count(*) FROM $pub WHERE $bad")
-        .head().getLong(0)
-      require(still == 0L,
-        s"WAP audit not clean after repair: $still violations remain")
+        // 2. AUDIT on the branch; violations parked in quarantine
+        auditSess.sql(s"INSERT INTO $quar SELECT * FROM $pub WHERE $bad")
+        val nBad = auditSess.sql(s"SELECT count(*) FROM $pub WHERE $bad")
+          .head().getLong(0)
+
+        // 3. REPAIR the branch to passing rows only, then re-audit
+        if (nBad > 0)
+          auditSess.sql(s"INSERT OVERWRITE $pub SELECT * FROM $pub WHERE NOT ($bad)")
+        val still = auditSess.sql(s"SELECT count(*) FROM $pub WHERE $bad")
+          .head().getLong(0)
+        require(still == 0L,
+          s"WAP audit not clean after repair: $still violations remain")
+      } finally auditSess.conf.unset(LakeTable.BranchConf)
 
       // 4. PUBLISH: main jumps to the audited head
       ss.sql(s"CALL graft_lake.system.fast_forward(" +

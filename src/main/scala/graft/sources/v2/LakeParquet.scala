@@ -102,6 +102,16 @@ object LakeParquet {
     override def close(): Unit = r.close()
   }
 
+  /** Total row count of `file` from its parquet footer — pure metadata,
+    * no data page read. The write task already counted these rows; the
+    * footer is where it recorded them. */
+  def footerRows(file: String): Long = {
+    val pf = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try pf.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally pf.close()
+  }
+
   /** A group without usable stats is admitted — skipping must be
     * conservative. */
   private def admit(blocks: java.util.List[

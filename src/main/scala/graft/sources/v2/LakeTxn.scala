@@ -62,13 +62,8 @@ object LakeTxn {
       val name = s"txn-${java.util.UUID.randomUUID().toString.take(12)}-$i.parquet"
       val dest = handle.dataDir.resolve(name)
       Files.move(p, dest)
-      val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(dest.toString),
-          new org.apache.hadoop.conf.Configuration()))
-      val rows = try pf.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-        finally pf.close()
-      PendingFile(name, rows, Seq.empty, Map.empty, Files.size(dest))
+      PendingFile(name, LakeParquet.footerRows(dest.toString), Seq.empty,
+        Map.empty, Files.size(dest))
     }
   }
 

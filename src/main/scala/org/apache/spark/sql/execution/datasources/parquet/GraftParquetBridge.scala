@@ -21,6 +21,11 @@ object GraftParquetBridge {
   def selectiveReader(pf: ParquetFileReader, fileSchema: MessageType,
       requested: MessageType, groups: Seq[Int],
       rows: Long): VectorizedParquetRecordReader = {
+    // the vectorized reader takes an Int row total: past Int.MaxValue it
+    // would stop early and silently drop rows — fail loudly instead
+    // (mirrors LakeDv.loadPositions' bitmap-range guard)
+    require(rows <= Int.MaxValue,
+      s"selective reader row total $rows exceeds Int range; split the file")
     val groupIdx = groups.iterator
     val rg = new SpecificParquetRecordReaderBase.ParquetRowGroupReader {
       override def readNextRowGroup(): PageReadStore =

@@ -33,16 +33,27 @@ class LakeEqSpec extends SparkSpec {
     ss
   }
 
-  /** Hand-stage one eq-delete parquet holding `keys`. */
-  private def stageEq(h: GraftLakeStore.TableHandle, tag: String,
-      keys: Seq[Long], keyCol: String): PendingEq = {
+  /** Hand-stage one eq-delete parquet of (possibly composite) key rows:
+    * columns carry the key columns' PHYSICAL names and table types
+    * (LakeEq.fileSchema), values pre-rendered to catalyst form. */
+  private def stageEqRows(h: GraftLakeStore.TableHandle, tag: String,
+      keyCols: Seq[String], rows: Seq[Seq[Any]]): PendingEq = {
+    val schema = LakeEq.fileSchema(h.snapshot(h.latestVersion), keyCols)
     val name = s"eq-spec-$tag.parquet"
-    val w = LakeParquet.writer(h.dataDir.resolve(name).toString, LakeEq.schema)
-    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-    try keys.sorted.foreach { k => r.update(0, k); w.write(r) }
-    finally w.close()
-    PendingEq(name, keyCol, keys.size.toLong)
+    val w = LakeParquet.writer(h.dataDir.resolve(name).toString, schema)
+    val r = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(schema.length)
+    try rows.foreach { vals =>
+      vals.zipWithIndex.foreach { case (v, i) => r.update(i, v) }
+      w.write(r)
+    } finally w.close()
+    PendingEq(name, keyCols, rows.size.toLong)
   }
+
+  /** Single-BIGINT-key convenience (the pre-composite shape). */
+  private def stageEq(h: GraftLakeStore.TableHandle, tag: String,
+      keys: Seq[Long], keyCol: String): PendingEq =
+    stageEqRows(h, tag, Seq(keyCol), keys.sorted.map(k => Seq[Any](k)))
 
   /** Copy an existing data file as a fresh pending insert. */
   private def pendingCopy(h: GraftLakeStore.TableHandle, tag: String,
@@ -84,9 +95,10 @@ class LakeEqSpec extends SparkSpec {
     // time travel: the pre-upsert snapshot is untouched
     assert(ss.sql("SELECT count(*) FROM eqc.ns.t VERSION AS OF 1")
       .head().getLong(0) === 100L)
-    // the delete file is plain parquet any engine reads
+    // the delete file is plain parquet any engine reads, its column
+    // named by the key column's physical name
     val eqPath = h.tableDir.resolve(snap.eqDels.head.path).toString
-    assert(spark.read.parquet(eqPath).orderBy("key")
+    assert(spark.read.parquet(eqPath).orderBy("k")
       .collect().map(_.getLong(0)).toSeq === Seq(7L, 33L, 77L))
   }
 
@@ -288,23 +300,145 @@ class LakeEqSpec extends SparkSpec {
       .head().getLong(0) === 19L)
   }
 
-  test("guard rails: non-BIGINT keys and unknown columns rejected; strict isolation") {
+  test("guard rails: unsupported key types, unknown and empty key lists rejected; strict isolation") {
     val root = graft.util.TempDirs.create("graft_eq_guard_").toString
     val ss = lakeSession("eqz", root)
     import ss.implicits._
-    ss.sql("CREATE TABLE eqz.ns.t (k BIGINT, v STRING)")
-    Seq((1L, "a")).toDF("k", "v").coalesce(1).writeTo("eqz.ns.t").append()
+    ss.sql("CREATE TABLE eqz.ns.t (k BIGINT, v STRING, d DOUBLE)")
+    Seq((1L, "a", 0.5)).toDF("k", "v", "d").coalesce(1).writeTo("eqz.ns.t").append()
     val h = GraftLakeStore.get(root, "ns.t").get
+    // DOUBLE is not a supported key type (NaN/-0.0 equality is a lie)
     assert(intercept[IllegalArgumentException](
-      h.commitEqDelta(1, Seq(stageEq(h, "z1", Seq(1L), "v")), Seq.empty))
-      .getMessage.contains("BIGINT"))
+      h.commitEqDelta(1, Seq(PendingEq("eq-z1.parquet", Seq("d"), 1L)), Seq.empty))
+      .getMessage.contains("unsupported type"))
     assert(intercept[IllegalArgumentException](
-      h.commitEqDelta(1, Seq(stageEq(h, "z2", Seq(1L), "nope")), Seq.empty))
+      h.commitEqDelta(1, Seq(PendingEq("eq-z2.parquet", Seq("nope"), 1L)), Seq.empty))
       .getMessage.contains("not a table column"))
+    assert(intercept[IllegalArgumentException](
+      h.commitEqDelta(1, Seq(PendingEq("eq-z3.parquet", Seq.empty, 0L)), Seq.empty))
+      .getMessage.contains("at least one key column"))
+    // a live eq ref pins its key column against DROP COLUMN (the type
+    // is needed to decode the delete file)
+    h.commitEqDelta(1, Seq(stageEq(h, "z4", Seq(1L), "k")), Seq.empty) // v2
+    // Spark wraps catalog requires in SparkException — match the message
+    assert(intercept[Exception](
+      ss.sql("ALTER TABLE eqz.ns.t DROP COLUMN k"))
+      .getMessage.contains("equality-delete key"))
     // strict isolation: ANY intervening commit conflicts
-    Seq((2L, "b")).toDF("k", "v").coalesce(1).writeTo("eqz.ns.t").append() // v2
+    Seq((2L, "b", 1.5)).toDF("k", "v", "d").coalesce(1).writeTo("eqz.ns.t").append() // v3
     assert(intercept[GraftLakeStore.CommitConflictException](
-      h.commitEqDelta(1, Seq(stageEq(h, "z3", Seq(1L), "k")), Seq.empty))
+      h.commitEqDelta(2, Seq(stageEq(h, "z5", Seq(1L), "k")), Seq.empty))
       .getMessage.contains("retry"))
+  }
+
+  /** Composite, typed keys (the Iceberg equality-field list): a
+    * (STRING, BIGINT) key deletes exactly the rows where EVERY
+    * component matches, and the change feed stays row-exact. */
+  test("composite (string, long) equality key: exact deletes, exact feed CDC") {
+    val root = graft.util.TempDirs.create("graft_eq_comp_").toString
+    val ss = lakeSession("eqk", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqk.ns.t (tenant STRING, uid BIGINT, v STRING)")
+    val seed = for (t <- Seq("a", "b"); u <- 0L until 10L)
+      yield (t, u, s"$t$u")
+    seed.toDF("tenant", "uid", "v").coalesce(1).writeTo("eqk.ns.t").append() // v1
+    val h = GraftLakeStore.get(root, "ns.t").get
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    // delete (a,3) and (b,7); (b,3) and (a,7) must SURVIVE — a partial
+    // component match is not a match
+    val eq = stageEqRows(h, "c1", Seq("tenant", "uid"),
+      Seq(Seq[Any](u8("a"), 3L), Seq[Any](u8("b"), 7L)))
+    val ins = pendingCopy(h, "c1i", Seq(("a", 3L, "a3-new")).toDF("tenant", "uid", "v"))
+    h.commitEqDelta(1, Seq(eq), ins) // v2
+    assert(ss.sql("SELECT count(*) FROM eqk.ns.t").head().getLong(0) === 19L)
+    assert(ss.sql("SELECT v FROM eqk.ns.t WHERE tenant='a' AND uid=3")
+      .collect().map(_.getString(0)).toSeq === Seq("a3-new"))
+    assert(ss.sql("SELECT count(*) FROM eqk.ns.t WHERE tenant='b' AND uid=7")
+      .head().getLong(0) === 0L)
+    assert(ss.sql("SELECT count(*) FROM eqk.ns.t WHERE (tenant='b' AND uid=3) " +
+      "OR (tenant='a' AND uid=7)").head().getLong(0) === 2L,
+      "partial component matches must survive")
+    // projection without either key column still applies the delete
+    assert(ss.sql("SELECT count(v) FROM eqk.ns.t").head().getLong(0) === 19L)
+
+    // feed exactness for the composite commit
+    val acc = graft.util.TempDirs.create("graft_eq_comp_acc_").toString
+    val q = ss.readStream
+      .format(classOf[LakeFeedProvider].getName)
+      .option("root", root).option("table", "ns.t").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, b: Long) =>
+        df.write.mode("overwrite").parquet(s"$acc/b$b")
+      }
+      .option("checkpointLocation", s"$acc/_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val feed = ss.read.parquet(s"$acc/b*")
+    val dels = feed.filter(col(LakeFeed.ChangeTypeCol) === "delete")
+      .select("tenant", "uid").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(dels === Seq(("a", 3L), ("b", 7L)),
+      "feed must emit exactly the two composite-matched pre-images")
+  }
+
+  /** Multiple eq files in ONE commit apply as the union (the per-task
+    * write shape: a distributed change-set commits one file per task),
+    * and commits with DIFFERENT key columns BOTH apply — each group is
+    * evaluated against its own columns. */
+  test("multi-file eq commits union; different keyCols across commits both apply") {
+    val root = graft.util.TempDirs.create("graft_eq_multi_").toString
+    val ss = lakeSession("eqm", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqm.ns.t (k BIGINT, tag STRING)")
+    (0L until 30L).map(k => (k, s"t${k % 3}")).toDF("k", "tag")
+      .coalesce(1).writeTo("eqm.ns.t").append() // v1
+    val h = GraftLakeStore.get(root, "ns.t").get
+    // one commit, TWO eq files on the same key: the union must apply
+    h.commitEqDelta(1, Seq(
+      stageEq(h, "m1", Seq(1L, 2L), "k"),
+      stageEq(h, "m2", Seq(3L, 4L), "k")), Seq.empty) // v2
+    assert(ss.sql("SELECT count(*) FROM eqm.ns.t").head().getLong(0) === 26L)
+    assert(ss.sql("SELECT count(*) FROM eqm.ns.t WHERE k IN (1,2,3,4)")
+      .head().getLong(0) === 0L, "both files' keys dead")
+    // a SECOND commit keyed on a DIFFERENT column: both deletes apply
+    // (neither silently over-deletes on the other's column)
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    h.commitEqDelta(2, Seq(stageEqRows(h, "m3", Seq("tag"),
+      Seq(Seq[Any](u8("t0"))))), Seq.empty) // v3: kills k ∈ {0,3,6,…,27} minus already-dead
+    // survivors: k in 5..29 with tag != t0 → from 26 rows, remove the
+    // 8 remaining t0 rows (0,6,9,12,…,27 → k%3==0 minus {3} dead = 9... compute below)
+    val expect = (0L until 30L)
+      .filterNot(Seq(1L, 2L, 3L, 4L).contains)
+      .filterNot(k => k % 3 == 0)
+    assert(ss.sql("SELECT count(*) FROM eqm.ns.t").head().getLong(0) ===
+      expect.size.toLong)
+    assert(ss.sql("SELECT count(*) FROM eqm.ns.t WHERE tag = 't0'")
+      .head().getLong(0) === 0L, "the tag-keyed delete must apply")
+    assert(ss.sql("SELECT count(*) FROM eqm.ns.t WHERE k = 5")
+      .head().getLong(0) === 1L, "a row matching neither key survives")
+  }
+
+  /** RENAME COLUMN immunity: EqRefs store the PHYSICAL key name at
+    * commit time, so rename→re-rename around an eq commit cannot orphan
+    * the deletes (the verdict's resurrect scenario). */
+  test("eq deletes survive RENAME COLUMN before and after the commit") {
+    val root = graft.util.TempDirs.create("graft_eq_ren_").toString
+    val ss = lakeSession("eqr", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqr.ns.t (k BIGINT, v STRING)")
+    (0L until 10L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).writeTo("eqr.ns.t").append() // v1
+    val h = GraftLakeStore.get(root, "ns.t").get
+    ss.sql("ALTER TABLE eqr.ns.t RENAME COLUMN k TO id") // v2
+    // eq commit keyed on the CURRENT logical name 'id'
+    h.commitEqDelta(2, Seq(stageEq(h, "r1", Seq(4L), "id")), Seq.empty) // v3
+    assert(h.snapshot(3).eqDels.head.keyCols === Seq("k"),
+      "the ref must store the birth physical name")
+    ss.sql("ALTER TABLE eqr.ns.t RENAME COLUMN id TO id2") // v4
+    assert(ss.sql("SELECT count(*) FROM eqr.ns.t").head().getLong(0) === 9L,
+      "the delete still applies after the second rename")
+    assert(ss.sql("SELECT count(*) FROM eqr.ns.t WHERE id2 = 4")
+      .head().getLong(0) === 0L)
   }
 }
