@@ -590,7 +590,8 @@ private[v2] object LakeProcedures {
 
   val names: Seq[String] =
     Seq("expire_snapshots", "vacuum", "create_tag", "drop_tag",
-      "create_branch", "drop_branch", "fast_forward")
+      "create_branch", "drop_branch", "fast_forward",
+      "add_partition_field", "drop_partition_field", "cherry_pick")
 
   private def str(s: String) = UTF8String.fromString(s)
 
@@ -686,6 +687,56 @@ private[v2] object LakeProcedures {
       in =>
         Seq(Seq[Any](handle(root, in.getUTF8String(0).toString)
           .dropBranch(in.getUTF8String(1).toString)))
+    })
+    // PARTITION-SPEC EVOLUTION (Iceberg's signature migration, reduced
+    // to identity transforms): a METADATA-ONLY commit — new files write
+    // under the new spec, existing files keep and prune by the values
+    // of the spec they were written under; old snapshots time-travel
+    // under their old spec. Returns the new spec and version.
+    case "add_partition_field" | "drop_partition_field" => Some(proc(name,
+      Seq(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("column", StringType).build()),
+      StructType(Seq(StructField("partition_spec", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false)))) {
+      in =>
+        val h = handle(root, in.getUTF8String(0).toString)
+        val c = in.getUTF8String(1).toString
+        val cur = h.snapshot(h.latestVersion)
+        val next =
+          if (name == "add_partition_field") {
+            val f = cur.schema.fields.find(_.name == c).getOrElse(
+              throw new IllegalArgumentException(
+                s"partition column $c not in schema"))
+            require(LakeTable.partitionableType(f.dataType),
+              s"partition column $c: ${f.dataType.simpleString} is not a " +
+                "supported partition type (string/int/long/short/byte/boolean)")
+            require(!cur.partitionCols.contains(c),
+              s"$c is already a partition column")
+            cur.partitionCols :+ c
+          } else {
+            require(cur.partitionCols.contains(c),
+              s"$c is not a partition column (spec: " +
+                s"${cur.partitionCols.mkString(", ")})")
+            cur.partitionCols.filterNot(_ == c)
+          }
+        val v = h.commitPartitionSpec(next)
+        Seq(Seq[Any](str(next.mkString("[", ", ", "]")), v))
+    })
+    // divergence repair: re-apply one PURE-APPEND snapshot's file delta
+    // onto a branch head (data files shared by reference, fresh ids);
+    // non-append snapshots are rejected loudly — their deltas were
+    // computed against their own parent and cannot move bases
+    case "cherry_pick" => Some(proc(name,
+      Seq(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build(),
+        ProcedureParameter.in("version", IntegerType).build()),
+      StructType(Seq(StructField("picked_version", IntegerType, nullable = false),
+        StructField("new_version", IntegerType, nullable = false)))) {
+      in =>
+        val picked = in.getInt(2)
+        val v = handle(root, in.getUTF8String(0).toString)
+          .cherryPick(in.getUTF8String(1).toString, picked)
+        Seq(Seq[Any](picked, v))
     })
     // the PUBLISH half of write-audit-publish: branch `to` (usually
     // 'main') jumps to branch `from`'s head (usually the audit branch)
@@ -811,6 +862,16 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
   private var aggCountCols: Int = 0
   private var aggPushed = false
 
+  /** Does every file carry a value for every CURRENT partition column?
+    * False after a partition-spec evolution until old-spec files are
+    * compacted away: old files keep the values of the spec they were
+    * written under (and prune by those), so partition predicates can
+    * only be EXACT per file where the value exists — under a mixed
+    * spec they stay residual and grouped COUNT pushdown disables
+    * itself. */
+  private val uniformSpec: Boolean =
+    snap.files.forall(f => snap.partitionCols.forall(f.partition.contains))
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -832,6 +893,10 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
       agg.aggregateExpressions().nonEmpty &&
       agg.aggregateExpressions().forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
+      // a GROUP BY over partition columns needs every file to carry the
+      // group values — false mid-spec-evolution (ungrouped COUNT(*)
+      // needs no values and stays pushable)
+      (agg.groupByExpressions().isEmpty || uniformSpec) &&
       agg.groupByExpressions().forall {
         case f: NamedReference =>
           f.fieldNames().length == 1 &&
@@ -887,7 +952,12 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
     // unlocks aggregate pushdown (Spark pushes aggregates only when no
     // post-scan filter remains). Stats predicates stay residual: file
     // pruning by min/max is conservative, rows must still be filtered.
-    filters.filterNot(f => f.references.nonEmpty &&
+    // EXCEPTION: after a partition-spec evolution (mixed spec), files
+    // written under an old spec carry no value for a new partition
+    // column — the predicate is only exact where the value exists, so
+    // it stays residual until compaction re-unifies the spec.
+    if (!uniformSpec) filters
+    else filters.filterNot(f => f.references.nonEmpty &&
       f.references.forall(pcols.contains) && LakePartitionPruning.supported(f))
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -904,8 +974,17 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
     val kept =
       if (pushed.isEmpty) snap.files
       else snap.files.filter(f => pushed.forall { p =>
-        if (p.references.forall(pcols.contains))
-          LakePartitionPruning.mightMatch(p, f.partition, schemaByName)
+        if (p.references.forall(pcols.contains)) {
+          // per-file spec: exact evaluation where the file recorded the
+          // partition values; a file written under an OLDER spec (the
+          // column was not a partition field then) falls back to its
+          // column stats — conservative, never blind
+          if (p.references.forall(f.partition.contains))
+            LakePartitionPruning.mightMatch(p, f.partition, schemaByName)
+          else if (LakeStatsPruning.supported(p))
+            LakeStatsPruning.mayMatch(p, logicalStats(f), f.rows, schemaByName)
+          else true
+        }
         else LakeStatsPruning.mayMatch(p, logicalStats(f), f.rows, schemaByName)
       })
     // logical → physical for every readable column (the column-mapping

@@ -628,6 +628,25 @@ object GraftLakeStore {
         base.copy(version = base.version + 1, schema = newSchema,
           colPhys = Option(newColPhys).getOrElse(base.colPhys), op = "schema") }
 
+    /** PARTITION-SPEC EVOLUTION, metadata-only (Iceberg's signature
+      * migration feature): the new spec applies to files written AFTER
+      * this commit; every existing file is carried over untouched and
+      * keeps the partition VALUES of the spec it was written under —
+      * the scan prunes each file by its own recorded values (old-spec
+      * files additionally prune by column stats). A 100 TB table that
+      * outgrew its day-partitioning re-partitions with ONE manifest
+      * write, no data rewritten, and old snapshots time-travel under
+      * their old spec (partitionCols is per-snapshot). Column-level
+      * validation (existence, partitionable type) is the caller's —
+      * LakeProcedures has the schema context. */
+    def commitPartitionSpec(newCols: Seq[String]): Int =
+      retryCommit { base =>
+        require(newCols.distinct.size == newCols.size,
+          s"$tableName: duplicate partition columns in ${newCols.mkString(", ")}")
+        base.copy(version = base.version + 1, partitionCols = newCols,
+          op = "spec")
+      }
+
     // ---- named refs (tags) -------------------------------------------
     // A tag is an immutable named pointer to a snapshot version
     // (Iceberg's refs, reduced to tags): `VERSION AS OF 'name'`
@@ -803,8 +822,53 @@ object GraftLakeStore {
         s"$tableName: no branch '$from' to fast-forward from"))
       val prev = branches().getOrElse(to, throw new IllegalArgumentException(
         s"$tableName: no branch '$to' to fast-forward"))
+      require(head >= prev,
+        s"$tableName: fast_forward '$to' (v$prev) onto '$from' (v$head) is " +
+          "not a fast-forward — the branches have diverged; re-apply the " +
+          "missing appends with CALL cherry_pick, or rewind explicitly")
       advanceBranch(to, head)
       (prev, head)
+    }
+
+    /** CHERRY-PICK snapshot `version`'s file delta onto branch
+      * `branch`'s head — the one divergence-repair move a linear-log
+      * branch model supports SAFELY: only a pure-APPEND snapshot can be
+      * re-applied, because its delta is exactly "these new files",
+      * valid against any base. Every other op (replace / overwrite /
+      * delta / schema / spec) is rejected loudly — those deltas were
+      * computed against their own parent's content, and re-applying
+      * them to a diverged base would silently corrupt (the same
+      * restriction shape as Iceberg's cherrypick_snapshot, which
+      * supports appends and dynamic overwrites only). Data files are
+      * shared BY REFERENCE (immutable — expiration ref-counts by path);
+      * the picked files get fresh ids at the target, so existing
+      * equality-delete bounds exempt them, exactly as a fresh append. */
+    def cherryPick(branch: String, version: Int): Int = synchronized {
+      branches().getOrElse(branch, throw new IllegalArgumentException(
+        s"$tableName: no branch '$branch' to cherry-pick onto"))
+      val src = snapshot(version)
+      require(src.op == "append" || src.op == "cherrypick",
+        s"$tableName: cherry-pick supports pure-append snapshots only; " +
+          s"v$version is op='${src.op}' — its delta was computed against " +
+          s"v${version - 1}'s content and cannot be re-applied to another base")
+      val parentIds = snapshot(version - 1).files.map(_.id).toSet
+      val added = src.files.filterNot(f => parentIds.contains(f.id))
+      var attempts = 0
+      while (true) {
+        val base = snapshot(branches()(branch))
+        val latest = snapshot(latestVersion)
+        var id = latest.maxFileId
+        val entries = added.map { f => id += 1; f.copy(id = id, dvs = Seq.empty) }
+        val next = base.copy(version = latest.version + 1,
+          files = base.files ++ entries, maxFileId = id, op = "cherrypick")
+        if (tryPublish(next)) {
+          advanceBranch(branch, next.version)
+          return next.version
+        }
+        attempts += 1
+        resolveBlocker(next.version, attempts)
+      }
+      -1 // unreachable
     }
 
     /** Branch-context APPEND: re-resolve the branch head, append onto
@@ -958,6 +1022,13 @@ object GraftLakeStore {
       // parquet under physical names; identity when no mapping exists)
       val physCols = base.schema.fieldNames.toSeq.map(base.phys)
       val entries = newFiles.map { pf =>
+        // a partition-spec change racing this write would silently
+        // mis-key the values (zip truncates) — conflict loudly instead
+        require(pf.partition.size == base.partitionCols.size,
+          s"$tableName: staged file ${pf.name} carries ${pf.partition.size} " +
+            s"partition values but the current spec has " +
+            s"${base.partitionCols.size} columns (a partition-spec change " +
+            "landed mid-write; retry the statement)")
         id += 1
         LakeFile(id, s"data/${pf.name}", pf.rows, physCols,
           base.partitionCols.zip(pf.partition).toMap, pf.stats,
