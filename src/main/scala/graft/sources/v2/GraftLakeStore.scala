@@ -150,9 +150,10 @@ object GraftLakeStore {
     * `create` for the same directory returns the SAME TableHandle, so
     * `synchronized` maintenance (expireSnapshots/vacuumOrphans) holds a
     * monitor that actually excludes concurrent maintenance within the
-    * JVM. (Cross-process, the operations remain crash-consistent but
-    * unserialized: manifest deletions are idempotent and vacuum
-    * computes its referenced-set before deleting.) */
+    * JVM. Cross-process, maintenance additionally takes a file LEASE
+    * (TableHandle.withMaintenanceLease) — two daemons on one table
+    * serialize, with documented takeover of a stale (dead-holder)
+    * lease. */
   private val handles = new ConcurrentHashMap[Path, TableHandle]()
 
   private def intern(dir: Path): TableHandle =
@@ -935,12 +936,74 @@ object GraftLakeStore {
         }
       }
 
+    // ---- cross-process maintenance lease -----------------------------
+    // expire/vacuum are serialized within a JVM by the interned handle's
+    // monitor; ACROSS processes they take a FILE LEASE so two
+    // maintenance daemons on one table cannot interleave an expire's
+    // read-refs/delete phases with a vacuum's (each alone is
+    // crash-consistent; interleaved they could GC a file the other just
+    // decided to keep).
+
+    private def leasePath: Path = tableDir.resolve("maintenance.lock")
+
+    /** Acquire the table's maintenance lease, run `f`, release. The
+      * lease is a hard-linked file holding a holder id (complete at
+      * link time — the tag/txn device). A FRESH foreign lease blocks
+      * loudly after `graft.lake.maintenanceLeaseWaitMs` (default 10 s);
+      * a STALE one (holder died mid-maintenance, older than
+      * `graft.lake.maintenanceLeaseStaleMs`, default 15 min) is taken
+      * over: delete + re-race the link, exactly one racer wins. Release
+      * removes the lease only if it is still OURS. */
+    private def withMaintenanceLease[T](f: => T): T = {
+      val me = java.util.UUID.randomUUID().toString
+      val staleMs = java.lang.Long.getLong(
+        "graft.lake.maintenanceLeaseStaleMs", 900000L)
+      val waitMs = java.lang.Long.getLong(
+        "graft.lake.maintenanceLeaseWaitMs", 10000L)
+      val deadline = System.currentTimeMillis() + waitMs
+      var acquired = false
+      while (!acquired) {
+        val tmp = Files.createTempFile(tableDir, ".lease-", ".tmp")
+        try {
+          Files.write(tmp, me.getBytes("UTF-8"))
+          try { Files.createLink(leasePath, tmp); acquired = true }
+          catch { case _: FileAlreadyExistsException =>
+            val age =
+              try System.currentTimeMillis() -
+                Files.getLastModifiedTime(leasePath).toMillis
+              catch { case _: java.io.IOException => 0L } // vanished: retry
+            if (age > staleMs) {
+              // takeover of a dead holder: remove the stale lease and
+              // re-race the link — one racer wins the next create
+              Files.deleteIfExists(leasePath)
+              ()
+            } else if (System.currentTimeMillis() >= deadline)
+              throw new IllegalStateException(
+                s"$tableName: maintenance lease held by another process " +
+                  s"(age ${age} ms, stale after $staleMs ms) — refusing " +
+                  "to take over a live lease; retry later or lengthen " +
+                  "graft.lake.maintenanceLeaseWaitMs")
+            else Thread.sleep(50)
+          }
+        } finally Files.deleteIfExists(tmp)
+      }
+      try f
+      finally {
+        try {
+          if (Files.exists(leasePath) &&
+              new String(Files.readAllBytes(leasePath), "UTF-8") == me)
+            Files.deleteIfExists(leasePath)
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+
     /** Expire all snapshots except the newest `keepLast` — and any
       * TAGGED snapshot, which a ref pins against GC. Data files
       * referenced by a survivor are retained; files referenced only by
       * expired snapshots are deleted. Expired versions fail loudly on
       * read (their manifests are gone and their cache entries evicted). */
     def expireSnapshots(keepLast: Int): Seq[Int] = synchronized {
+      withMaintenanceLease {
       require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
       val latest = latestVersion
       val cutoff = latest - keepLast + 1 // retain [cutoff, latest]
@@ -977,6 +1040,7 @@ object GraftLakeStore {
         dropPaths.foreach(rel => Files.deleteIfExists(tableDir.resolve(rel)))
         expired
       }
+      }
     }
 
     /** Delete data-dir files referenced by NO retained manifest — the
@@ -991,6 +1055,7 @@ object GraftLakeStore {
       * (the CALL procedure defaults to an hour) cannot eat a running
       * write's output. Age 0 is the test/maintenance-window setting. */
     def vacuumOrphans(minAgeMs: Long = 0L): Seq[String] = synchronized {
+      withMaintenanceLease {
       val referenced = (0 to latestVersion).flatMap { v =>
         try {
           val s = snapshot(v)
@@ -1013,6 +1078,7 @@ object GraftLakeStore {
       val orphans = onDisk.filterNot(referenced.contains).sorted
       orphans.foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
       orphans
+      }
     }
 
     private def assignIds(base: Snapshot,
