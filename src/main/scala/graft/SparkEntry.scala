@@ -27,6 +27,7 @@ object SparkEntry {
       graft.sources.v2.LakeTxn.queries ++
       graft.sources.v2.EqUpsertQueries.queries ++
       graft.sources.v2.SpecEvolutionQueries.queries ++
+      BpeQueries.queries ++
       QualityOps.queries ++
       graft.sources.BucketedQueries.queries ++ graft.sources.ZOrderQueries.queries ++
       graft.sources.CboQueries.queries ++ graft.sources.CompactionQueries.queries ++
@@ -73,6 +74,7 @@ object SparkEntry {
       graft.sources.v2.LakeTxn.oracle ++
       graft.sources.v2.EqUpsertQueries.oracle ++
       graft.sources.v2.SpecEvolutionQueries.oracle ++
+      BpeQueries.oracle ++
       QualityOps.oracle ++
       graft.sources.BucketedQueries.oracle ++ graft.sources.ZOrderQueries.oracle ++
       graft.sources.CboQueries.oracle ++ graft.sources.CompactionQueries.oracle ++

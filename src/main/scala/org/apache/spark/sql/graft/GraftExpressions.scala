@@ -302,6 +302,17 @@ object GraftExpressions {
     ExpressionUtils.column(SortedIntersectSize(
       ExpressionUtils.expression(l), ExpressionUtils.expression(r)))
 
+  /** Spark's NATIVE replace-all regexp as a Column, bypassing the
+    * session function registry: `functions.regexp_replace` resolves by
+    * NAME, and the DuckDB-dialect shim rebinds the 3-arg form to
+    * first-match-only — callers that need global semantics regardless
+    * of session dialect (BpeTokenizer's sanitize) build the catalyst
+    * expression directly. */
+  def regexpReplaceAll(c: Column, pattern: String, rep: String): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+        ExpressionUtils.expression(c), Literal(pattern), Literal(rep)))
+
   // user-facing argument errors: IllegalArgumentException (surfaced by
   // function resolution as the user's mistake), NOT internalError —
   // that macro prints "please file a bug report" for what is a wrong
