@@ -386,6 +386,10 @@ object Bench {
       SparkEntry.queries("q232_txn_consistent_ingest")(spark, sfDir).count())
     staged("q233_eq_delete_upsert")(
       SparkEntry.queries("q233_eq_delete_upsert")(spark, sfDir).count())
+    // round 11: the mid-history re-partitioned table staging (two eras,
+    // two specs; the timed query measures the cross-era read)
+    staged("q234_partition_evolution")(
+      SparkEntry.queries("q234_partition_evolution")(spark, sfDir).count())
     // streaming first-touch: engine class loading / state-store init
     staged("q71_streaming_daily")(
       SparkEntry.queries("q71_streaming_daily")(spark, sfDir).count())

