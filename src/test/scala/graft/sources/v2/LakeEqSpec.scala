@@ -419,6 +419,41 @@ class LakeEqSpec extends SparkSpec {
       .head().getLong(0) === 1L, "a row matching neither key survives")
   }
 
+  /** Interplay: cherry-pick vs equality-delete bounds. The picked
+    * files get FRESH ids at the target, above every existing eq ref's
+    * bound — their rows are exempt exactly like a fresh append's, even
+    * when their keys collide with eq-deleted keys. */
+  test("cherry-picked rows are exempt from the target's prior equality deletes") {
+    val root = graft.util.TempDirs.create("graft_eq_pick_").toString
+    val ss = lakeSession("eqp", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqp.ns.t (k BIGINT, v STRING)")
+    (0L until 10L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).writeTo("eqp.ns.t").append() // v1
+    val h = GraftLakeStore.get(root, "ns.t").get
+    h.createBranch("dev", 1)
+    // dev kills key 5 by equality... on the LOG head lineage; then an
+    // append of a NEW version of key 5 lands as v3 on the log
+    h.commitEqDelta(1, Seq(stageEq(h, "p1", Seq(5L), "k")), Seq.empty) // v2
+    Seq((5L, "v5-new")).toDF("k", "v").coalesce(1).writeTo("eqp.ns.t").append() // v3
+    // dev is still at v1; cherry-pick v3's append onto dev: the picked
+    // file's id must be fresh, so it would be exempt from any eq ref a
+    // FUTURE dev-lineage commit carries — and the dev read (based on
+    // v1 content, which has no eq refs) sees both 5-versions' rows as
+    // plain data
+    h.cherryPick("dev", 3)
+    assert(ss.sql("SELECT v FROM eqp.ns.t VERSION AS OF 'dev' WHERE k = 5 ORDER BY v")
+      .collect().map(_.getString(0)).toSeq === Seq("v5", "v5-new"),
+      "dev's lineage has no eq refs: both physical rows are live")
+    // and on a lineage that DOES carry the eq ref, picking the same
+    // append keeps the bound rule: old 5 dead, picked 5 exempt
+    h.createBranch("dev2", 2) // head = the eq-delete snapshot
+    h.cherryPick("dev2", 3)
+    assert(ss.sql("SELECT v FROM eqp.ns.t VERSION AS OF 'dev2' WHERE k = 5")
+      .collect().map(_.getString(0)).toSeq === Seq("v5-new"),
+      "the eq ref kills the covered row; the picked file's fresh id is exempt")
+  }
+
   /** RENAME COLUMN immunity: EqRefs store the PHYSICAL key name at
     * commit time, so rename→re-rename around an eq commit cannot orphan
     * the deletes (the verdict's resurrect scenario). */

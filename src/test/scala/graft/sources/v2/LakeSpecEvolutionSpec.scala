@@ -111,6 +111,62 @@ class LakeSpecEvolutionSpec extends SparkSpec {
       .getMessage.contains("partition-spec change"))
   }
 
+  /** Interplay: row-level DML on a MIXED-SPEC table. Copy-on-write
+    * UPDATE matching rows in both eras rewrites only the matched files
+    * (runtime group filtering composes with per-file-spec pruning);
+    * reborn files carry the CURRENT spec's partition values. A
+    * merge-on-read DELETE on an old-spec file commits a DV without
+    * touching the spec machinery. */
+  test("DML across a spec boundary: CoW rewrite adopts the current spec; MoR DVs apply per era") {
+    val root = graft.util.TempDirs.create("graft_spec_dml_").toString
+    val ss = lakeSession("spd", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE spd.ns.t (k BIGINT, region STRING, cat STRING) " +
+      "PARTITIONED BY (region)")
+    Seq((1L, "r1", "c1"), (2L, "r2", "c2")).toDF("k", "region", "cat")
+      .coalesce(1).writeTo("spd.ns.t").append() // v1: 2 files under (region)
+    ss.sql("CALL spd.system.add_partition_field(table => 'ns.t', column => 'cat')")
+    ss.sql("CALL spd.system.drop_partition_field(table => 'ns.t', column => 'region')")
+    Seq((3L, "r1", "c1"), (4L, "r2", "c2")).toDF("k", "region", "cat")
+      .coalesce(1).writeTo("spd.ns.t").append() // v4: 2 files under (cat)
+    val h = GraftLakeStore.get(root, "ns.t").get
+
+    // CoW UPDATE matching one row in EACH era
+    ss.sql("UPDATE spd.ns.t SET cat = 'cx' WHERE k IN (1, 3)")
+    val snap = h.snapshot(h.latestVersion)
+    assert(snap.op === "replace")
+    // untouched files (k=2 era A, k=4 era B) carried by reference
+    val v4 = h.snapshot(4).files.map(f => f.path -> f).toMap
+    val carried = snap.files.filter(f => v4.contains(f.path))
+    assert(carried.size === 2, "only the two matched files are rewritten")
+    assert(carried.exists(_.partition.keySet == Set("region")) &&
+      carried.exists(_.partition.keySet == Set("cat")),
+      "one untouched file per era, each keeping its own spec")
+    // reborn rows live under the CURRENT spec (cat)
+    val reborn = snap.files.filterNot(f => v4.contains(f.path))
+    assert(reborn.nonEmpty &&
+      reborn.forall(_.partition.keySet == Set("cat")))
+    assert(ss.sql("SELECT count(*) FROM spd.ns.t WHERE cat = 'cx'")
+      .head().getLong(0) === 2L)
+    assert(ss.sql("SELECT count(*) FROM spd.ns.t").head().getLong(0) === 4L)
+
+    // merge-on-read on a mixed-spec table: DV on an OLD-spec file
+    ss.sql("CREATE TABLE spd.ns.m (k BIGINT, region STRING) " +
+      "PARTITIONED BY (region) " +
+      "TBLPROPERTIES ('write.dml.mode'='merge-on-read')")
+    Seq((1L, "r1"), (2L, "r2")).toDF("k", "region")
+      .coalesce(1).writeTo("spd.ns.m").append()
+    ss.sql("CALL spd.system.drop_partition_field(table => 'ns.m', column => 'region')")
+    Seq((3L, "r3")).toDF("k", "region").coalesce(1).writeTo("spd.ns.m").append()
+    ss.sql("DELETE FROM spd.ns.m WHERE k = 1") // position-delete on an era-A file
+    val hm = GraftLakeStore.get(root, "ns.m").get
+    val ms = hm.snapshot(hm.latestVersion)
+    assert(ms.op === "delta" && ms.files.exists(_.dvs.nonEmpty),
+      "MoR DELETE commits a DV, no rewrite, spec machinery untouched")
+    assert(ss.sql("SELECT k FROM spd.ns.m ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L, 3L))
+  }
+
   test("procedure validation: duplicate/missing/unsupported partition fields rejected") {
     val root = graft.util.TempDirs.create("graft_spec_val_").toString
     val ss = lakeSession("spv", root)
