@@ -145,7 +145,7 @@ class GraftLakeCatalog extends TableCatalog
     // table carrying it would be unreadable right after its CREATE
     require(!ident.name().contains('$'),
       s"table name '${ident.name()}' may not contain '$$' (reserved for " +
-        "metadata tables: t$files / t$history / t$tags / t$refs)")
+        "metadata tables: t$files / t$history / t$tags / t$refs / t$partitions)")
     val pcols = partitions.toSeq.map { t =>
       val refs = t.references()
       require(t.name() == "identity" && refs.length == 1 &&
@@ -514,6 +514,31 @@ private[v2] object LakeMetaTable {
         StructField("version", IntegerType, nullable = false))),
         () => h.tags().toSeq.sortBy(_._1).map { case (t, v) =>
           Seq[Any](str(t), v) }))
+      // per-partition rollup from manifests (Iceberg's `partitions`
+      // metadata table): one row per distinct partition-value tuple in
+      // the CURRENT snapshot. After a partition-spec evolution, files
+      // written under different specs render different tuples — the
+      // table makes the mixed state inspectable from SQL. Row volume =
+      // number of live partition values, metadata-sized.
+      case "partitions" => Some(new LakeMetaTable(name, StructType(Seq(
+        StructField("partition", StringType, nullable = true),
+        StructField("n_files", IntegerType, nullable = false),
+        StructField("rows", LongType, nullable = false),
+        StructField("live_rows", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false))),
+        () => {
+          val sn = h.snapshot(h.latestVersion)
+          sn.files.groupBy { f =>
+            if (f.partition.isEmpty) null
+            else f.partition.toSeq.sortBy(_._1).map { case (k, v) =>
+              s"$k=${v.getOrElse("null")}" }.mkString(",")
+          }.toSeq.sortBy { case (p, _) => Option(p).getOrElse("") }
+            .map { case (p, fs) =>
+              Seq[Any](Option(p).map(str).orNull, fs.size,
+                fs.map(_.rows).sum, fs.map(_.liveRows).sum,
+                fs.map(_.bytes).sum)
+            }
+        }))
       // every named ref, tags AND branches (t$tags predates branches
       // and keeps its narrower schema for compatibility)
       case "refs" => Some(new LakeMetaTable(name, StructType(Seq(

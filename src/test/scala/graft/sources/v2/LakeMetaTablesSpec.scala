@@ -61,4 +61,42 @@ class LakeMetaTablesSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("table") ||
       e.getMessage.contains("t$nope"), e.getMessage)
   }
+
+  /** `t$partitions`: per-partition rollup from manifests, and the SQL
+    * window into a mixed partition spec after evolution. */
+  test("$partitions rolls up per partition value; mixed specs render per era") {
+    val root = graft.util.TempDirs.create("graft_mt_parts_").toString
+    val ss = lakeSession("mtp", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE mtp.ns.t (k BIGINT, g STRING, c STRING) " +
+      "PARTITIONED BY (g) TBLPROPERTIES ('write.dml.mode'='merge-on-read')")
+    (0L until 30L).map(k => (k, s"g${k % 2}", s"c${k % 3}")).toDF("k", "g", "c")
+      .coalesce(1).writeTo("mtp.ns.t").append()
+    ss.sql("DELETE FROM mtp.ns.t WHERE g = 'g0' AND k < 6")
+    val rows = ss.sql("SELECT partition, n_files, rows, live_rows " +
+      "FROM mtp.ns.`t$partitions` ORDER BY partition").collect().toSeq
+    assert(rows === Seq(
+      Row("g=g0", 1, 15L, 12L),
+      Row("g=g1", 1, 15L, 15L)))
+    // live_rows cross-checks the data per partition value
+    val data = ss.sql("SELECT g, count(*) FROM mtp.ns.t GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(data === Seq(("g0", 12L), ("g1", 15L)))
+
+    // after a spec evolution, each era renders its OWN spec's tuple
+    ss.sql("CALL mtp.system.add_partition_field(table => 'ns.t', column => 'c')")
+    ss.sql("CALL mtp.system.drop_partition_field(table => 'ns.t', column => 'g')")
+    Seq((100L, "g0", "c9")).toDF("k", "g", "c").coalesce(1)
+      .writeTo("mtp.ns.t").append()
+    val mixed = ss.sql("SELECT partition FROM mtp.ns.`t$partitions` ORDER BY partition")
+      .collect().map(_.getString(0)).toSeq
+    assert(mixed === Seq("c=c9", "g=g0", "g=g1"),
+      "old files keep g=..., the new era renders c=...")
+    // an unpartitioned table rolls up to ONE null-partition row
+    ss.sql("CREATE TABLE mtp.ns.u (k BIGINT)")
+    (0L until 7L).map(Tuple1(_)).toDF("k").coalesce(1).writeTo("mtp.ns.u").append()
+    val u = ss.sql("SELECT partition, n_files, live_rows FROM mtp.ns.`u$partitions`")
+      .collect().toSeq
+    assert(u === Seq(Row(null, 1, 7L)))
+  }
 }
