@@ -183,6 +183,40 @@ class LakeSpecEvolutionSpec extends SparkSpec {
       .contains("not a partition column"))
   }
 
+  /** Interplay: a multi-table transaction whose staged files were
+    * prepared under an OLD partition spec conflicts loudly at publish
+    * (the arity check) and the whole transaction aborts atomically —
+    * the table that already published its pending half rolls back. */
+  test("a multi-table transaction racing a spec change aborts atomically, nothing visible") {
+    val root = graft.util.TempDirs.create("graft_spec_txn_").toString
+    val ss = lakeSession("spt", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE spt.ns.a (k BIGINT)")
+    ss.sql("CREATE TABLE spt.ns.b (k BIGINT, g STRING)")
+    val ha = GraftLakeStore.get(root, "ns.a").get
+    val hb = GraftLakeStore.get(root, "ns.b").get
+    val fa = LakeTxn.stage(ha, Seq(1L).toDF("k"))
+    val fb = LakeTxn.stage(hb, Seq((2L, "g0")).toDF("k", "g"))
+    // the spec change lands BETWEEN staging and commit
+    ss.sql("CALL spt.system.add_partition_field(table => 'ns.b', column => 'g')")
+    val txn = GraftLakeStore.beginTransaction(root)
+      .stageAppend("ns.a", fa).stageAppend("ns.b", fb)
+    val e = intercept[IllegalArgumentException](txn.commit())
+    assert(e.getMessage.contains("partition"))
+    // atomic abort: both tables read their pre-transaction state, and
+    // ns.a's already-published pending manifest is rolled back
+    assert(ha.latestVersion === 0 && hb.latestVersion === 1)
+    assert(ss.sql("SELECT count(*) FROM spt.ns.a").head().getLong(0) === 0L)
+    assert(ss.sql("SELECT count(*) FROM spt.ns.b").head().getLong(0) === 0L)
+    // and a correctly re-staged transaction (new spec arity) commits
+    val fb2 = Seq(GraftLakeStore.PendingFile(fb.head.name, fb.head.rows,
+      Seq(Some("g0")), fb.head.stats, fb.head.bytes))
+    GraftLakeStore.beginTransaction(root)
+      .stageAppend("ns.a", fa).stageAppend("ns.b", fb2).commit()
+    assert(ss.sql("SELECT count(*) FROM spt.ns.a").head().getLong(0) === 1L)
+    assert(ss.sql("SELECT k FROM spt.ns.b WHERE g = 'g0'").head().getLong(0) === 2L)
+  }
+
   test("cherry-pick: re-applies a pure append onto a diverged branch; non-appends rejected loudly") {
     val root = graft.util.TempDirs.create("graft_cherry_").toString
     val ss = lakeSession("chp", root)
