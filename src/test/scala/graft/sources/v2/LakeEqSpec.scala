@@ -454,6 +454,41 @@ class LakeEqSpec extends SparkSpec {
       "the eq ref kills the covered row; the picked file's fresh id is exempt")
   }
 
+  /** Property: over random data and random composite delete keys, the
+    * lake read equals a reference anti-join — including the NULL rule
+    * (a row with any NULL key component is never deleted). */
+  test("property: composite eq deletes equal a reference anti-join; NULL components never match") {
+    val root = graft.util.TempDirs.create("graft_eq_prop_").toString
+    val ss = lakeSession("eqq", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqq.ns.t (tenant STRING, uid BIGINT, payload BIGINT)")
+    val rnd = new scala.util.Random(20260816L)
+    val rows = (0 until 400).map { i =>
+      val tenant = s"t${rnd.nextInt(5)}"
+      val uid: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(40).toLong)
+      (tenant, uid, i.toLong)
+    }
+    rows.toDF("tenant", "uid", "payload")
+      .repartition(3).writeTo("eqq.ns.t").append() // v1, several files
+    val h = GraftLakeStore.get(root, "ns.t").get
+    val dels = (0 until 60).map { _ =>
+      (s"t${rnd.nextInt(6)}", rnd.nextInt(45).toLong) }.distinct
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val eq = stageEqRows(h, "prop", Seq("tenant", "uid"),
+      dels.map { case (t, u) => Seq[Any](u8(t), u) })
+    h.commitEqDelta(1, Seq(eq), Seq.empty)
+    val delSet = dels.toSet
+    val expected = rows.filterNot { case (t, u, _) =>
+      u != null && delSet.contains((t, u.longValue())) }
+      .map(_._3).sorted
+    val got = ss.sql("SELECT payload FROM eqq.ns.t ORDER BY payload")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+    assert(expected.size < rows.size, "the random draw must delete something")
+    assert(rows.exists(_._2 == null), "the draw must include NULL key rows")
+  }
+
   /** RENAME COLUMN immunity: EqRefs store the PHYSICAL key name at
     * commit time, so rename→re-rename around an eq commit cannot orphan
     * the deletes (the verdict's resurrect scenario). */
