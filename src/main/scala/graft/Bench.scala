@@ -387,9 +387,12 @@ object Bench {
     staged("q233_eq_delete_upsert")(
       SparkEntry.queries("q233_eq_delete_upsert")(spark, sfDir).count())
     // round 11: the mid-history re-partitioned table staging (two eras,
-    // two specs; the timed query measures the cross-era read)
+    // two specs) and the hidden-partitioned (bucket+truncate) ingest;
+    // the timed queries measure the post-staging reads
     staged("q234_partition_evolution")(
       SparkEntry.queries("q234_partition_evolution")(spark, sfDir).count())
+    staged("q237_transform_partitioning")(
+      SparkEntry.queries("q237_transform_partitioning")(spark, sfDir).count())
     // streaming first-touch: engine class loading / state-store init
     staged("q71_streaming_daily")(
       SparkEntry.queries("q71_streaming_daily")(spark, sfDir).count())

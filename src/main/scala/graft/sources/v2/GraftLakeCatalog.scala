@@ -146,21 +146,9 @@ class GraftLakeCatalog extends TableCatalog
     require(!ident.name().contains('$'),
       s"table name '${ident.name()}' may not contain '$$' (reserved for " +
         "metadata tables: t$files / t$history / t$tags / t$refs / t$partitions)")
-    val pcols = partitions.toSeq.map { t =>
-      val refs = t.references()
-      require(t.name() == "identity" && refs.length == 1 &&
-          refs(0).fieldNames().length == 1,
-        s"graft_lake supports identity partitioning on top-level columns " +
-          s"only, got transform $t")
-      refs(0).fieldNames()(0)
-    }
-    pcols.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(s"partition column $c not in schema"))
-      require(LakeTable.partitionableType(f.dataType),
-        s"partition column $c: ${f.dataType.simpleString} is not a supported " +
-          "partition type (string/int/long/short/byte/boolean)")
-    }
+    val pfields = partitions.toSeq.map(LakeTable.parseTransform(schema, _))
+    require(pfields.map(_.name).distinct.size == pfields.size,
+      s"duplicate partition fields in ${pfields.map(_.name).mkString(", ")}")
     // persist only the properties the engine interprets; Spark adds
     // bookkeeping keys (owner, provider, …) a manifest need not carry
     val mode = Option(properties.get(LakeTable.DmlModeProp))
@@ -172,7 +160,7 @@ class GraftLakeCatalog extends TableCatalog
       if (mode == LakeTable.CopyOnWrite) Map.empty[String, String]
       else Map(LakeTable.DmlModeProp -> mode)
     val h =
-      try GraftLakeStore.create(root, key(ident), schema, pcols, props)
+      try GraftLakeStore.create(root, key(ident), schema, pfields, props)
       catch {
         // both the pre-checked path and a lost CREATE race raise the
         // typed error Spark callers expect
@@ -238,7 +226,7 @@ class GraftLakeCatalog extends TableCatalog
         val to = rn.newName()
         require(s.fieldNames.contains(from), s"column $from does not exist")
         require(!s.fieldNames.contains(to), s"column $to already exists")
-        require(!cur.partitionCols.contains(from),
+        require(!cur.partFields.exists(_.col == from),
           s"cannot RENAME partition column $from (its values key the manifests)")
         val phys = m.getOrElse(from, from)
         val fields = s.fields.map(f => if (f.name == from) f.copy(name = to) else f)
@@ -250,7 +238,7 @@ class GraftLakeCatalog extends TableCatalog
             s"column $name does not exist")
           (s, m)
         } else {
-          require(!cur.partitionCols.contains(name),
+          require(!cur.partFields.exists(_.col == name),
             s"cannot DROP partition column $name (its values key the manifests)")
           require(s.length > 1, "cannot DROP the last column")
           // a live equality-delete ref needs its key columns' types to
@@ -713,12 +701,49 @@ private[v2] object LakeProcedures {
         Seq(Seq[Any](handle(root, in.getUTF8String(0).toString)
           .dropBranch(in.getUTF8String(1).toString)))
     })
-    // PARTITION-SPEC EVOLUTION (Iceberg's signature migration, reduced
-    // to identity transforms): a METADATA-ONLY commit — new files write
-    // under the new spec, existing files keep and prune by the values
-    // of the spec they were written under; old snapshots time-travel
-    // under their old spec. Returns the new spec and version.
-    case "add_partition_field" | "drop_partition_field" => Some(proc(name,
+    // PARTITION-SPEC EVOLUTION (Iceberg's signature migration): a
+    // METADATA-ONLY commit — new files write under the new spec,
+    // existing files keep and prune by the values of the spec they
+    // were written under; old snapshots time-travel under their old
+    // spec. `transform` = 'identity' (default) | 'bucket[N]' |
+    // 'truncate[W]'. Returns the new spec and version.
+    case "add_partition_field" => Some(proc(name,
+      Seq(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("column", StringType).build(),
+        ProcedureParameter.in("transform", StringType)
+          .defaultValue("'identity'").build()),
+      StructType(Seq(StructField("partition_spec", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false)))) {
+      in =>
+        val h = handle(root, in.getUTF8String(0).toString)
+        val c = in.getUTF8String(1).toString
+        val tf = in.getUTF8String(2).toString
+        val cur = h.snapshot(h.latestVersion)
+        val f = cur.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $c not in schema"))
+        val spec = "^(identity|bucket\\[(\\d+)\\]|truncate\\[(\\d+)\\])$".r
+        val field = tf match {
+          case spec("identity", _, _) => GraftLakeStore.PartField(c)
+          case spec(t, b, w) if t.startsWith("bucket") =>
+            GraftLakeStore.PartField(c, "bucket", b.toInt)
+          case spec(t, _, w) if t.startsWith("truncate") =>
+            GraftLakeStore.PartField(c, "truncate", w.toInt)
+          case other => throw new IllegalArgumentException(
+            s"transform must be identity | bucket[N] | truncate[W], got '$other'")
+        }
+        require(field.transform == "identity" || field.param > 0,
+          s"${field.transform} parameter must be positive")
+        require(LakeTransforms.supported(field.transform, f.dataType),
+          s"partition column $c: ${f.dataType.simpleString} does not " +
+            s"support the ${field.transform} transform")
+        require(!cur.partFields.map(_.name).contains(field.name),
+          s"${field.name} is already a partition field")
+        val next = cur.partFields :+ field
+        val v = h.commitPartitionSpec(next)
+        Seq(Seq[Any](str(next.map(_.name).mkString("[", ", ", "]")), v))
+    })
+    case "drop_partition_field" => Some(proc(name,
       Seq(ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("column", StringType).build()),
       StructType(Seq(StructField("partition_spec", StringType, nullable = false),
@@ -727,25 +752,20 @@ private[v2] object LakeProcedures {
         val h = handle(root, in.getUTF8String(0).toString)
         val c = in.getUTF8String(1).toString
         val cur = h.snapshot(h.latestVersion)
-        val next =
-          if (name == "add_partition_field") {
-            val f = cur.schema.fields.find(_.name == c).getOrElse(
-              throw new IllegalArgumentException(
-                s"partition column $c not in schema"))
-            require(LakeTable.partitionableType(f.dataType),
-              s"partition column $c: ${f.dataType.simpleString} is not a " +
-                "supported partition type (string/int/long/short/byte/boolean)")
-            require(!cur.partitionCols.contains(c),
-              s"$c is already a partition column")
-            cur.partitionCols :+ c
-          } else {
-            require(cur.partitionCols.contains(c),
-              s"$c is not a partition column (spec: " +
-                s"${cur.partitionCols.mkString(", ")})")
-            cur.partitionCols.filterNot(_ == c)
-          }
+        // match by FIELD name first (k_bucket_8), else by unique
+        // source column
+        val byName = cur.partFields.filter(_.name == c)
+        val victims = if (byName.nonEmpty) byName
+          else cur.partFields.filter(_.col == c)
+        require(victims.size == 1,
+          if (victims.isEmpty)
+            s"$c is not a partition field (spec: " +
+              s"${cur.partFields.map(_.name).mkString(", ")})"
+          else s"$c names ${victims.size} partition fields " +
+            s"(${victims.map(_.name).mkString(", ")}); drop by field name")
+        val next = cur.partFields.filterNot(_ == victims.head)
         val v = h.commitPartitionSpec(next)
-        Seq(Seq[Any](str(next.mkString("[", ", ", "]")), v))
+        Seq(Seq[Any](str(next.map(_.name).mkString("[", ", ", "]")), v))
     })
     // divergence repair: re-apply one PURE-APPEND snapshot's file delta
     // onto a branch head (data files shared by reference, fresh ids);
@@ -851,20 +871,134 @@ object LakeTable {
     w
   }
 
-  /** Render an identity-partition value for the manifest. Only
-    * [[partitionableType]]s reach here. */
+  /** Render a partition value for the manifest: normalize the row's
+    * source-column value, apply the field's transform. NULL source →
+    * None (NULL partition value) for every transform — a NULL hashes
+    * or truncates to nothing, it stays NULL (the Iceberg rule). */
   private[v2] def renderPartitionValue(row: InternalRow, ord: Int,
-      dt: DataType): Option[String] =
+      dt: DataType, field: GraftLakeStore.PartField): Option[String] =
     if (row.isNullAt(ord)) None
-    else Some(dt match {
-      case StringType => row.getUTF8String(ord).toString
-      case IntegerType => row.getInt(ord).toString
-      case LongType => row.getLong(ord).toString
-      case ShortType => row.getShort(ord).toString
-      case ByteType => row.getByte(ord).toString
-      case BooleanType => row.getBoolean(ord).toString
-      case other => throw new IllegalStateException(s"unreachable: $other")
-    })
+    else {
+      val norm: Any = dt match {
+        case StringType => row.getUTF8String(ord).toString
+        case IntegerType => java.lang.Long.valueOf(row.getInt(ord).toLong)
+        case LongType => java.lang.Long.valueOf(row.getLong(ord))
+        case ShortType => java.lang.Long.valueOf(row.getShort(ord).toLong)
+        case ByteType => java.lang.Long.valueOf(row.getByte(ord).toLong)
+        case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(ord))
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      Some(LakeTransforms.render(field, norm))
+    }
+
+  /** Parse one DSv2 [[Transform]] into a [[GraftLakeStore.PartField]]:
+    * identity / bucket(N, col) / truncate(W, col), top-level columns
+    * only, types checked per transform. */
+  private[v2] def parseTransform(schema: StructType,
+      t: Transform): GraftLakeStore.PartField = {
+    val refs = t.references()
+    require(refs.length == 1 && refs(0).fieldNames().length == 1,
+      s"graft_lake partition transforms take one top-level column, got $t")
+    val col = refs(0).fieldNames()(0)
+    val f = schema.fields.find(_.name == col).getOrElse(
+      throw new IllegalArgumentException(s"partition column $col not in schema"))
+    val param = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value().isInstanceOf[Number] =>
+        l.value().asInstanceOf[Number].intValue()
+    }
+    val field = t.name() match {
+      case "identity" => GraftLakeStore.PartField(col)
+      case "bucket" => GraftLakeStore.PartField(col, "bucket",
+        param.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs a bucket count: $t")))
+      case "truncate" => GraftLakeStore.PartField(col, "truncate",
+        param.getOrElse(throw new IllegalArgumentException(
+          s"truncate transform needs a width: $t")))
+      case other => throw new IllegalArgumentException(
+        s"graft_lake supports identity / bucket(N, col) / truncate(W, col) " +
+          s"partitioning only, got transform '$other'")
+    }
+    require(field.transform == "identity" || field.param > 0,
+      s"${field.transform} parameter must be positive, got ${field.param}")
+    require(LakeTransforms.supported(field.transform, f.dataType),
+      s"partition column $col: ${f.dataType.simpleString} does not support " +
+        s"the ${field.transform} transform")
+    field
+  }
+}
+
+/** Partition-TRANSFORM evaluation — ONE implementation shared by the
+  * write tasks (rendering a row's partition value) and the planner
+  * (mapping a filter literal to the value it would land in), so
+  * pruning can never disagree with placement. Normalized inputs:
+  * java Long (all integrals), String, java Boolean.
+  *
+  * `bucket` hashes integrals through a splitmix64 finalizer and
+  * strings through MurmurHash3 over UTF-8 bytes — graft's own stable
+  * layout contract (documented: NOT Iceberg's murmur3_32; graft
+  * manifests are graft's format). `truncate` floors longs to a
+  * multiple of the width and prefixes strings — `truncate[7]` on ISO
+  * date strings is month partitioning with no calendar anywhere. */
+private[v2] object LakeTransforms {
+
+  def supported(transform: String, dt: DataType): Boolean = transform match {
+    case "identity" => LakeTable.partitionableType(dt)
+    case "bucket" => dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    }
+    case "truncate" => dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Stable bucket of a normalized value. */
+  def bucket(v: Any, n: Int): Int = {
+    val h = v match {
+      case l: java.lang.Long => mix64(l.longValue())
+      case s: String => mix64(scala.util.hashing.MurmurHash3.bytesHash(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0).toLong)
+      case other => throw new IllegalArgumentException(
+        s"bucket transform over unsupported value class ${other.getClass}")
+    }
+    java.lang.Math.floorMod(h, n.toLong).toInt
+  }
+
+  /** The partition VALUE a normalized source value lands in. */
+  def render(f: GraftLakeStore.PartField, v: Any): String = f.transform match {
+    case "identity" => v.toString
+    case "bucket" => bucket(v, f.param).toString
+    case "truncate" => v match {
+      case l: java.lang.Long =>
+        (java.lang.Math.floorDiv(l.longValue(), f.param.toLong) * f.param).toString
+      case s: String => s.substring(0, math.min(f.param, s.length))
+      case other => throw new IllegalArgumentException(
+        s"truncate transform over unsupported value class ${other.getClass}")
+    }
+    case other => throw new IllegalArgumentException(s"unknown transform $other")
+  }
+
+  /** Normalize a pushed-filter literal to the shared value forms. */
+  def normalize(v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case s: String => s
+    case n: java.lang.Integer => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Long => n
+    case n: java.lang.Short => java.lang.Long.valueOf(n.longValue())
+    case n: java.lang.Byte => java.lang.Long.valueOf(n.longValue())
+    case b: java.lang.Boolean => b
+    case other => other
+  }
 }
 
 /** One data file is one read split. `dvAbsPaths` = position-delete
@@ -996,10 +1130,61 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
       if (snap.colPhys.isEmpty) f.stats
       else snap.schema.fieldNames.iterator
         .flatMap(n => f.stats.get(snap.phys(n)).map(n -> _)).toMap
+    // TRANSFORM-field pruning: a filter on the SOURCE column of a
+    // bucket/truncate field maps the literal through the SAME transform
+    // the writer used and compares with the file's stored value —
+    // equality/IN for both transforms, ranges additionally for truncate
+    // (floor and prefix are monotone: col > v implies trunc(col) >=
+    // trunc(v)). A file from a spec era without the field answers true
+    // (no info — its column stats still prune); an all-NULL stored
+    // value matches no non-null literal.
+    val tfFields = snap.partFields.filterNot(_.transform == "identity")
+    def tfEq(a: String, v: Any, f: LakeFile): Boolean =
+      tfFields.filter(_.col == a).forall { fld =>
+        f.partition.get(fld.name) match {
+          case Some(Some(stored)) =>
+            LakeTransforms.render(fld, LakeTransforms.normalize(v)) == stored
+          case Some(None) => false // whole file's source is NULL
+          case None => true // older spec: no info
+        }
+      }
+    def tfRange(a: String, v: Any, f: LakeFile)(keep: Int => Boolean): Boolean =
+      tfFields.filter(fl => fl.col == a && fl.transform == "truncate")
+        .forall { fld =>
+          f.partition.get(fld.name) match {
+            case Some(Some(stored)) =>
+              val tv = LakeTransforms.render(fld, LakeTransforms.normalize(v))
+              val c = schemaByName(a) match {
+                case StringType => stored.compareTo(tv)
+                case _ => java.lang.Long.compare(stored.toLong, tv.toLong)
+              }
+              keep(c)
+            case Some(None) => false
+            case None => true
+          }
+        }
+    def tfPrune(p: Filter, f: LakeFile): Boolean =
+      if (tfFields.isEmpty) true
+      else p match {
+        case EqualTo(a, v) => v == null || tfEq(a, v, f)
+        case EqualNullSafe(a, v) => v == null || tfEq(a, v, f)
+        // IN matches only via a non-null member; a column no transform
+        // field constrains answers true
+        case In(a, vs) if vs != null =>
+          tfFields.forall(_.col != a) ||
+            vs.filter(_ != null).exists(v => tfEq(a, v, f))
+        case GreaterThan(a, v) if v != null => tfRange(a, v, f)(_ >= 0)
+        case GreaterThanOrEqual(a, v) if v != null => tfRange(a, v, f)(_ >= 0)
+        case LessThan(a, v) if v != null => tfRange(a, v, f)(_ <= 0)
+        case LessThanOrEqual(a, v) if v != null => tfRange(a, v, f)(_ <= 0)
+        case And(l, r) => tfPrune(l, f) && tfPrune(r, f)
+        case Or(l, r) => tfPrune(l, f) || tfPrune(r, f)
+        case _ => true
+      }
     val kept =
       if (pushed.isEmpty) snap.files
       else snap.files.filter(f => pushed.forall { p =>
-        if (p.references.forall(pcols.contains)) {
+        (if (p.references.forall(pcols.contains)) {
           // per-file spec: exact evaluation where the file recorded the
           // partition values; a file written under an OLDER spec (the
           // column was not a partition field then) falls back to its
@@ -1011,6 +1196,7 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
           else true
         }
         else LakeStatsPruning.mayMatch(p, logicalStats(f), f.rows, schemaByName)
+        ) && tfPrune(p, f)
       })
     // logical → physical for every readable column (the column-mapping
     // indirection; metadata columns map to themselves)
@@ -1804,9 +1990,9 @@ private[v2] class LakeWrite(handle: TableHandle, writeSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val snap = handle.snapshot(LakeTable.readVersion(handle))
-    val pOrds = snap.partitionCols.map(c => writeSchema.fieldIndex(c))
+    val pfs = snap.partFields.map(f => (f, writeSchema.fieldIndex(f.col)))
     new LakeWriterFactory(handle.dataDir.toString,
-      LakeTable.physicalSchema(writeSchema, snap), pOrds)
+      LakeTable.physicalSchema(writeSchema, snap), pfs)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1861,8 +2047,9 @@ private[v2] case class LakeCommit(files: Seq[PendingFile])
   * commits nothing. Used by both the plain batch writer and the
   * merge-on-read delta writer's insert path. */
 private[v2] class LakeRowFileWriter(dataDir: String, schema: StructType,
-    partitionOrds: Seq[Int], partitionId: Int, taskId: Long) {
-  private val pTypes = partitionOrds.map(schema.fields(_).dataType)
+    partFields: Seq[(GraftLakeStore.PartField, Int)], partitionId: Int,
+    taskId: Long) {
+  private val pTypes = partFields.map { case (_, ord) => schema.fields(ord).dataType }
   // the incoming row may be any InternalRow over REUSED buffers;
   // rendering through an UnsafeProjection of the table schema
   // materializes every value before the parquet encoder sees it
@@ -1881,8 +2068,10 @@ private[v2] class LakeRowFileWriter(dataDir: String, schema: StructType,
 
   def write(row: InternalRow): Unit = {
     val u = toUnsafe(row)
-    val pvals = partitionOrds.indices.map(i =>
-      LakeTable.renderPartitionValue(u, partitionOrds(i), pTypes(i)))
+    val pvals = partFields.indices.map { i =>
+      val (fld, ord) = partFields(i)
+      LakeTable.renderPartitionValue(u, ord, pTypes(i), fld)
+    }
     val (w, _, n, stats) = writerFor(pvals)
     w.write(u)
     stats.update(u)
@@ -1915,12 +2104,12 @@ private[v2] class LakeRowFileWriter(dataDir: String, schema: StructType,
 }
 
 private[v2] class LakeWriterFactory(dataDir: String, schema: StructType,
-    partitionOrds: Seq[Int]) extends DataWriterFactory {
+    partFields: Seq[(GraftLakeStore.PartField, Int)]) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val sink =
-        new LakeRowFileWriter(dataDir, schema, partitionOrds, partitionId, taskId)
+        new LakeRowFileWriter(dataDir, schema, partFields, partitionId, taskId)
       override def write(row: InternalRow): Unit = sink.write(row)
       // the metadata-projecting write task hands (metadata, data) —
       // the file a row came from does not pin where it lands
@@ -1947,9 +2136,9 @@ private[v2] class LakeDeltaWrite(handle: TableHandle, scan: LakeScan,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val snap = handle.snapshot(LakeTable.readVersion(handle))
-    val pOrds = snap.partitionCols.map(c => snap.schema.fieldIndex(c))
+    val pfs = snap.partFields.map(f => (f, snap.schema.fieldIndex(f.col)))
     new LakeDeltaWriterFactory(handle.dataDir.toString,
-      LakeTable.physicalSchema(snap.schema, snap), pOrds)
+      LakeTable.physicalSchema(snap.schema, snap), pfs)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1985,12 +2174,12 @@ private[v2] case class LakeDeltaCommit(files: Seq[PendingFile],
     dv: Option[PendingDv]) extends WriterCommitMessage
 
 private[v2] class LakeDeltaWriterFactory(dataDir: String, schema: StructType,
-    partitionOrds: Seq[Int]) extends DeltaWriterFactory {
+    partFields: Seq[(GraftLakeStore.PartField, Int)]) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val inserts =
-        new LakeRowFileWriter(dataDir, schema, partitionOrds, partitionId, taskId)
+        new LakeRowFileWriter(dataDir, schema, partFields, partitionId, taskId)
       // deleted positions per data-file id; sorted at commit so the
       // delete parquet is clustered by (file_id, pos)
       private val dels = mutable.TreeMap[Int, mutable.ArrayBuffer[Long]]()

@@ -80,6 +80,26 @@ object GraftLakeStore {
     * than record a truncated lie); `nulls` is always exact. */
   final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
 
+  /** One PARTITION FIELD: the file-level partition VALUE is
+    * `transform(source column)` — Iceberg's hidden partitioning,
+    * reduced to the three transforms that cover the real layouts:
+    *
+    *  - `identity`: the value itself (the original tier);
+    *  - `bucket[N]`: a stable hash mod N — point-lookup pruning for
+    *    high-cardinality keys without value-explosion;
+    *  - `truncate[W]`: long → floor to a multiple of W, string → the
+    *    first W chars. `truncate[7]` on ISO date strings IS month
+    *    partitioning; `truncate[4]` is year — the temporal transforms
+    *    without a calendar in the manifest.
+    *
+    * `name` keys the per-file partition map (identity keeps the bare
+    * column name — pre-transform manifests parse unchanged). */
+  final case class PartField(col: String, transform: String = "identity",
+      param: Int = 0) {
+    def name: String =
+      if (transform == "identity") col else s"${col}_${transform}_$param"
+  }
+
   /** A parsed, immutable snapshot. `op` records what created it —
     * create/append/overwrite/replace/schema — purely descriptive
     * metadata surfaced by the history view (q222). `txn` is the
@@ -89,12 +109,15 @@ object GraftLakeStore {
     * retry after a commit that beat the checkpoint) commits nothing
     * twice — Delta's txn-version device. */
   final case class Snapshot(version: Int, schema: StructType,
-      partitionCols: Seq[String], files: Seq[LakeFile], maxFileId: Int,
+      partFields: Seq[PartField], files: Seq[LakeFile], maxFileId: Int,
       op: String = "create", txn: Option[(String, Long)] = None,
       props: Map[String, String] = Map.empty,
       colPhys: Map[String, String] = Map.empty,
       pendingTxn: Option[String] = None,
       eqDels: Seq[EqRef] = Seq.empty) {
+    /** Partition-field NAMES — the keys of each file's partition map
+      * (for identity fields, the source column name). */
+    def partitionCols: Seq[String] = partFields.map(_.name)
     /** Column mapping: the PHYSICAL name a logical column's data is
       * stored under in parquet. Assigned at column birth and never
       * changed — RENAME COLUMN remaps the logical name, DROP COLUMN
@@ -280,14 +303,14 @@ object GraftLakeStore {
     * the loser gets [[FileAlreadyExistsException]] (the catalog maps it
     * to Spark's typed TableAlreadyExistsException). */
   def create(root: String, key: String, schema: StructType,
-      partitionCols: Seq[String],
+      partFields: Seq[PartField],
       props: Map[String, String] = Map.empty): TableHandle = {
     val dir = Paths.get(root, key)
     Files.createDirectories(Paths.get(root))
     Files.createDirectory(dir) // throws FileAlreadyExistsException if raced
     Files.createDirectory(dir.resolve("data"))
     val h = intern(dir)
-    h.writeManifest(Snapshot(0, schema, partitionCols, Seq.empty, 0, props = props))
+    h.writeManifest(Snapshot(0, schema, partFields, Seq.empty, 0, props = props))
     h
   }
 
@@ -640,11 +663,12 @@ object GraftLakeStore {
       * their old spec (partitionCols is per-snapshot). Column-level
       * validation (existence, partitionable type) is the caller's —
       * LakeProcedures has the schema context. */
-    def commitPartitionSpec(newCols: Seq[String]): Int =
+    def commitPartitionSpec(newFields: Seq[PartField]): Int =
       retryCommit { base =>
-        require(newCols.distinct.size == newCols.size,
-          s"$tableName: duplicate partition columns in ${newCols.mkString(", ")}")
-        base.copy(version = base.version + 1, partitionCols = newCols,
+        val names = newFields.map(_.name)
+        require(names.distinct.size == names.size,
+          s"$tableName: duplicate partition fields in ${names.mkString(", ")}")
+        base.copy(version = base.version + 1, partFields = newFields,
           op = "spec")
       }
 
@@ -1272,8 +1296,11 @@ object GraftLakeStore {
       s"""{"path":${esc(e.path)},"keyCols":${e.keyCols.map(esc)
         .mkString("[", ",", "]")},""" +
         s""""bound":${e.bound},"rows":${e.rows}}""" }.mkString("[", ",", "]")
+    val pf = s.partFields.map { f =>
+      s"""{"col":${esc(f.col)},"transform":${esc(f.transform)},"param":${f.param}}"""
+    }.mkString("[", ",", "]")
     s"""{"version":${s.version},"maxFileId":${s.maxFileId},"op":${esc(s.op)},$txn$pend""" +
-      s""""partitionCols":${s.partitionCols.map(esc).mkString("[", ",", "]")},""" +
+      s""""partFields":$pf,""" +
       s""""props":$props,"colPhys":$colPhys,"eqDels":$eq,""" +
       s""""schema":${s.schema.json},"files":$files}"""
   }
@@ -1298,10 +1325,18 @@ object GraftLakeStore {
         strs(f.get("columns")), part, stats, dvs,
         Option(f.get("bytes")).map(_.asLong()).getOrElse(0L))
     }.toSeq
+    // "partFields" is current; bare "partitionCols" reads pre-transform
+    // manifests as identity fields
+    val partFields = Option(n.get("partFields")).map(_.elements().asScala.map { f =>
+      PartField(f.get("col").asText(), f.get("transform").asText(),
+        f.get("param").asInt())
+    }.toSeq).getOrElse(
+      Option(n.get("partitionCols")).map(strs).getOrElse(Seq.empty)
+        .map(PartField(_)))
     Snapshot(
       n.get("version").asInt(),
       DataType.fromJson(n.get("schema").toString).asInstanceOf[StructType],
-      strs(n.get("partitionCols")),
+      partFields,
       files,
       n.get("maxFileId").asInt(),
       Option(n.get("op")).map(_.asText()).getOrElse("create"),

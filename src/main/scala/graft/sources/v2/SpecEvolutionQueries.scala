@@ -93,8 +93,59 @@ object SpecEvolutionQueries {
          |GROUP BY status, prio ORDER BY status, prio""".stripMargin)
   }
 
+  private val stagedTf = new ConcurrentHashMap[String, String]()
+
+  /** Staging for q237: orders H2-1995 into a HIDDEN-partitioned table —
+    * `bucket(8, ckey)` for point lookups without value explosion,
+    * `truncate(7, od)` for month partitioning straight off the ISO
+    * string (no calendar in the manifest). Repartition(2) bounds the
+    * file count to tasks × buckets × months at every sf. */
+  private[v2] def ensureTransformTable(s: SparkSession, dir: String): String = {
+    val key = s.sparkContext.applicationId + ":" + dir
+    stagedTf.computeIfAbsent(key, { _ =>
+      val ss = MergeQueries.lakeSession(s)
+      val id = nextId.incrementAndGet()
+      val tbl = s"lake.ord_tf$id"
+      ss.sql(s"CREATE TABLE graft_lake.$tbl (od STRING, ckey BIGINT, " +
+        "price_cents BIGINT) PARTITIONED BY (bucket(8, ckey), truncate(7, od))")
+      Tables(ss, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-07-01") &&
+          col("o_orderdate") < lit("1996-01-01"))
+        .select(col("o_orderdate").cast("string").as("od"),
+          col("o_custkey").cast("long").as("ckey"),
+          Exact.cents(col("o_totalprice")).as("price_cents"))
+        .repartition(2)
+        .writeTo(s"graft_lake.$tbl").append()
+      val h = GraftLakeStore.get(GraftLakeStore.defaultRoot, tbl).get
+      require(h.snapshot(1).files.forall(
+          _.partition.keySet == Set("ckey_bucket_8", "od_truncate_7")),
+        "every file must carry both transform values")
+      s"graft_lake.$tbl"
+    })
+  }
+
+  /** q237: a month-range rollup (prunes by the truncate field — floor/
+    * prefix transforms are monotone, so ranges prune) plus a key point
+    * lookup (prunes to one bucket's files) — the two access patterns
+    * hidden partitioning exists for, against a raw-orders oracle. */
+  def transformPartitionRead(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureTransformTable(s, dir)
+    MergeQueries.lakeSession(s).sql(
+      s"""SELECT concat('month:', substr(od, 1, 7)) AS grp,
+         | count(*) AS n_orders,
+         | CAST(sum(price_cents) / 100.0 AS DOUBLE) AS total_price
+         |FROM $tbl WHERE od >= '1995-10-01'
+         |GROUP BY substr(od, 1, 7)
+         |UNION ALL
+         |SELECT 'cust:42' AS grp, count(*) AS n_orders,
+         | CAST(sum(price_cents) / 100.0 AS DOUBLE) AS total_price
+         |FROM $tbl WHERE ckey = 42
+         |ORDER BY grp""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q234_partition_evolution" -> (specEvolutionRead _))
+    "q234_partition_evolution" -> (specEvolutionRead _),
+    "q237_transform_partitioning" -> (transformPartitionRead _))
 
   val oracle: Map[String, String] = Map(
     // plain rollup over raw orders, blind to partitioning: correct only
@@ -107,5 +158,24 @@ object SpecEvolutionQueries {
         |FROM orders
         |WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
         | AND o_orderstatus = 'F'
-        |GROUP BY status, prio ORDER BY status, prio""".stripMargin)
+        |GROUP BY status, prio ORDER BY status, prio""".stripMargin,
+    // the staged universe is H2-1995; the range arm narrows to Q4 and
+    // the point arm reads one key — hidden partitioning must change
+    // NOTHING about the answer (the transforms live only in the layout)
+    "q237_transform_partitioning" ->
+      """SELECT concat('month:', substr(CAST(o_orderdate AS STRING), 1, 7)) AS grp,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS DOUBLE)
+        |  AS total_price
+        |FROM orders
+        |WHERE o_orderdate >= '1995-10-01' AND o_orderdate < '1996-01-01'
+        |GROUP BY substr(CAST(o_orderdate AS STRING), 1, 7)
+        |UNION ALL
+        |SELECT 'cust:42' AS grp, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS DOUBLE)
+        |  AS total_price
+        |FROM orders
+        |WHERE o_custkey = 42
+        | AND o_orderdate >= '1995-07-01' AND o_orderdate < '1996-01-01'
+        |ORDER BY grp""".stripMargin)
 }

@@ -174,13 +174,13 @@ class LakeSpecEvolutionSpec extends SparkSpec {
       "PARTITIONED BY (s)")
     def call(sql: String) = intercept[Exception](ss.sql(sql)).getMessage
     assert(call("CALL spv.system.add_partition_field(table => 'ns.t', column => 's')")
-      .contains("already a partition column"))
+      .contains("already a partition field"))
     assert(call("CALL spv.system.add_partition_field(table => 'ns.t', column => 'nope')")
       .contains("not in schema"))
     assert(call("CALL spv.system.add_partition_field(table => 'ns.t', column => 'd')")
-      .contains("not a supported partition type"))
+      .contains("does not support the identity transform"))
     assert(call("CALL spv.system.drop_partition_field(table => 'ns.t', column => 'k')")
-      .contains("not a partition column"))
+      .contains("not a partition field"))
   }
 
   /** Interplay: a multi-table transaction whose staged files were
