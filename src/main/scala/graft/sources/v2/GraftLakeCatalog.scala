@@ -1941,7 +1941,31 @@ private[v2] object LakeWrite {
 }
 
 private[v2] class LakeWrite(handle: TableHandle, writeSchema: StructType,
-    mode: LakeWrite.Mode, queryId: String = "") extends Write with BatchWrite {
+    mode: LakeWrite.Mode, queryId: String = "") extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** Partitioned writes REQUEST a clustered distribution on the
+    * partition fields' SOURCE columns (Iceberg's hash
+    * write-distribution mode): equal source values land in one write
+    * task, so an identity-partitioned ingest produces ONE file per
+    * partition value instead of files-per-task × values — the
+    * small-files problem solved where it starts, at the write. For
+    * transform fields the co-location consolidates as far as value
+    * equality (a bucket tuple spans many values by design; its file
+    * count stays bounded by the task count). Unpartitioned tables
+    * impose nothing — the input's parallelism is respected. */
+  override def requiredDistribution():
+      org.apache.spark.sql.connector.distributions.Distribution = {
+    val pf = handle.snapshot(LakeTable.readVersion(handle)).partFields
+    if (pf.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      pf.map(f => Expressions.identity(f.col):
+        org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
+
+  override def requiredOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
 
   override def toBatch: BatchWrite = this
 

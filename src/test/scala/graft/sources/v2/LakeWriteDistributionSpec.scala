@@ -1,0 +1,66 @@
+package graft.sources.v2
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+
+/** Write-side distribution: partitioned lake writes REQUEST a
+  * clustered distribution on the partition fields' source columns
+  * (DSv2 RequiresDistributionAndOrdering — Iceberg's hash
+  * write-distribution mode), so the planner routes equal values to one
+  * task and an ingest writes ONE file per partition value regardless
+  * of the input's parallelism. Unpartitioned tables impose nothing. */
+class LakeWriteDistributionSpec extends SparkSpec {
+
+  private def lakeSession(cat: String, root: String): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set(s"spark.sql.catalog.$cat", classOf[GraftLakeCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root)
+    ss
+  }
+
+  test("a partitioned ingest writes one file per partition value, not per task x value") {
+    val root = graft.util.TempDirs.create("graft_dist_").toString
+    val ss = lakeSession("dst", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE dst.ns.t (k BIGINT, g STRING) PARTITIONED BY (g)")
+    // 16 input partitions, every one holding rows of all 3 values —
+    // without the requested distribution this would write up to 48 files
+    (0L until 160L).map(k => (k, s"g${k % 3}")).toDF("k", "g")
+      .repartition(16).writeTo("dst.ns.t").append()
+    val h = GraftLakeStore.get(root, "ns.t").get
+    val files = h.snapshot(1).files
+    assert(files.size === 3,
+      s"expected one file per partition value, got ${files.size}")
+    assert(files.map(_.partition("g")).toSet ===
+      Set(Some("g0"), Some("g1"), Some("g2")))
+    assert(ss.sql("SELECT count(*) FROM dst.ns.t").head().getLong(0) === 160L)
+
+    // unpartitioned: the input's parallelism is respected (no shuffle
+    // imposed — a 4-partition input writes 4 files)
+    ss.sql("CREATE TABLE dst.ns.u (k BIGINT)")
+    (0L until 40L).map(Tuple1(_)).toDF("k").repartition(4)
+      .writeTo("dst.ns.u").append()
+    assert(GraftLakeStore.get(root, "ns.u").get.snapshot(1).files.size === 4)
+  }
+
+  test("transform-partitioned ingest consolidates by value co-location") {
+    val root = graft.util.TempDirs.create("graft_dist_tf_").toString
+    val ss = lakeSession("dtf", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE dtf.ns.t (k BIGINT, od STRING) " +
+      "PARTITIONED BY (truncate(7, od))")
+    // 8 input partitions, 2 months: the clustered distribution on the
+    // SOURCE column routes equal dates together; with few distinct
+    // dates per month the per-month file count collapses to the tasks
+    // that actually receive that month's values
+    val rows = for (k <- 0L until 80L)
+      yield (k, if (k % 2 == 0) "1995-01-15" else "1995-02-20")
+    rows.toDF("k", "od").repartition(8).writeTo("dtf.ns.t").append()
+    val h = GraftLakeStore.get(root, "ns.t").get
+    val files = h.snapshot(1).files
+    // one distinct date per month -> exactly one file per month
+    assert(files.size === 2, s"got ${files.size} files")
+    assert(files.map(_.partition("od_truncate_7")).toSet ===
+      Set(Some("1995-01"), Some("1995-02")))
+  }
+}
