@@ -156,9 +156,16 @@ class GraftLakeCatalog extends TableCatalog
     require(mode == LakeTable.CopyOnWrite || mode == LakeTable.MergeOnRead,
       s"${LakeTable.DmlModeProp} must be '${LakeTable.CopyOnWrite}' or " +
         s"'${LakeTable.MergeOnRead}', got '$mode'")
+    val advisory = Option(properties.get(LakeTable.AdvisoryBytesProp))
+    advisory.foreach { v =>
+      require(scala.util.Try(v.toLong).toOption.exists(_ >= 0L),
+        s"${LakeTable.AdvisoryBytesProp} must be a non-negative byte " +
+          s"count, got '$v'")
+    }
     val props =
-      if (mode == LakeTable.CopyOnWrite) Map.empty[String, String]
-      else Map(LakeTable.DmlModeProp -> mode)
+      (if (mode == LakeTable.CopyOnWrite) Map.empty[String, String]
+       else Map(LakeTable.DmlModeProp -> mode)) ++
+        advisory.map(LakeTable.AdvisoryBytesProp -> _)
     val h =
       try GraftLakeStore.create(root, key(ident), schema, pfields, props)
       catch {
@@ -836,6 +843,12 @@ object LakeTable {
     * `merge-on-read` (matched rows are recorded as position-delete
     * vectors; no data file is rewritten). */
   private[v2] val DmlModeProp = "write.dml.mode"
+
+  /** Table property (bytes, default 0 = off): opt a partitioned
+    * table's writes into AQE-rebalanced distribution with this
+    * advisory partition size — the hot-value skew escape hatch (see
+    * LakeWrite.advisoryPartitionSizeInBytes). */
+  private[v2] val AdvisoryBytesProp = "write.distribution.advisory-bytes"
   private[v2] val CopyOnWrite = "copy-on-write"
   private[v2] val MergeOnRead = "merge-on-read"
 
@@ -1966,6 +1979,20 @@ private[v2] class LakeWrite(handle: TableHandle, writeSchema: StructType,
 
   override def requiredOrdering():
       Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+
+  /** The skew escape hatch, OPT-IN per table
+    * (`write.distribution.advisory-bytes`): with an advisory size,
+    * Spark satisfies the clustered distribution with an AQE REBALANCE
+    * instead of a strict repartition — small clusters coalesce into
+    * shared tasks and a HOT partition value larger than the advisory
+    * SPLITS across writers (trading one-file-per-value for
+    * size-bounded files exactly there; a 5 TB hot date must not
+    * serialize through one writer). Default 0 = strict clustering:
+    * deterministic one-file-per-value layout, the right shape until a
+    * value outgrows a writer. */
+  override def advisoryPartitionSizeInBytes(): Long =
+    handle.snapshot(LakeTable.readVersion(handle)).props
+      .get(LakeTable.AdvisoryBytesProp).map(_.toLong).getOrElse(0L)
 
   override def toBatch: BatchWrite = this
 

@@ -43,6 +43,31 @@ class LakeWriteDistributionSpec extends SparkSpec {
     assert(GraftLakeStore.get(root, "ns.u").get.snapshot(1).files.size === 4)
   }
 
+  /** The opt-in skew escape hatch: with `write.distribution.
+    * advisory-bytes` set, the clustered distribution is satisfied by
+    * an AQE rebalance — tiny clusters COALESCE into shared tasks (and
+    * at real scale a hot value larger than the advisory splits). File
+    * counts become size-driven; rows stay exactly right. */
+  test("advisory-bytes opt-in: rebalance replaces strict clustering, correctness unchanged") {
+    val root = graft.util.TempDirs.create("graft_dist_adv_").toString
+    val ss = lakeSession("dsa", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE dsa.ns.t (k BIGINT, g STRING) PARTITIONED BY (g) " +
+      "TBLPROPERTIES ('write.distribution.advisory-bytes'='134217728')")
+    (0L until 160L).map(k => (k, s"g${k % 3}")).toDF("k", "g")
+      .repartition(16).writeTo("dsa.ns.t").append()
+    val h = GraftLakeStore.get(root, "ns.t").get
+    // tiny clusters coalesce: AT MOST one task's worth of files per
+    // value, and typically all three values in ONE rebalanced task
+    assert(h.snapshot(1).files.size <= 3)
+    assert(ss.sql("SELECT g, count(*) FROM dsa.ns.t GROUP BY g ORDER BY g")
+      .collect().map(_.getLong(1)).toSeq === Seq(54L, 53L, 53L))
+    // the property round-trips through the catalog
+    assert(ss.sql("SHOW TBLPROPERTIES dsa.ns.t").collect().exists(r =>
+      r.getString(0) == "write.distribution.advisory-bytes" &&
+        r.getString(1) == "134217728"))
+  }
+
   test("transform-partitioned ingest consolidates by value co-location") {
     val root = graft.util.TempDirs.create("graft_dist_tf_").toString
     val ss = lakeSession("dtf", root)
