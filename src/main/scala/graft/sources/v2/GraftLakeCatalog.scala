@@ -149,6 +149,14 @@ class GraftLakeCatalog extends TableCatalog
     val pfields = partitions.toSeq.map(LakeTable.parseTransform(schema, _))
     require(pfields.map(_.name).distinct.size == pfields.size,
       s"duplicate partition fields in ${pfields.map(_.name).mkString(", ")}")
+    // a transform field's generated name must not shadow a schema
+    // column — the collision would be permanently confusing in
+    // t$files/t$partitions renderings
+    pfields.filterNot(_.transform == "identity").foreach { f =>
+      require(!schema.fieldNames.contains(f.name),
+        s"partition field name ${f.name} collides with a schema column; " +
+          "rename the column or change the transform parameter")
+    }
     // persist only the properties the engine interprets; Spark adds
     // bookkeeping keys (owner, provider, …) a manifest need not carry
     val mode = Option(properties.get(LakeTable.DmlModeProp))
@@ -746,6 +754,9 @@ private[v2] object LakeProcedures {
             s"support the ${field.transform} transform")
         require(!cur.partFields.map(_.name).contains(field.name),
           s"${field.name} is already a partition field")
+        require(field.transform == "identity" ||
+            !cur.schema.fieldNames.contains(field.name),
+          s"partition field name ${field.name} collides with a schema column")
         val next = cur.partFields :+ field
         val v = h.commitPartitionSpec(next)
         Seq(Seq[Any](str(next.map(_.name).mkString("[", ", ", "]")), v))
@@ -1067,12 +1078,17 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
       // a GROUP BY over partition columns needs every file to carry the
       // group values — false mid-spec-evolution (ungrouped COUNT(*)
-      // needs no values and stays pushable)
+      // needs no values and stays pushable). IDENTITY fields only: a
+      // transform field's per-file value is transform(col), not the
+      // column — and matching by FIELD NAME would let a user column
+      // that happens to share a transform field's name (k_bucket_4)
+      // read transform values as its own
       (agg.groupByExpressions().isEmpty || uniformSpec) &&
       agg.groupByExpressions().forall {
         case f: NamedReference =>
           f.fieldNames().length == 1 &&
-            snap.partitionCols.contains(f.fieldNames()(0))
+            snap.partFields.exists(pf => pf.transform == "identity" &&
+              pf.col == f.fieldNames()(0))
         case _ => false
       }
 
@@ -1109,7 +1125,11 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
     * the group-based contract, and it composes with the runtime
     * group filter. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val pcols = snap.partitionCols.toSet
+    // the EXACT tier covers identity fields' SOURCE columns only —
+    // gating by field name would mistake a user column named like a
+    // transform field (k_bucket_4) for partition values
+    val pcols = snap.partFields
+      .filter(_.transform == "identity").map(_.col).toSet
     val statCols = snap.schema.fields
       .filter(f => LakeStatsPruning.supportedType(f.dataType))
       .map(_.name).toSet -- pcols
@@ -1136,7 +1156,9 @@ private[v2] class LakeScanBuilder(handle: TableHandle, snap: Snapshot, desc: Str
 
   override def build(): Scan = {
     val schemaByName = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    val pcols = snap.partitionCols.toSet
+    // exact tier = identity fields' source columns (see pushFilters)
+    val pcols = snap.partFields
+      .filter(_.transform == "identity").map(_.col).toSet
     // per-file stats are keyed by PHYSICAL column names (what the write
     // task saw); filters reference logical names — translate per file
     def logicalStats(f: LakeFile): Map[String, GraftLakeStore.ColStats] =
