@@ -136,4 +136,31 @@ class LakeTransformSpec extends SparkSpec {
     assert(msg("ALTER TABLE lte.ns.t RENAME COLUMN od TO od2")
       .contains("partition column"))
   }
+
+  /** A transform field's generated name must never shadow a schema
+    * column — the exact-pruning and COUNT-pushdown tiers key on
+    * columns, and a collision would render confusingly everywhere. */
+  test("transform field names colliding with schema columns are rejected") {
+    val root = graft.util.TempDirs.create("graft_tf_shadow_").toString
+    val ss = lakeSession("lts", root)
+    def msg(sql: String) = intercept[Exception](ss.sql(sql)).getMessage
+    assert(msg("CREATE TABLE lts.ns.bad (k BIGINT, k_bucket_4 STRING) " +
+      "PARTITIONED BY (bucket(4, k))").contains("collides"))
+    ss.sql("CREATE TABLE lts.ns.t (k BIGINT, k_bucket_4 STRING)")
+    assert(msg("CALL lts.system.add_partition_field(" +
+      "table => 'ns.t', column => 'k', transform => 'bucket[4]')")
+      .contains("collides"))
+    // a non-colliding parameter is fine
+    ss.sql("CALL lts.system.add_partition_field(" +
+      "table => 'ns.t', column => 'k', transform => 'bucket[8]')")
+    import ss.implicits._
+    Seq((1L, "x")).toDF("k", "k_bucket_4").coalesce(1).writeTo("lts.ns.t").append()
+    // the SHADOW COLUMN is a plain data column: filters and grouped
+    // counts on it read its values, never the transform's
+    assert(ss.sql("SELECT count(*) FROM lts.ns.t WHERE k_bucket_4 = 'x'")
+      .head().getLong(0) === 1L)
+    val g = ss.sql("SELECT k_bucket_4, count(*) FROM lts.ns.t GROUP BY 1")
+    assert(!g.queryExecution.executedPlan.toString.contains("manifest count"))
+    assert(g.head().getString(0) === "x")
+  }
 }
