@@ -454,6 +454,46 @@ class LakeEqSpec extends SparkSpec {
       "the eq ref kills the covered row; the picked file's fresh id is exempt")
   }
 
+  /** Schema-evolution interplay: an eq delete keyed on a column ADDED
+    * mid-history cannot touch files that predate the column — neither
+    * on the scan (no resurrect, no over-delete) nor in the change feed
+    * (a file no group can match emits NOTHING as an eq-delete slice,
+    * instead of everything). */
+  test("eq delete keyed on an evolved column: pre-evolution files exempt, feed exact") {
+    val root = graft.util.TempDirs.create("graft_eq_evo_").toString
+    val ss = lakeSession("eqe", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE eqe.ns.t (k BIGINT, v STRING)")
+    Seq((1L, "old1"), (2L, "old2")).toDF("k", "v")
+      .coalesce(1).writeTo("eqe.ns.t").append() // v1: predates nk
+    ss.sql("ALTER TABLE eqe.ns.t ADD COLUMN nk BIGINT") // v2
+    Seq((3L, "new3", 30L), (4L, "new4", 40L)).toDF("k", "v", "nk")
+      .coalesce(1).writeTo("eqe.ns.t").append() // v3: carries nk
+    val h = GraftLakeStore.get(root, "ns.t").get
+    h.commitEqDelta(3, Seq(stageEq(h, "e1", Seq(30L), "nk")), Seq.empty) // v4
+    // scan: only the nk=30 row dies; the pre-evolution file is exempt
+    assert(ss.sql("SELECT k FROM eqe.ns.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    // feed: the eq commit emits EXACTLY the one matched pre-image —
+    // never the pre-evolution file's rows (which cannot match)
+    val acc = graft.util.TempDirs.create("graft_eq_evo_acc_").toString
+    val q = ss.readStream
+      .format(classOf[LakeFeedProvider].getName)
+      .option("root", root).option("table", "ns.t").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, b: Long) =>
+        df.write.mode("overwrite").parquet(s"$acc/b$b")
+      }
+      .option("checkpointLocation", s"$acc/_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val feed = ss.read.parquet(s"$acc/b*")
+    val dels = feed.filter(col(LakeFeed.ChangeTypeCol) === "delete")
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(dels === Seq(3L), s"expected only the matched pre-image, got $dels")
+  }
+
   /** Property: over random data and random composite delete keys, the
     * lake read equals a reference anti-join — including the NULL rule
     * (a row with any NULL key component is never deleted). */

@@ -137,6 +137,28 @@ class LakeTransformSpec extends SparkSpec {
       .contains("partition column"))
   }
 
+  /** The bucket mixer must spread keys: sequential longs and
+    * sequential-suffix strings land near-uniformly across buckets
+    * (splitmix64 avalanche / murmur3 — a weak mixer here would silently
+    * turn bucket pruning into one hot file per table). */
+  test("bucket distribution is near-uniform over sequential keys") {
+    val n = 16
+    def spread(counts: Map[Int, Int], total: Int): Unit = {
+      assert(counts.size === n, s"all $n buckets must be hit, got ${counts.size}")
+      val mean = total.toDouble / n
+      counts.values.foreach { c =>
+        assert(c > mean * 0.5 && c < mean * 1.5,
+          s"bucket count $c outside 50-150% of mean $mean")
+      }
+    }
+    val longs = (0L until 16000L).map(k =>
+      LakeTransforms.bucket(java.lang.Long.valueOf(k), n))
+    spread(longs.groupBy(identity).view.mapValues(_.size).toMap, 16000)
+    val strs = (0 until 16000).map(i =>
+      LakeTransforms.bucket(s"user-$i", n))
+    spread(strs.groupBy(identity).view.mapValues(_.size).toMap, 16000)
+  }
+
   /** A transform field's generated name must never shadow a schema
     * column — the exact-pruning and COUNT-pushdown tiers key on
     * columns, and a collision would render confusingly everywhere. */
