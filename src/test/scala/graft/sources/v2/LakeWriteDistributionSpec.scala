@@ -68,6 +68,51 @@ class LakeWriteDistributionSpec extends SparkSpec {
         r.getString(1) == "134217728"))
   }
 
+  /** Interplay: the streaming APPEND sink on a PARTITIONED table. Each
+    * epoch commits one snapshot with per-value files; the distribution
+    * requirement must not break the micro-batch path (whether or not
+    * the engine honors it per epoch, correctness and partition values
+    * hold). */
+  test("streaming sink into a partitioned table: epochs commit, partition values exact") {
+    val root = graft.util.TempDirs.create("graft_dist_stream_").toString
+    val ss = lakeSession("dss", root)
+    import ss.implicits._
+    ss.sql("CREATE TABLE dss.ns.t (k BIGINT, g STRING) PARTITIONED BY (g)")
+    val srcDir = graft.util.TempDirs.create("graft_dist_stream_src_")
+    (0 until 2).foreach { b =>
+      (0L until 20L).map(k => (b * 100L + k, s"g${k % 2}")).toDF("k", "g")
+        .coalesce(1).write.parquet(s"$srcDir/b$b")
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/b$b"))
+      val f = try l.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally l.close()
+      java.nio.file.Files.move(f, srcDir.resolve(s"batch_$b.parquet"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType)))
+    val chk = graft.util.TempDirs.create("graft_dist_stream_chk_").toString
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .option("checkpointLocation", chk)
+      .toTable("dss.ns.t")
+    // AvailableNow is not settable via toTable's default; stop on idle
+    val q2 = q
+    try {
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val h = GraftLakeStore.get(root, "ns.t").get
+    assert(h.latestVersion === 2, "one snapshot per epoch")
+    assert(ss.sql("SELECT count(*) FROM dss.ns.t").head().getLong(0) === 40L)
+    assert(h.snapshot(2).files.forall(_.partition.keySet == Set("g")))
+    assert(ss.sql("SELECT g, count(*) FROM dss.ns.t GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("g0", 20L), ("g1", 20L)))
+  }
+
   test("transform-partitioned ingest consolidates by value co-location") {
     val root = graft.util.TempDirs.create("graft_dist_tf_").toString
     val ss = lakeSession("dtf", root)
